@@ -1,0 +1,157 @@
+"""Deterministic text utilities: stable hashing, shingles, MinHash, SimHash,
+rolling-hash fingerprints, tokenization.
+
+All hashing is PYTHONHASHSEED-independent (blake2b / numpy arithmetic) so that
+entity ids and blocking keys are stable across workers, processes and runs —
+a requirement for resumable, exactly-once output partitions (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Optional
+
+import numpy as np
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# BPE-ish tokenizer: words, numbers, or single non-space punctuation — a cheap
+# public approximation of byte-pair-style pretokenization (GPT-2 pattern family).
+_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def stable_hash64(text: str) -> int:
+    """64-bit stable hash of a string (blake2b, seed-free)."""
+    return int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def stable_id(*parts: Optional[str]) -> str:
+    """Deterministic entity id from key parts — replaces the reference's
+    uuid.uuid4() node ids (artifact_ingestor_service.py:1012, 1068) so that
+    re-runs and parallel workers mint identical ids without coordination."""
+    joined = "\x1f".join("" if p is None else p for p in parts)
+    return hashlib.blake2b(joined.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def words(text: str) -> List[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def tokenize(text: str) -> List[str]:
+    """Whitespace+punct BPE-ish pretokenization (for token counting)."""
+    return _TOKEN_RE.findall(text)
+
+
+def char_shingles(text: str, k: int = 5) -> set:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t} if t else set()
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def word_ngrams(text: str, n: int = 3) -> set:
+    ws = words(text)
+    if len(ws) < n:
+        return {" ".join(ws)} if ws else set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    sh = char_shingles(text, k)
+    if not sh:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+
+
+def make_minhash_params(num_perm: int, seed: int = 7) -> tuple:
+    """(a, b) coefficient arrays for num_perm universal-hash permutations
+    h_i(x) = (a_i * x + b_i) mod p, p = 2^61-1. Deterministic in seed."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE61, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) over k-char shingles."""
+    hashes = _shingle_hashes(text, k)
+    if hashes.size == 0:
+        return np.full(a.shape[0], MERSENNE61, dtype=np.uint64)
+    # (num_perm, n_shingles) — arithmetic mod 2^61-1 via python-int-free numpy:
+    # keep values < 2^61 so a*x fits... it does not fit in uint64; do it in
+    # object-free float-safe chunks using Python ints only for the reduction
+    # would be slow. Instead use the standard trick: compute in uint64 with
+    # wraparound then mix — we need consistency, not number theory, so use
+    # wrapping multiply-add (a deterministic affine scramble) + min-reduce.
+    vals = (hashes[None, :] * a[:, None] + b[:, None])  # uint64 wraparound, deterministic
+    return vals.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int) -> List[int]:
+    """Split a signature into bands; returns one stable 63-bit hash per band."""
+    rows = sig.shape[0] // num_bands
+    out = []
+    for band in range(num_bands):
+        chunk = sig[band * rows : (band + 1) * rows]
+        digest = hashlib.blake2b(chunk.tobytes() + band.to_bytes(2, "big"), digest_size=8).digest()
+        out.append(int.from_bytes(digest, "big") >> 1)
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (weight = term frequency)."""
+    ws = words(text)
+    if not ws:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    counts: dict = {}
+    for w in ws:
+        counts[w] = counts.get(w, 0) + 1
+    for w, c in counts.items():
+        h = stable_hash64(w)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), c, -c)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin(x ^ y).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> List[int]:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hash over a
+    char window, keep hashes ≡ 0 (mod keep_mod). Deterministic, mergeable."""
+    t = " ".join(text.lower().split())
+    if len(t) < window:
+        return [stable_hash64(t) & 0x7FFFFFFFFFFFFFFF] if t else []
+    BASE = np.uint64(1000003)
+    h = np.uint64(0)
+    power = np.uint64(1)
+    for _ in range(window - 1):
+        power = power * BASE
+    out = []
+    data = np.frombuffer(t.encode("utf-8", "replace")[: len(t)], dtype=np.uint8)
+    # recompute on the raw bytes of the normalized string (ascii-safe inputs)
+    h = np.uint64(0)
+    for i, byte in enumerate(data):
+        if i >= window:
+            h = h - np.uint64(data[i - window]) * power
+        h = h * BASE + np.uint64(byte)
+        if i >= window - 1 and int(h) % keep_mod == 0:
+            out.append(int(h) & 0x7FFFFFFFFFFFFFFF)
+    return sorted(set(out))

@@ -1,0 +1,241 @@
+"""Serial reference-semantics oracle.
+
+A deliberately SLOW, row-at-a-time, mutable-store re-implementation of the
+reference's ingest path (artifact_ingestor_service.py save_msds flow), used
+only by tests to validate the distributed engine:
+
+  * conversations processed in ascending (conv_id) order — the deterministic
+    stand-in for the reference's queue arrival order;
+  * the same extraction rules as stages/extract.py, run with plain `re`;
+  * a dict-backed global store probed row-at-a-time exactly like the
+    reference's MySQL repositories (J1-J3), including the
+    MATERIAL_ALREADY_INGESTED guard dropping whole conversations;
+  * A1 chemical dedup, A2/A3 rollup, A4 transition fold, A5 propagation
+    after every chemical write.
+
+Divergences from the reference, shared with the engine (SURVEY.md §7.5):
+  * the impossible-transition raise is replaced by the total extension in
+    functions/decision_tables.final_source (a raise would abort a whole
+    conversation nondeterministically under parallelism);
+  * find_materials_by_chemical_id uses the INTENDED semantics (parents of
+    the chemical), not the reference's copy-paste bug that returns children.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from .functions.decision_tables import (
+    combine_material_name,
+    fold_chemical_state,
+    normalize_name_key,
+    normalize_cas,
+    parent_pfas_resolution,
+    pfas_status_from_tag,
+)
+from .functions.textnorm import stable_id
+from .stages.extract import (
+    CHEMICAL_PATTERN,
+    MATERIAL_PATTERN,
+    PRODUCT_PATTERN,
+    UPC_PATTERN,
+)
+
+_MAT_RE = re.compile(MATERIAL_PATTERN)
+_PROD_RE = re.compile(PRODUCT_PATTERN)
+_UPC_RE = re.compile(UPC_PATTERN)
+_CHEM_RE = re.compile(CHEMICAL_PATTERN)
+
+
+class OracleStore:
+    def __init__(self):
+        self.manufacturers: Dict[str, dict] = {}  # name -> node
+        self.materials: Dict[Tuple[str, str], dict] = {}  # (norm_name, mfr) -> node
+        # chemicals are per-manufacturer, probed by cas then exact name
+        self.chem_by_cas: Dict[Tuple[str, str], dict] = {}
+        self.chem_by_name: Dict[Tuple[str, str], dict] = {}
+        self.chem_nodes: List[dict] = []
+        self.edges: Dict[Tuple[str, str, str], Optional[str]] = {}  # (src,dst,pred)->weight
+        self.triples: List[tuple] = []
+        self.lineage: List[tuple] = []
+
+
+def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
+    """turns: [(turn_idx, text)] sorted. Returns the MSDSAnalysis-like record
+    or None when the conversation has no material / no chemicals."""
+    material = None
+    mfr = None
+    mat_turn = None
+    product_no = None
+    upc = None
+    chems: List[dict] = []
+    for tidx, text in turns:
+        if not text:
+            continue
+        if material is None:
+            m = _MAT_RE.search(text)
+            if m:
+                material, mfr, mat_turn = m.group("material"), m.group("manufacturer"), tidx
+        if product_no is None:
+            m = _PROD_RE.search(text)
+            if m:
+                product_no = m.group("product_no")
+        if upc is None:
+            m = _UPC_RE.search(text)
+            if m:
+                upc = m.group("upc")
+        m = _CHEM_RE.search(text)
+        if m:
+            chems.append(
+                {
+                    "chemical_name": m.group("name"),
+                    "cas": m.group("cas"),  # None when absent
+                    "composition": m.group("pct"),
+                    "tag": m.group("tag"),
+                    "source": m.group("source"),
+                    "turn_idx": tidx,
+                }
+            )
+    if material is None or not chems:
+        return None
+    # A1 dedup: dict keyed on chemical_name — first-key order, last value wins
+    dedup = {c["chemical_name"]: c for c in chems}
+    return {
+        "material_name": combine_material_name(material, product_no, upc),
+        "manufacturer": mfr,
+        "turn_idx": mat_turn,
+        "chemicals": list(dedup.values()),
+    }
+
+
+def ingest(store: OracleStore, conv_id: str, record: dict) -> None:
+    mat_name = record["material_name"]
+    mfr_name = record["manufacturer"]
+    mat_key = (normalize_name_key(mat_name), mfr_name)
+
+    # J1 anti-join guard: duplicate material -> whole conversation dropped
+    if mat_key in store.materials:
+        return
+
+    # J3 manufacturer link-or-create (exact name)
+    if mfr_name not in store.manufacturers:
+        store.manufacturers[mfr_name] = {
+            "entity_id": stable_id("MANUFACTURER", mfr_name),
+            "name": mfr_name,
+        }
+    mfr_id = store.manufacturers[mfr_name]["entity_id"]
+
+    material = {
+        "entity_id": stable_id("MATERIAL", mat_key[0], mfr_name),
+        "name": mat_name,
+        "node_type": "MATERIAL",
+        "cas_number": None,
+        "pfas_status": "PENDING",
+        "pfas_information_source": "NONE",
+        "manufacturer": mfr_name,
+    }
+    store.materials[mat_key] = material
+    store.edges[(material["entity_id"], mfr_id, "MADE_BY")] = None
+
+    # triples (surface level)
+    store.triples.append((conv_id, mat_name, "MADE_BY", mfr_name))
+
+    for chem in record["chemicals"]:
+        cas = normalize_cas(chem["cas"])
+        name = chem["chemical_name"]
+        store.triples.append((conv_id, mat_name, "CONTAINS", name))
+        if cas:
+            store.triples.append((conv_id, name, "HAS_CAS", cas))
+        store.triples.append((conv_id, name, "HAS_TAG", chem["tag"]))
+
+        # J2 two-tier probe
+        node = None
+        if cas and (mfr_name, cas) in store.chem_by_cas:
+            node = store.chem_by_cas[(mfr_name, cas)]
+        if node is None:
+            node = store.chem_by_name.get((mfr_name, name))
+        if node is None:
+            node = {
+                "entity_id": stable_id("CHEMICAL", mfr_name, name),
+                "name": name,
+                "node_type": "CHEMICAL",
+                "cas_number": cas,
+                "pfas_status": pfas_status_from_tag(chem["tag"]),
+                "pfas_information_source": chem["source"],
+                "manufacturer": mfr_name,
+            }
+            store.chem_nodes.append(node)
+            store.chem_by_name[(mfr_name, name)] = node
+        else:
+            status, source = fold_chemical_state(
+                node["pfas_status"], node["pfas_information_source"],
+                chem["tag"], chem["source"],
+            )
+            node["pfas_status"] = status
+            node["pfas_information_source"] = source
+            node["cas_number"] = cas  # reference overwrites on every link (:1081)
+        if cas:
+            store.chem_by_cas[(mfr_name, cas)] = node
+
+        # J4 edge upsert (weight: last write wins)
+        store.edges[(material["entity_id"], node["entity_id"], "CONTAINS")] = chem[
+            "composition"
+        ]
+        store.lineage.append((node["entity_id"], conv_id, chem["turn_idx"]))
+
+        # A5 propagation: recompute every material containing this chemical
+        parents = [
+            m for m in store.materials.values()
+            if (m["entity_id"], node["entity_id"], "CONTAINS") in store.edges
+        ]
+        for parent in parents:
+            children = [
+                c for c in store.chem_nodes
+                if (parent["entity_id"], c["entity_id"], "CONTAINS") in store.edges
+            ]
+            status, source = parent_pfas_resolution(
+                [(c["pfas_status"], c["pfas_information_source"]) for c in children]
+            )
+            parent["pfas_status"] = status
+            parent["pfas_information_source"] = source if source else "NONE"
+
+
+def run_oracle(turns_table: pa.Table) -> OracleStore:
+    df = turns_table.select(["conv_id", "turn_idx", "text"]).to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    store = OracleStore()
+    for conv_id, g in df.groupby("conv_id", sort=True):
+        record = extract_record(list(zip(g["turn_idx"], g["text"])))
+        if record is None:
+            continue
+        ingest(store, conv_id, record)
+    return store
+
+
+def oracle_nodes(store: OracleStore) -> List[dict]:
+    out = []
+    for m in store.materials.values():
+        out.append({k: m[k] for k in (
+            "entity_id", "name", "node_type", "cas_number", "pfas_status",
+            "pfas_information_source")})
+    for c in store.chem_nodes:
+        out.append({k: c[k] for k in (
+            "entity_id", "name", "node_type", "cas_number", "pfas_status",
+            "pfas_information_source")})
+    for f in store.manufacturers.values():
+        out.append({
+            "entity_id": f["entity_id"], "name": f["name"],
+            "node_type": "MANUFACTURER", "cas_number": None,
+            "pfas_status": None, "pfas_information_source": "NONE",
+        })
+    return out
+
+
+def oracle_edges(store: OracleStore) -> List[dict]:
+    return [
+        {"src": src, "dst": dst, "pred": pred, "weight": w}
+        for (src, dst, pred), w in store.edges.items()
+    ]

@@ -1,0 +1,246 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md F1).
+
+Schema (BASELINE.json input_hint):
+    conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+    ts:timestamp[us]
+
+Each conversation "discusses" one material, one manufacturer and 1-8
+chemicals with CAS numbers, composition percentages and PFAS tags —
+mirroring the reference's extraction record (MSDSAnalysis,
+/root/reference/app/modules/artifact_ingestor/dto/msds_openai_response.py:7-25).
+A controlled fraction of mentions use alias variants (case changes, inserted
+spaces — normalization M7), some conversations carry product-number / UPC
+turns (combine_material_name, artifact_ingestor_service.py:725-742), and a
+few "hot" entities appear in >20% of conversations to exercise skew salting.
+
+Everything is seeded (numpy RandomState keyed by (seed, conv index)); no
+wall-clock, no external data. Rows are written SHUFFLED across multiple
+files so pipelines must re-establish (conv_id, turn_idx) order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH_BASE_US = 1_700_000_000 * 1_000_000  # fixed epoch base, microseconds
+
+ROLES = ("user", "assistant", "tool")
+TOOLS = ("search", "python", "browser")
+
+_CHEM_PREFIXES = (
+    "Perfluoro Alkanoate",
+    "Fluorotelomer",
+    "Polymer Resin",
+    "Surfactant Blend",
+    "Stabilizer",
+    "Solvent",
+)
+_MAT_PREFIXES = ("Coating", "Sealant", "Foam", "Laminate", "Lubricant", "Textile Finish")
+_MFR_SUFFIXES = ("Industries", "Chemical Co", "Materials Group", "Corp", "Labs")
+
+FILLER_TEXTS = (
+    "Thanks, let me look into the compliance requirements next.",
+    "Could you summarize the findings so far?",
+    "The safety data sheet has several sections to review.",
+    "I will check the regulatory database for updates.",
+    "That matches what the supplier declared earlier.",
+    "Noted. Proceeding with the next item on the list.",
+)
+
+TOOL_TEXTS = (
+    "",
+    "",
+    "status: ok, 3 results returned",
+    "lookup complete",
+)
+
+
+@dataclasses.dataclass
+class TurnCorpusSpec:
+    n_convs: int = 500
+    seed: int = 42
+    n_manufacturers: int = 0  # 0 -> derived
+    n_chemicals: int = 0  # 0 -> derived
+    hot_fraction: float = 0.22  # fraction of convs that mention the hot entities
+
+    def __post_init__(self):
+        if self.n_manufacturers <= 0:
+            self.n_manufacturers = max(5, self.n_convs // 20)
+        if self.n_chemicals <= 0:
+            self.n_chemicals = max(12, self.n_convs // 5)
+
+
+def _chem_vocab(spec: TurnCorpusSpec):
+    """Deterministic chemical pool: name, cas (15% missing), fixed tag+source."""
+    rng = np.random.RandomState(spec.seed + 101)
+    chems = []
+    for i in range(spec.n_chemicals):
+        prefix = _CHEM_PREFIXES[i % len(_CHEM_PREFIXES)]
+        name = f"{prefix} {i:04d}"
+        has_cas = rng.rand() > 0.15
+        cas = f"{1000 + i}-{i % 96 + 1:02d}-{i % 10}" if has_cas else None
+        tag = ("PFAS", "NO_PFAS", "PENDING", "UNKNOWN")[int(rng.randint(0, 4))]
+        source = ("OPENAI", "OECD", "MANUAL", "NONE")[int(rng.randint(0, 4))]
+        chems.append({"name": name, "cas": cas, "tag": tag, "source": source})
+    return chems
+
+
+def _mfr_vocab(spec: TurnCorpusSpec):
+    rng = np.random.RandomState(spec.seed + 202)
+    out = []
+    for i in range(spec.n_manufacturers):
+        suffix = _MFR_SUFFIXES[int(rng.randint(0, len(_MFR_SUFFIXES)))]
+        out.append(f"Vendor {i:03d} {suffix}")
+    return out
+
+
+def _alias_variant(name: str, rng: np.random.RandomState) -> str:
+    """Case change or inserted space — collapses under normalize_name_key (M7)."""
+    choice = rng.randint(0, 3)
+    if choice == 0:
+        return name.upper()
+    if choice == 1:
+        return name.lower()
+    # insert a space after the first 3 chars (stays same after space-stripping)
+    return name[:3] + " " + name[3:]
+
+
+def generate_turns(spec: TurnCorpusSpec) -> pa.Table:
+    chems = _chem_vocab(spec)
+    mfrs = _mfr_vocab(spec)
+    n_hot_chem = max(1, len(chems) // 50)
+
+    conv_ids: List[str] = []
+    turn_idxs: List[int] = []
+    roles: List[str] = []
+    texts: List[str] = []
+    tools: List[str] = []
+    tss: List[int] = []
+
+    for ci in range(spec.n_convs):
+        rng = np.random.RandomState((spec.seed * 1_000_003 + ci) % (2**31 - 1))
+        conv_id = f"conv{ci:06d}"
+        is_hot = rng.rand() < spec.hot_fraction
+        mfr = mfrs[0] if is_hot else mfrs[int(rng.randint(0, len(mfrs)))]
+        mat_prefix = _MAT_PREFIXES[int(rng.randint(0, len(_MAT_PREFIXES)))]
+        mat_base_idx = int(rng.randint(0, max(2, spec.n_convs // 3)))
+        material = f"{mat_prefix} {mat_base_idx:05d}"
+        if rng.rand() < 0.2:  # material alias variant (normalizes to same key)
+            material = _alias_variant(material, rng)
+        product_no = f"P-{rng.randint(100, 9999)}" if rng.rand() < 0.3 else None
+        upc = f"{rng.randint(10**11, 10**12 - 1)}" if rng.rand() < 0.2 else None
+
+        n_chem = int(rng.randint(1, 9))
+        picked = []
+        if is_hot:
+            picked.append(chems[int(rng.randint(0, n_hot_chem))])
+        while len(picked) < n_chem:
+            picked.append(chems[int(rng.randint(0, len(chems)))])
+        if rng.rand() < 0.25 and picked:  # duplicate mention -> last-wins dedup (A1)
+            picked.append(picked[int(rng.randint(0, len(picked)))])
+
+        # --- build the turn texts for this conversation
+        turn_texts: List[tuple] = []  # (role, text, tool)
+        turn_texts.append(
+            (
+                "user",
+                f'We are reviewing material "{material}" supplied by "{mfr}".',
+                "",
+            )
+        )
+        if product_no or upc:
+            bits = []
+            if product_no:
+                bits.append(f"product number {product_no}")
+            if upc:
+                bits.append(f"UPC {upc}")
+            turn_texts.append(("assistant", "Recorded " + " and ".join(bits) + ".", ""))
+        for chem in picked:
+            cname = chem["name"]
+            if chem["cas"] is not None and rng.rand() < 0.2:
+                # alias of a CAS-bearing chemical: unifies via the CAS probe (J2 tier 1)
+                cname = _alias_variant(cname, rng)
+            pct = round(float(rng.rand()) * 60 + 0.5, 1)
+            tag = chem["tag"]
+            if rng.rand() < 0.1:  # occasional tag flip exercises the status whitelist
+                tag = ("PFAS", "NO_PFAS", "PENDING")[int(rng.randint(0, 3))]
+            if chem["cas"] is not None:
+                text = (
+                    f'It contains ingredient "{cname}" with CAS {chem["cas"]} '
+                    f"at {pct}% tagged {tag} (source {chem['source']})."
+                )
+            else:
+                text = (
+                    f'It contains ingredient "{cname}" '
+                    f"at {pct}% tagged {tag} (source {chem['source']})."
+                )
+            turn_texts.append(("assistant", text, ""))
+            if rng.rand() < 0.25:
+                tool = TOOLS[int(rng.randint(0, len(TOOLS)))]
+                turn_texts.append(
+                    ("tool", TOOL_TEXTS[int(rng.randint(0, len(TOOL_TEXTS)))], tool)
+                )
+        n_filler = int(rng.randint(1, 5))
+        for _ in range(n_filler):
+            turn_texts.append(
+                ("user" if rng.rand() < 0.5 else "assistant",
+                 FILLER_TEXTS[int(rng.randint(0, len(FILLER_TEXTS)))], "")
+            )
+
+        for ti, (role, text, tool) in enumerate(turn_texts):
+            conv_ids.append(conv_id)
+            turn_idxs.append(ti)
+            roles.append(role)
+            texts.append(text)
+            tools.append(tool)
+            tss.append(EPOCH_BASE_US + ci * 3_600_000_000 + ti * 7_000_000)
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    return table
+
+
+def write_turns(
+    out_dir: str,
+    spec: Optional[TurnCorpusSpec] = None,
+    num_files: int = 4,
+    shuffle: bool = True,
+) -> str:
+    """Write the corpus as `num_files` parquet files with rows shuffled across
+    files (exercises the sort-within-partition ordering invariant). Idempotent:
+    skips generation when a _SPEC marker with the same parameters exists."""
+    spec = spec or TurnCorpusSpec()
+    marker = os.path.join(out_dir, "_SPEC")
+    stamp = f"n_convs={spec.n_convs} seed={spec.seed} files={num_files} shuffle={shuffle}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_turns(spec)
+    if shuffle:
+        perm = np.random.RandomState(spec.seed + 9).permutation(table.num_rows)
+        table = table.take(pa.array(perm))
+    rows_per_file = (table.num_rows + num_files - 1) // num_files
+    for i in range(num_files):
+        chunk = table.slice(i * rows_per_file, rows_per_file)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(out_dir, f"turns_{i:04d}.parquet"),
+                           row_group_size=max(1024, rows_per_file // 4))
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out_dir

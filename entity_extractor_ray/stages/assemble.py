@@ -1,0 +1,169 @@
+"""Per-conversation record assembly: extraction rows -> one record per conv.
+
+The reference builds exactly one MSDSAnalysis per document (one material,
+one manufacturer, a deduped chemical list — artifact_ingestor_service.py:
+759-817); the transcript analog assembles one record per conversation from
+its per-turn extraction rows:
+
+  * material + manufacturer = FIRST MATERIAL mention by turn_idx
+  * material_name combined with first product_no / UPC mention
+    (combine_material_name, :725-742)
+  * chemicals in turn order, deduped keyed on chemical_name with
+    LAST-occurrence-wins values but FIRST-occurrence key order (the dict
+    comprehension at :788-791)
+  * conversations with no material or no chemicals are dropped (the
+    empty-material / empty-chemicals raises at :794-802)
+
+Scale shape: instead of ``groupby("conv_id").map_groups`` (one Python call
+per conversation), conversations are hash-bucketed into ``n_buckets`` groups
+(`bucket = hash64(conv_id) % B`) and each *bucket* is assembled in one
+vectorized-ish call — per-call overhead is amortized over thousands of
+conversations, and bucket counts are tunable to cluster size. conv_id is a
+uniform key, so buckets are balanced without salting.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.decision_tables import combine_material_name
+from .shuffle import stable_bucket_array
+
+CHEMICAL_STRUCT = pa.struct(
+    [
+        ("name", pa.string()),
+        ("cas", pa.string()),
+        ("composition", pa.string()),
+        ("tag", pa.string()),
+        ("source", pa.string()),
+        ("turn_idx", pa.int32()),
+    ]
+)
+
+RECORD_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),  # turn of the material mention
+        ("material_name", pa.string()),  # combined with product_no / upc
+        ("manufacturer", pa.string()),
+        ("chemicals", pa.list_(CHEMICAL_STRUCT)),
+    ]
+)
+
+
+def add_conv_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    buckets = stable_bucket_array(batch, ["conv_id"], n_buckets)
+    return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
+def assemble_bucket(group: pd.DataFrame) -> pa.Table:
+    """One hash bucket of extraction rows -> assembled records. Returns an
+    Arrow table with the explicit RECORD_SCHEMA so empty buckets and the
+    nested chemicals list<struct> column keep a stable schema across blocks."""
+    group = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    out_conv: List[str] = []
+    out_turn: List[int] = []
+    out_name: List[str] = []
+    out_mfr: List[str] = []
+    out_chems: List[list] = []
+
+    for conv_id, g in group.groupby("conv_id", sort=False):
+        kinds = g["kind"].to_numpy()
+        mat_rows = g[kinds == "MATERIAL"]
+        if mat_rows.empty:
+            continue  # empty-material raise -> conversation dropped
+        first_mat = mat_rows.iloc[0]
+        chem_rows = g[kinds == "CHEMICAL"]
+        if chem_rows.empty:
+            continue  # empty-chemicals raise -> conversation dropped
+        prod_rows = g[kinds == "PRODUCT_NO"]
+        upc_rows = g[kinds == "UPC"]
+        product_no = prod_rows.iloc[0]["name"] if not prod_rows.empty else None
+        upc = upc_rows.iloc[0]["name"] if not upc_rows.empty else None
+
+        combined = combine_material_name(first_mat["name"], product_no, upc)
+
+        # dict-comprehension dedup: first-occurrence key order, last-wins value
+        dedup: Dict[str, dict] = {}
+        for _, row in chem_rows.iterrows():
+            cas = row["cas"]
+            dedup[row["name"]] = {
+                "name": row["name"],
+                "cas": None if (cas is None or (isinstance(cas, float) and pd.isna(cas))) else cas,
+                "composition": row["composition"],
+                "tag": row["tag"],
+                "source": row["source"],
+                "turn_idx": int(row["turn_idx"]),
+            }
+        out_conv.append(conv_id)
+        out_turn.append(int(first_mat["turn_idx"]))
+        out_name.append(combined)
+        out_mfr.append(first_mat["manufacturer"])
+        out_chems.append(list(dedup.values()))
+
+    return pa.table(
+        {
+            "conv_id": pa.array(out_conv, pa.string()),
+            "turn_idx": pa.array(out_turn, pa.int32()),
+            "material_name": pa.array(out_name, pa.string()),
+            "manufacturer": pa.array(out_mfr, pa.string()),
+            "chemicals": pa.array(out_chems, pa.list_(CHEMICAL_STRUCT)),
+        },
+        schema=RECORD_SCHEMA,
+    )
+
+
+def assemble_records(extraction_ds, n_buckets: int = 64):
+    """extraction rows Dataset -> records Dataset (RECORD_SCHEMA), via a
+    single groupby shuffle on the conversation hash bucket."""
+    bucketed = extraction_ds.map_batches(
+        add_conv_bucket,
+        fn_kwargs={"n_buckets": n_buckets},
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("bucket").map_groups(
+        assemble_bucket, batch_format="pandas"
+    )
+
+
+def dedup_records(records_ds, n_buckets: int = 64):
+    """The J1 anti-join guard as a dedup shuffle: the reference raises
+    MATERIAL_ALREADY_INGESTED when a document's (normalized combined material
+    name, manufacturer name) already exists and ROLLS BACK the whole document
+    (check_if_material_already_ingested -> save_msds except-path,
+    artifact_ingestor_service.py:979-989, 606-610) — so only the FIRST
+    conversation per material identity contributes anything to the graph.
+    Deterministic replacement for arrival order: min (conv_id, turn_idx)."""
+    import pyarrow.compute as pc
+
+    from ..functions.decision_tables import normalize_name_key
+    from .linking import order_key_array
+    from .shuffle import bucket_group_apply_arrow
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        mat = batch.column("material_name").to_pylist()
+        mfr = batch.column("manufacturer").to_pylist()
+        keys = [normalize_name_key(m) + "\x1f" + f for m, f in zip(mat, mfr)]
+        t = batch.append_column("mat_key", pa.array(keys, pa.string()))
+        return t.append_column("order_key", order_key_array(batch))
+
+    keyed = records_ds.map_batches(add_keys, batch_format="pyarrow")
+
+    def keep_first(bucket: pa.Table, bucket_id: int) -> pa.Table:
+        order = pc.sort_indices(
+            bucket, sort_keys=[("mat_key", "ascending"), ("order_key", "ascending")]
+        )
+        sorted_t = bucket.take(order)
+        keys = sorted_t.column("mat_key").to_pylist()
+        keep = [i for i, k in enumerate(keys) if i == 0 or k != keys[i - 1]]
+        kept = sorted_t.take(pa.array(keep, pa.int64()))
+        drop = [kept.schema.get_field_index("mat_key")]
+        kept = kept.remove_column(drop[0])
+        kept = kept.remove_column(kept.schema.get_field_index("order_key"))
+        return kept.select(RECORD_SCHEMA.names).cast(RECORD_SCHEMA)
+
+    return bucket_group_apply_arrow(keyed, ["mat_key"], keep_first, n_buckets)

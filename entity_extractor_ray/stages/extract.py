@@ -1,0 +1,190 @@
+"""Per-turn extraction stages: mention detection + structured record extraction.
+
+These are the Ray-Data re-expression of the reference's per-page LLM analysis
+(`analyze_msds_using_openai`, /root/reference/app/modules/artifact_ingestor/
+services/artifact_ingestor_service.py:759-817): instead of a remote LLM the
+actor hosts a warm, deterministic rule/pattern model (compiled RE2 via
+pyarrow.compute — vectorized over the whole Arrow batch, zero-copy in).
+
+Stage shape: callable classes for ``map_batches(Cls, batch_format="pyarrow",
+concurrency=N)`` — patterns compiled once per actor in ``__init__`` (the
+reference's client construction in FileAnalysisService.__init__ /
+LLMInvoker.__init__, SURVEY.md §2.3), work per batch in ``__call__``.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# The rigid utterance grammar of the synthetic transcript corpus
+# (sources/transcripts.py). One pattern per extraction rule — the analog of
+# the reference's prompt sections (entity_extractor/constants.py:115-117).
+MATERIAL_PATTERN = (
+    r'We are reviewing material "(?P<material>[^"]+)" supplied by "(?P<manufacturer>[^"]+)"\.'
+)
+PRODUCT_PATTERN = r"product number (?P<product_no>[A-Za-z0-9\-]+)"
+UPC_PATTERN = r"UPC (?P<upc>[0-9]+)"
+CHEMICAL_PATTERN = (
+    r'It contains ingredient "(?P<name>[^"]+)"(?: with CAS (?P<cas>[0-9\-]+))?'
+    r" at (?P<pct>[0-9.]+)% tagged (?P<tag>[A-Z_]+) \(source (?P<source>[A-Z]+)\)\."
+)
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("mention", pa.string()),
+        ("label", pa.string()),
+        ("span_start", pa.int32()),
+        ("span_end", pa.int32()),
+        ("confidence", pa.float64()),
+    ]
+)
+
+EXTRACTION_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("kind", pa.string()),  # MATERIAL | PRODUCT_NO | UPC | CHEMICAL
+        ("name", pa.string()),
+        ("manufacturer", pa.string()),
+        ("cas", pa.string()),
+        ("composition", pa.string()),
+        ("tag", pa.string()),
+        ("source", pa.string()),
+    ]
+)
+
+
+def _extract_rows(
+    batch: pa.Table, pattern: str, builder
+) -> List[pa.Table]:
+    """Run one extract_regex rule over the text column; `builder` maps the
+    (filtered batch, struct columns dict) to a list of output columns."""
+    text = batch.column("text")
+    res = pc.extract_regex(text, pattern=pattern)
+    mask = pc.is_valid(res)
+    if pc.sum(mask).as_py() in (None, 0):
+        return []
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    taken = batch.take(idx)
+    struct = res.take(idx)
+    fields = {f.name: pc.struct_field(struct, f.name) for f in struct.type}
+    return [builder(taken, fields)]
+
+
+class RecordExtractor:
+    """turns batch -> structured extraction rows (EXTRACTION_SCHEMA).
+
+    Vectorized: one RE2 pass per rule over the whole batch. Rows with no
+    match produce no output (filler / tool turns)."""
+
+    def __init__(self) -> None:
+        # patterns are module constants; pyarrow compiles RE2 internally and
+        # caches per pattern — nothing heavier to warm here, but the actor
+        # form keeps the stage shape uniform with model-backed extractors.
+        self._empty = EXTRACTION_SCHEMA.empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_all = batch.num_rows
+        if n_all == 0:
+            return self._empty
+        out: List[pa.Table] = []
+
+        def mk(taken: pa.Table, kind: str, **cols) -> pa.Table:
+            n = taken.num_rows
+            data = {
+                "conv_id": taken.column("conv_id"),
+                "turn_idx": taken.column("turn_idx"),
+                "kind": pa.array([kind] * n, pa.string()),
+                "name": cols.get("name", pa.nulls(n, pa.string())),
+                "manufacturer": cols.get("manufacturer", pa.nulls(n, pa.string())),
+                "cas": cols.get("cas", pa.nulls(n, pa.string())),
+                "composition": cols.get("composition", pa.nulls(n, pa.string())),
+                "tag": cols.get("tag", pa.nulls(n, pa.string())),
+                "source": cols.get("source", pa.nulls(n, pa.string())),
+            }
+            return pa.table(data, schema=EXTRACTION_SCHEMA)
+
+        out += _extract_rows(
+            batch,
+            MATERIAL_PATTERN,
+            lambda t, f: mk(t, "MATERIAL", name=f["material"], manufacturer=f["manufacturer"]),
+        )
+        out += _extract_rows(
+            batch, PRODUCT_PATTERN, lambda t, f: mk(t, "PRODUCT_NO", name=f["product_no"])
+        )
+        out += _extract_rows(batch, UPC_PATTERN, lambda t, f: mk(t, "UPC", name=f["upc"]))
+
+        def chem_builder(t: pa.Table, f) -> pa.Table:
+            # unmatched optional CAS group comes back as "" -> null (M9 strip-to-None)
+            cas = pc.if_else(pc.equal(f["cas"], ""), pa.nulls(len(f["cas"]), pa.string()), f["cas"])
+            return mk(t, "CHEMICAL", name=f["name"], cas=cas,
+                      composition=f["pct"], tag=f["tag"], source=f["source"])
+
+        out += _extract_rows(batch, CHEMICAL_PATTERN, chem_builder)
+        if not out:
+            return self._empty
+        return pa.concat_tables(out).combine_chunks()
+
+
+class MentionDetector:
+    """turns batch -> mention rows (MENTIONS_SCHEMA): surface span + label.
+
+    The driver-facing analog of the reference's keyword/regex search stage
+    (search_keywords_in_extracted_text, file_analysis_service.py:68-121):
+    every quoted-entity / CAS / percent / tag occurrence becomes one mention
+    row with its span. confidence is 1.0 for rule matches (the reference
+    rounds OCR confidence ×100 to 2dp; rules are certain)."""
+
+    LABEL_PATTERNS = (
+        ("MATERIAL", r'We are reviewing material "([^"]+)"'),
+        ("MANUFACTURER", r'supplied by "([^"]+)"'),
+        ("CHEMICAL", r'It contains ingredient "([^"]+)"'),
+        ("CAS", r"CAS ([0-9]{2,7}-[0-9]{2}-[0-9])"),
+        ("PERCENT", r"at ([0-9.]+)%"),
+        ("TAG", r"tagged ([A-Z_]+)"),
+    )
+
+    def __init__(self) -> None:
+        import re
+
+        self._compiled = [(label, re.compile(pat)) for label, pat in self.LABEL_PATTERNS]
+        self._empty = MENTIONS_SCHEMA.empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows_conv, rows_tidx, rows_mention, rows_label = [], [], [], []
+        rows_s, rows_e = [], []
+        for c, t, text in zip(conv, tidx, texts):
+            if not text:
+                continue
+            for label, cre in self._compiled:
+                for m in cre.finditer(text):
+                    rows_conv.append(c)
+                    rows_tidx.append(t)
+                    rows_mention.append(m.group(1))
+                    rows_label.append(label)
+                    rows_s.append(m.start(1))
+                    rows_e.append(m.end(1))
+        n = len(rows_conv)
+        return pa.table(
+            {
+                "conv_id": pa.array(rows_conv, pa.string()),
+                "turn_idx": pa.array(rows_tidx, pa.int32()),
+                "mention": pa.array(rows_mention, pa.string()),
+                "label": pa.array(rows_label, pa.string()),
+                "span_start": pa.array(rows_s, pa.int32()),
+                "span_end": pa.array(rows_e, pa.int32()),
+                "confidence": pa.array([1.0] * n, pa.float64()),
+            },
+            schema=MENTIONS_SCHEMA,
+        )

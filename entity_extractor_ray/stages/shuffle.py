@@ -1,0 +1,100 @@
+"""Bucketed grouped-apply: the engine's standard wide-operation shape.
+
+``ds.groupby(key).map_groups(fn)`` calls Python once per key — ruinous when
+there are millions of tiny groups (one per conversation / entity). Instead we
+shuffle ONCE on ``bucket = stable_hash64(key) % n_buckets`` and hand each
+*bucket* (thousands of keys) to one vectorized call, which does a local
+pandas groupby. Properties:
+
+  * one all-to-all exchange, n_buckets output partitions (tune to cluster);
+  * hot KEYS don't skew the shuffle as long as per-key work was pre-reduced
+    (callers pre-aggregate before applying when a key's row count is
+    unbounded — see linking.py's distinct-key reduction);
+  * bucket ids double as deterministic output partition ids for lineage,
+    metrics and resumable writes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BUCKET_COL = "__bucket"
+
+
+def stable_bucket_array(batch: pa.Table, key_cols: Sequence[str], n_buckets: int) -> np.ndarray:
+    """Vectorized, process-stable bucket assignment: concatenate the key
+    columns (null -> "") and siphash them with pandas' fixed-key hasher
+    (deterministic across processes, unlike builtin hash())."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in key_cols:
+        col = batch.column(c)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        parts.append(pc.fill_null(col, ""))
+    if len(parts) == 1:
+        joined = parts[0]
+    else:
+        joined = pc.binary_join_element_wise(*parts, "\x1f")
+    series = joined.to_pandas()
+    hashed = pd.util.hash_pandas_object(series, index=False).to_numpy()
+    return (hashed % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _add_bucket(batch: pa.Table, key_cols: Sequence[str], n_buckets: int) -> pa.Table:
+    buckets = stable_bucket_array(batch, key_cols, n_buckets)
+    return batch.append_column(BUCKET_COL, pa.array(buckets, pa.int64()))
+
+
+def bucket_group_apply(
+    ds,
+    key_cols: Sequence[str],
+    bucket_fn: Callable[[pd.DataFrame, int], pa.Table],
+    n_buckets: int = 64,
+):
+    """Apply ``bucket_fn(bucket_df, bucket_id) -> pa.Table`` to each hash
+    bucket of ``key_cols``. All rows of any single key land in exactly one
+    bucket. ``bucket_fn`` must return an Arrow table with a fixed schema."""
+    bucketed = ds.map_batches(
+        _add_bucket,
+        fn_kwargs={"key_cols": list(key_cols), "n_buckets": n_buckets},
+        batch_format="pyarrow",
+    )
+
+    def run(group: pd.DataFrame) -> pa.Table:
+        if group.empty:
+            raise ValueError("empty group from map_groups")  # should not happen
+        bucket_id = int(group[BUCKET_COL].iloc[0])
+        return bucket_fn(group.drop(columns=[BUCKET_COL]), bucket_id)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
+
+
+def bucket_group_apply_arrow(
+    ds,
+    key_cols: Sequence[str],
+    bucket_fn: Callable[[pa.Table, int], pa.Table],
+    n_buckets: int = 64,
+):
+    """Arrow-native variant of bucket_group_apply for inputs with nested
+    columns (list<struct>) that must not round-trip through pandas object
+    dtype. ``bucket_fn(bucket_table, bucket_id) -> pa.Table``."""
+    bucketed = ds.map_batches(
+        _add_bucket,
+        fn_kwargs={"key_cols": list(key_cols), "n_buckets": n_buckets},
+        batch_format="pyarrow",
+    )
+
+    def run(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            raise ValueError("empty group from map_groups")
+        bucket_id = int(group.column(BUCKET_COL)[0].as_py())
+        idx = group.schema.get_field_index(BUCKET_COL)
+        return bucket_fn(group.remove_column(idx), bucket_id)
+
+    return bucketed.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")

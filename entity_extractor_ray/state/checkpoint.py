@@ -1,0 +1,99 @@
+"""Per-stage checkpointed Parquet outputs with commit-last manifests.
+
+The reference gets resumability from page-level blob checkpoints + lock files
+(file_analysis_service.py:212-253, 429-465) and stage-level run-state rows
+(artifact_upload_run_state_details.py). The batch-engine equivalent
+(SURVEY.md §4): every stage writes its output Parquet to a temp directory,
+renames it into place atomically, and commits a `_SUCCESS` manifest LAST
+(JSON: row count, file list, parameters fingerprint). On restart a completed
+stage is skipped by reading the manifest before rebuilding its Dataset —
+at-least-once task retries become exactly-once stage outputs because the
+rename+manifest is the only commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable, Optional
+
+import pyarrow.parquet as pq
+
+MANIFEST = "_SUCCESS"
+
+
+class CheckpointManager:
+    """Stage-level checkpoint registry rooted at one output directory."""
+
+    def __init__(self, root: str, params_fingerprint: str = ""):
+        self.root = root
+        self.fingerprint = params_fingerprint
+        os.makedirs(root, exist_ok=True)
+        self.stage_metrics = []  # (stage, rows_out, duration_ms, skipped)
+
+    def stage_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def is_done(self, name: str) -> bool:
+        path = os.path.join(self.stage_dir(name), MANIFEST)
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as fh:
+                manifest = json.load(fh)
+            return manifest.get("fingerprint", "") == self.fingerprint
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def manifest(self, name: str) -> Optional[dict]:
+        path = os.path.join(self.stage_dir(name), MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def run(self, name: str, build: Callable[[], "ray.data.Dataset"]):  # noqa: F821
+        """Run (or skip) one stage; returns a Dataset reading the committed
+        Parquet. ``build()`` must return the stage's output Dataset."""
+        import ray.data as rd
+
+        out = self.stage_dir(name)
+        if self.is_done(name):
+            m = self.manifest(name)
+            self.stage_metrics.append(
+                {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0, "skipped": True}
+            )
+            return rd.read_parquet(out)
+
+        t0 = time.perf_counter()
+        tmp = out + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        ds = build()
+        ds.write_parquet(tmp)
+        os.rename(tmp, out)
+
+        rows = 0
+        files = []
+        for fname in sorted(os.listdir(out)):
+            if fname.endswith(".parquet"):
+                files.append(fname)
+                rows += pq.read_metadata(os.path.join(out, fname)).num_rows
+        duration_ms = (time.perf_counter() - t0) * 1000
+        manifest = {
+            "stage": name,
+            "rows": rows,
+            "files": files,
+            "fingerprint": self.fingerprint,
+            "duration_ms": duration_ms,
+        }
+        with open(os.path.join(out, MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        self.stage_metrics.append(
+            {"stage": name, "rows_out": rows, "duration_ms": duration_ms, "skipped": False}
+        )
+        return rd.read_parquet(out)

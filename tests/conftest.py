@@ -1,0 +1,40 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_turns(tmp_path_factory):
+    """Deterministic ~120-conversation corpus written shuffled across files."""
+    from entity_extractor_ray.sources.transcripts import TurnCorpusSpec, write_turns
+
+    out = str(tmp_path_factory.mktemp("turns") / "sf_test")
+    write_turns(out, TurnCorpusSpec(n_convs=120, seed=42), num_files=3)
+    return out
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"

@@ -1,0 +1,159 @@
+"""End-to-end KG build vs the serial reference-semantics oracle."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from entity_extractor_ray import oracle as orc
+from entity_extractor_ray.pipelines.kg_build import build_kg
+
+
+@pytest.fixture(scope="module")
+def corpus_table(small_turns):
+    files = sorted(glob.glob(small_turns + "/*.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+@pytest.fixture(scope="module")
+def oracle_store(corpus_table):
+    return orc.run_oracle(corpus_table)
+
+
+@pytest.fixture(scope="module")
+def kg(ray_session, small_turns, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg") / "out")
+    return build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+
+
+def triple_set(rows):
+    return set(rows)
+
+
+class TestTriples:
+    def test_precision_recall(self, kg, oracle_store):
+        got = {
+            (r["conv_id"], r["subj"], r["pred"], r["obj"])
+            for r in kg.triples.take_all()
+        }
+        want = set(oracle_store.triples)
+        assert want, "oracle produced no triples — generator broken"
+        tp = len(got & want)
+        precision = tp / len(got) if got else 0.0
+        recall = tp / len(want)
+        assert precision >= 0.95, f"precision {precision} (got {len(got)}, want {len(want)})"
+        assert recall >= 0.95, f"recall {recall}"
+        # the rule extractor is deterministic -> should be exact
+        assert got == want
+
+
+class TestNodes:
+    def test_node_sets_match(self, kg, oracle_store):
+        got = {
+            (r["entity_id"], r["name"], r["node_type"], r["cas_number"],
+             r["pfas_status"], r["pfas_information_source"])
+            for r in kg.nodes.take_all()
+        }
+        want = {
+            (n["entity_id"], n["name"], n["node_type"], n["cas_number"],
+             n["pfas_status"], n["pfas_information_source"])
+            for n in orc.oracle_nodes(oracle_store)
+        }
+        missing = want - got
+        extra = got - want
+        assert not missing and not extra, (
+            f"missing={list(missing)[:5]} extra={list(extra)[:5]} "
+            f"(|got|={len(got)}, |want|={len(want)})"
+        )
+
+
+class TestEdges:
+    def test_edge_sets_match(self, kg, oracle_store):
+        got = {
+            (r["src"], r["dst"], r["pred"], r["weight"]) for r in kg.edges.take_all()
+        }
+        want = {
+            (e["src"], e["dst"], e["pred"], e["weight"])
+            for e in orc.oracle_edges(oracle_store)
+        }
+        assert got == want, (
+            f"missing={list(want - got)[:5]} extra={list(got - want)[:5]}"
+        )
+
+
+class TestLineage:
+    def test_lineage_references_existing_entities(self, kg):
+        node_ids = {r["entity_id"] for r in kg.nodes.take_all()}
+        lineage = kg.lineage.take_all()
+        assert lineage
+        for row in lineage[:200]:
+            assert row["entity_id"] in node_ids
+
+
+class TestOrderingInvariant:
+    def test_turn_checksum_stable(self, small_turns, ray_session):
+        """Per-turn text equality under stable (conv_id, turn_idx) order:
+        reading the shuffled files and sorting must give one canonical
+        checksum regardless of file order."""
+        import hashlib
+
+        import ray.data as rd
+
+        def checksum(paths):
+            ds = rd.read_parquet(paths).sort(["conv_id", "turn_idx"])
+            h = hashlib.blake2b(digest_size=16)
+            for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                for c, t, x in zip(
+                    batch.column("conv_id").to_pylist(),
+                    batch.column("turn_idx").to_pylist(),
+                    batch.column("text").to_pylist(),
+                ):
+                    h.update(f"{c}|{t}|{x}".encode())
+            return h.hexdigest()
+
+        files = sorted(glob.glob(small_turns + "/*.parquet"))
+        assert checksum(files) == checksum(list(reversed(files)))
+
+
+class TestResume:
+    def test_rerun_skips_stages_and_is_identical(self, ray_session, small_turns, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("kg_resume") / "out")
+        r1 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        nodes1 = sorted(
+            (r["entity_id"], r["pfas_status"]) for r in r1.nodes.take_all()
+        )
+        r2 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        assert all(m["duration_ms"] < 5000 for m in r2.metrics)
+        nodes2 = sorted(
+            (r["entity_id"], r["pfas_status"]) for r in r2.nodes.take_all()
+        )
+        assert nodes1 == nodes2
+
+    def test_partial_failure_resume(self, ray_session, small_turns, tmp_path_factory):
+        """Delete a late-stage checkpoint; rerun must rebuild ONLY that stage
+        (earlier stages report skipped) and produce identical output."""
+        import json
+        import os
+        import shutil
+
+        out = str(tmp_path_factory.mktemp("kg_fail") / "out")
+        r1 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        edges1 = sorted(
+            (r["src"], r["dst"], r["pred"], r["weight"]) for r in r1.edges.take_all()
+        )
+        # simulate failure after chem_status: nuke everything from edges on
+        for stage in ("edges_contains", "edges_made_by", "edges",
+                      "material_status", "nodes", "lineage", "manufacturers",
+                      "material_ids"):
+            path = os.path.join(out, stage)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        r2 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        # records/linking stages must have been skipped (manifest hit)
+        with open(os.path.join(out, "records", "_SUCCESS")) as fh:
+            assert json.load(fh)["rows"] > 0
+        edges2 = sorted(
+            (r["src"], r["dst"], r["pred"], r["weight"]) for r in r2.edges.take_all()
+        )
+        assert edges1 == edges2
