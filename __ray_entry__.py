@@ -1,44 +1,124 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or anywhere these callables reach — the
+session is owned by the caller.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF_CONVS = {"sf0.001": 120, "sf0.01": 500, "sf0.1": 2000}
+
+
+def _synthetic_corpus(sf_dir: str) -> str:
+    """Deterministic transcript corpus sized to the sf tier (the KG engine's
+    input table is transcripts, not TPC-H — BASELINE.json input_hint)."""
+    from entity_extractor_ray.sources.transcripts import TurnCorpusSpec, write_turns
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n_convs = _SF_CONVS.get(tier, 500)
+    out = f"/tmp/eer_corpus_{tier}_{n_convs}"
+    return write_turns(out, TurnCorpusSpec(n_convs=n_convs, seed=42), num_files=4)
+
+
+def _kg(sf_dir: str):
+    from entity_extractor_ray.pipelines.kg_build import build_kg
+
+    return build_kg(_synthetic_corpus(sf_dir), out_dir=None, n_buckets=16,
+                    num_join_partitions=8)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001-sized synthetic
+    transcripts: full KG build; returns the nodes Dataset."""
+    return _kg("/root/testdata/sf0.001").nodes
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_extractor_ray.pipelines import relational as rel
+    from entity_extractor_ray.stages import dedup as dd
+    from entity_extractor_ray.stages import similarity as sim
+    from entity_extractor_ray.stages import textstats as ts
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _embs(sf_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    q: dict[str, Callable[[str], Any]] = dict(rel.relational_queries())
+
+    # --- text analysis (SURVEY §2.2 M-ops generalized to documents)
+    q["token_counts"] = lambda sf: _docs(sf).map_batches(ts.token_counts, batch_format="pandas")
+    q["quality_features"] = lambda sf: _docs(sf).map_batches(ts.quality_features, batch_format="pandas")
+    q["lang_id"] = lambda sf: _docs(sf).map_batches(ts.lang_id, batch_format="pandas")
+    q["doc_fingerprints"] = lambda sf: _docs(sf).map_batches(ts.exact_fingerprints, batch_format="pandas")
+    q["winnow_fingerprints"] = lambda sf: _docs(sf).map_batches(
+        ts.winnow_fingerprints, batch_format="pandas"
+    ).select_columns(["doc_id", "n_fingerprints"])
+
+    # --- dedup family
+    q["exact_dedup"] = lambda sf: dd.exact_dedup(_docs(sf))
+    q["minhash_dedup"] = lambda sf: dd.minhash_dedup(_docs(sf))
+    q["simhash_pairs"] = lambda sf: dd.simhash_near_pairs(_docs(sf))
+    q["ngram_jaccard_pairs"] = lambda sf: dd.verify_jaccard_pairs(
+        dd.minhash_candidate_pairs(_docs(sf)), _docs(sf), threshold=0.3, use_words=True
+    )
+    # threshold tuned to the synthetic embedding table's cosine range
+    # (clustered float vectors; p99.9 pairwise cos ~ 0.38)
+    q["embedding_cosine_pairs"] = lambda sf: dd.embedding_cosine_pairs(_embs(sf), threshold=0.35)
+    q["embedding_lsh_pairs"] = lambda sf: dd.embedding_lsh_pairs(_embs(sf), threshold=0.35)
+
+    # --- similarity search
+    q["knn_cosine"] = lambda sf: sim.knn_cosine(_embs(sf), query_ids=[0, 1, 2], k=10)
+    q["knn_cosine_ivf"] = lambda sf: sim.knn_cosine_ivf(_embs(sf), query_ids=[0, 1, 2], k=10)
+
+    # --- the KG construction pipeline itself (transcript input; rows-only)
+    q["kg_triples"] = lambda sf: _kg(sf).triples
+    q["kg_nodes"] = lambda sf: _kg(sf).nodes
+    q["kg_edges"] = lambda sf: _kg(sf).edges
+    q["kg_lineage"] = lambda sf: _kg(sf).lineage
+
+    def _mentions(sf):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.extract import MentionDetector
+
+        return rd.read_parquet(_synthetic_corpus(sf)).map_batches(
+            MentionDetector, batch_format="pyarrow", concurrency=4
+        )
+
+    q["kg_mentions"] = _mentions
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_extractor_ray.pipelines import relational as rel
+    from entity_extractor_ray.stages import dedup as dd
+    from entity_extractor_ray.stages import similarity as sim
+    from entity_extractor_ray.stages import textstats as ts
+
+    sql: dict[str, str] = dict(rel.relational_oracle_sql())
+    sql["token_counts"] = ts.token_counts_sql()
+    sql["quality_features"] = ts.quality_features_sql()
+    sql["lang_id"] = ts.lang_id_sql()
+    sql["doc_fingerprints"] = ts.exact_fingerprints_sql()
+    sql["exact_dedup"] = dd.exact_dedup_sql()
+    sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
+    sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
+    # rows-only (non-SQL-expressible): winnow_fingerprints, minhash_dedup,
+    # simhash_pairs, ngram_jaccard_pairs, embedding_lsh_pairs, knn_cosine_ivf,
+    # kg_* (stateful multi-stage KG build over transcript input)
+    return sql

@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "kg_build_sec", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <sf tag>, "num_cpus": N,
+   "turns": T, "turns_per_sec": r}
+
+Headline = full KG-construction pipeline (turns parquet -> triples/nodes/
+edges/lineage parquet) over a deterministic ~1M-turn synthetic transcript
+corpus (the engine's real input shape), plus a timed subset of the
+relational/dedup/similarity operator surface over $GRAFT_SF_DIR.
+
+  python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh subprocesses at 8 and 32 CPUs on the
+                              # same input; reports throughput + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "60000"))
+CORPUS_DIR = f"/tmp/eer_bench_corpus_{BENCH_CONVS}"
+
+
+def _prepare_corpus() -> str:
+    from entity_extractor_ray.sources.transcripts import TurnCorpusSpec, write_turns
+
+    return write_turns(CORPUS_DIR, TurnCorpusSpec(n_convs=BENCH_CONVS, seed=42),
+                       num_files=32)
+
+
+def _count_turns(path: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in glob.glob(path + "/*.parquet"))
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    corpus = _prepare_corpus()
+    n_turns = _count_turns(corpus)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data as rd
+
+    rd.read_parquet(corpus).count()
+
+    from entity_extractor_ray.pipelines.kg_build import build_kg
+
+    out_dir = f"/tmp/eer_bench_kg_{NUM_CPUS}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    t0 = time.perf_counter()
+    res = build_kg(corpus, out_dir=out_dir, n_buckets=max(32, NUM_CPUS * 2),
+                   num_join_partitions=max(16, NUM_CPUS))
+    n_nodes = res.nodes.count()
+    headline = time.perf_counter() - t0
+    assert n_nodes > 0
+
+    # operator-surface subset over the sf dir
+    from entity_extractor_ray.pipelines import relational as rel
+    from entity_extractor_ray.stages import dedup as dd
+    from entity_extractor_ray.stages import similarity as sim
+
+    def _docs():
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def _embs():
+        return rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def _consume(result):
+        if hasattr(result, "count"):
+            result.count()
+        else:
+            len(result)
+
+    query_fns = {
+        "q1_pricing_summary": lambda: rel.q1_pricing_summary(SF_DIR),
+        "join_revenue_by_nation": lambda: rel.join_revenue_by_nation(SF_DIR),
+        "events_hourly": lambda: rel.events_hourly(SF_DIR),
+        "topk_orders": lambda: rel.topk_orders(SF_DIR),
+        "keyword_search_documents": lambda: rel.keyword_search_documents(SF_DIR),
+        "exact_dedup": lambda: dd.exact_dedup(_docs()),
+        "minhash_dedup": lambda: dd.minhash_dedup(_docs(), concurrency=max(2, NUM_CPUS // 4)),
+        "knn_cosine": lambda: sim.knn_cosine(_embs(), query_ids=[0, 1, 2], k=10),
+    }
+    queries = {}
+    for name, fn in query_fns.items():
+        tq = time.perf_counter()
+        _consume(fn())
+        queries[name] = round(time.perf_counter() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_build_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "turns": r_hi["turns"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

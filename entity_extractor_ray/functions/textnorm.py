@@ -60,10 +60,25 @@ def word_ngrams(text: str, n: int = 3) -> set:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    sh = char_shingles(text, k)
-    if not sh:
+    """Vectorized k-char shingle hashes: polynomial rolling hash over the
+    utf-8 bytes of the whitespace-normalized text (uint64 wraparound), one
+    sliding-window matmul — no per-shingle Python calls. Deterministic."""
+    t = " ".join(text.lower().split())
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if data.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    return np.fromiter((stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    if data.size < k:
+        return np.array([stable_hash64(t)], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    base = 1099511628211  # FNV-ish odd multiplier; powers mod 2^64
+    powers = np.array([pow(base, i, 1 << 64) for i in range(k)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # scramble (splitmix-style) so low-entropy byte windows spread
+    hashes = hashes ^ (hashes >> np.uint64(33))
+    hashes = hashes * np.uint64(0xFF51AFD7ED558CCD)
+    hashes = hashes ^ (hashes >> np.uint64(33))
+    return np.unique(hashes)
 
 
 def make_minhash_params(num_perm: int, seed: int = 7) -> tuple:
@@ -101,19 +116,31 @@ def minhash_bands(sig: np.ndarray, num_bands: int) -> List[int]:
     return out
 
 
+_WORD_HASH_CACHE: dict = {}
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (weight = term frequency)."""
+    """64-bit SimHash over word tokens (weight = term frequency). Word hashes
+    are memoized (vocabularies are small relative to corpora) and the bit
+    accumulation is one vectorized matmul."""
     ws = words(text)
     if not ws:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
     counts: dict = {}
     for w in ws:
         counts[w] = counts.get(w, 0) + 1
-    for w, c in counts.items():
-        h = stable_hash64(w)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), c, -c)
+    hs = np.empty(len(counts), dtype=np.uint64)
+    cs = np.empty(len(counts), dtype=np.int64)
+    for i, (w, c) in enumerate(counts.items()):
+        h = _WORD_HASH_CACHE.get(w)
+        if h is None:
+            h = stable_hash64(w)
+            if len(_WORD_HASH_CACHE) < 1_000_000:
+                _WORD_HASH_CACHE[w] = h
+        hs[i] = h
+        cs[i] = c
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    acc = ((2 * bits - 1) * cs[:, None]).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

@@ -1,0 +1,466 @@
+"""Relational operator surface over the driver's TPC-H-ish tables.
+
+Re-expresses the reference's query patterns (SURVEY.md §2.4-2.5: J5-J8
+joins/lookups, A6-A7 rollups/distincts, M2 keyword search, M12-M14 filters)
+as Ray Data pipelines, each paired with the exact DuckDB SQL the driver runs
+side-by-side. Float discipline for hash parity: SUMS are computed on integer
+cents (round(x*100)) and divided once at the end — bit-identical between
+numpy/Arrow and DuckDB; raw column passthroughs are safe as-is.
+
+Registry: QUERIES maps name -> callable(sf_dir) -> Dataset/DataFrame;
+ORACLE_SQL maps the same name -> SQL string (absent => rows-only check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
+# ------------------------------------------------------------------ q1
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary (A6-style rollup with batch-level pre-aggregation):
+    per (l_returnflag, l_linestatus) over shipdate <= 1998-09-02."""
+    from ray.data.aggregate import Sum, Count
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        ep = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        disc_price = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "ep_cents": ep,
+                "disc_cents": disc,
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty_i"),
+            Sum("ep_cents", alias_name="sum_base_i"),
+            Sum("disc_price", alias_name="sum_disc_i"),
+            Sum("disc_cents", alias_name="sum_discount_i"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("sum_qty_i"),
+                "sum_base_price": pc.divide(pc.cast(t.column("sum_base_i"), pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t.column("sum_disc_i"), pa.float64()), 10000.0),
+                "sum_discount": pc.divide(pc.cast(t.column("sum_discount_i"), pa.float64()), 100.0),
+                "n_rows": t.column("n_rows"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_discount*100) AS BIGINT)) / 100.0 AS sum_discount,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ q6-style revenue filter
+
+def q6_revenue_filter(sf_dir: str):
+    """Vectorized predicate + single global aggregate (M12/J7 + A6)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = _cents(t.column("l_discount"))
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi)),
+            pc.and_(pc.and_(pc.greater_equal(disc, 5), pc.less_equal(disc, 7)),
+                    pc.less(t.column("l_quantity"), 24.0)),
+        )
+        t2 = t.filter(mask)
+        rev = pc.multiply(_cents(t2.column("l_extendedprice")),
+                          _cents(t2.column("l_discount")))
+        return pa.table({"rev": rev})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(Sum("rev", alias_name="rev_i"))
+    revenue = (agg["rev_i"] or 0) / 10000.0
+    return pd.DataFrame({"revenue": [revenue]})
+
+
+Q6_SQL = """
+SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------------------ filtered projection (J7)
+
+def filter_scan_orders(sf_dir: str):
+    """Multi-predicate filtered scan with projection — raw column passthrough."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t.column("o_orderstatus"), "O"),
+            pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                    pc.greater(t.column("o_totalprice"), 100000.0)),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+FILTER_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_totalprice > 100000
+"""
+
+
+# ------------------------------------------------------------------ joins (J5/J6)
+
+def join_revenue_by_nation(sf_dir: str):
+    """customer ⋈ orders ⋈ nation: broadcast the small dimension (nation),
+    hash-join the fact tables (SURVEY.md J5 semantics)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    nation_ref = ray.put(nation)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t.column("o_custkey"),
+             "price_cents": _cents(t.column("o_totalprice"))}
+        )
+
+    joined = orders.map_batches(prep_orders, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        nmap = ray.get(nation_ref)
+        keys = t.column("c_nationkey").to_pylist()
+        names = [nmap[k] for k in keys]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()),
+             "price_cents": t.column("price_cents")}
+        )
+
+    agg = (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("price_cents", alias_name="cents"), Count(alias_name="n_orders"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "total_revenue": pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0),
+                "n_orders": t.column("n_orders"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+JOIN_REVENUE_SQL = """
+SELECT n.n_name,
+       sum(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0 AS total_revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def provenance_distinct(sf_dir: str):
+    """3-table join + DISTINCT projection (J6 reporting semantics):
+    distinct (c_mktsegment, o_orderpriority) for open orders."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("o_orderstatus"), "O")).select(
+            ["o_custkey", "o_orderpriority"]
+        )
+
+    joined = orders.map_batches(f, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return (
+        joined.groupby(["c_mktsegment", "o_orderpriority"])
+        .count()
+        .select_columns(["c_mktsegment", "o_orderpriority"])
+    )
+
+
+PROVENANCE_SQL = """
+SELECT DISTINCT c.c_mktsegment, o.o_orderpriority
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+# ------------------------------------------------------------------ top-k (J8)
+
+def topk_orders(sf_dir: str):
+    """Global top-10 orders by totalprice (deterministic tie-break on key)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ distinct / counts (A7)
+
+def count_by_status(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+    out = ds.groupby("o_orderstatus").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderstatus", "n_orders"]), batch_format="pyarrow"
+    )
+
+
+COUNT_BY_STATUS_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
+"""
+
+
+def distinct_returnflags(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    return ds.groupby("l_returnflag").count().select_columns(["l_returnflag"])
+
+
+DISTINCT_RETURNFLAG_SQL = "SELECT DISTINCT l_returnflag FROM lineitem"
+
+
+# ------------------------------------------------------------------ events windows
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window grouped aggregate over the event stream table:
+    per (event_type, hour): count + value sum (cents-exact)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": hour,
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="cents"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": t.column("hour"),
+                "n_events": t.column("n_events"),
+                "total_value": pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_user_stats(sf_dir: str):
+    """Per-user event rollup (A6-style metrics): n_events, n_types, last_ts —
+    one bucketed grouped apply (all three aggregates in a single shuffle)."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        g = df.groupby("user_id", sort=False).agg(
+            n_events=("event_type", "size"),
+            last_ts=("ts", "max"),
+            n_types=("event_type", "nunique"),
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].tolist(), pa.int64()),
+                "n_events": pa.array(g["n_events"].tolist(), pa.int64()),
+                "last_ts": pa.array(g["last_ts"].astype("datetime64[us]"), pa.timestamp("us")),
+                "n_types": pa.array(g["n_types"].tolist(), pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(ds, ["user_id"], per_bucket, n_buckets=16)
+
+
+EVENTS_USER_SQL = """
+SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------------ keyword search (M2)
+
+SEARCH_KEYWORDS = ("spark", "table", "stream")
+
+
+def keyword_search_documents(sf_dir: str):
+    """The reference's keyword/regex search per page (M2,
+    file_analysis_service.py:68-121) over the documents table: per doc the
+    total matched-word count and the distinct-keyword count; match rule is
+    word-boundary-regex OR substring, case-insensitive — for single-word
+    keywords over a word list this is exact-match OR containment."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        words_per_doc = batch["text"].fillna("").str.lower().str.split(" ")
+        matched, unique = [], []
+        for ws in words_per_doc:
+            m = 0
+            uniq = 0
+            for kw in SEARCH_KEYWORDS:
+                hits = sum(1 for w in ws if w == kw or kw in w)
+                m += hits
+                if hits:
+                    uniq += 1
+            matched.append(m)
+            unique.append(uniq)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "matched_keywords_count": pd.array(matched, dtype="int64"),
+                "unique_matched_keywords_count": pd.array(unique, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def keyword_search_sql() -> str:
+    per_kw_counts = " + ".join(
+        f"length(list_filter(string_split(lower(text), ' '), x -> x = '{kw}' OR contains(x, '{kw}')))"
+        for kw in SEARCH_KEYWORDS
+    )
+    per_kw_uniq = " + ".join(
+        "CASE WHEN length(list_filter(string_split(lower(text), ' '), "
+        f"x -> x = '{kw}' OR contains(x, '{kw}'))) > 0 THEN 1 ELSE 0 END"
+        for kw in SEARCH_KEYWORDS
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({per_kw_counts} AS BIGINT) AS matched_keywords_count,
+           CAST({per_kw_uniq} AS BIGINT) AS unique_matched_keywords_count
+    FROM documents
+    """
+
+
+# ------------------------------------------------------------------ registry
+
+def relational_queries():
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q6_revenue_filter": q6_revenue_filter,
+        "filter_scan_orders": filter_scan_orders,
+        "join_revenue_by_nation": join_revenue_by_nation,
+        "provenance_distinct": provenance_distinct,
+        "topk_orders": topk_orders,
+        "count_by_status": count_by_status,
+        "distinct_returnflags": distinct_returnflags,
+        "events_hourly": events_hourly,
+        "events_user_stats": events_user_stats,
+        "keyword_search_documents": keyword_search_documents,
+    }
+
+
+def relational_oracle_sql():
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q6_revenue_filter": Q6_SQL,
+        "filter_scan_orders": FILTER_SCAN_SQL,
+        "join_revenue_by_nation": JOIN_REVENUE_SQL,
+        "provenance_distinct": PROVENANCE_SQL,
+        "topk_orders": TOPK_SQL,
+        "count_by_status": COUNT_BY_STATUS_SQL,
+        "distinct_returnflags": DISTINCT_RETURNFLAG_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_user_stats": EVENTS_USER_SQL,
+        "keyword_search_documents": keyword_search_sql(),
+    }

@@ -226,17 +226,14 @@ def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions
     child_status_ds: (entity_id, pfas_status, pfas_information_source).
     Returns (entity_id, pfas_status, pfas_information_source) for parents.
     """
+    from .shuffle import bucket_hash_join
+
     contains = edges_ds.filter(expr="pred == 'CONTAINS'").select_columns(["src", "dst"])
     child = child_status_ds.select_columns(
         ["entity_id", "pfas_status", "pfas_information_source"]
     )
-    joined = contains.join(
-        child,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst",),
-        right_on=("entity_id",),
-    )
+    joined = bucket_hash_join(contains, child, key="dst", right_key="entity_id",
+                              n_buckets=num_partitions)
     counts = joined.groupby(["src", "pfas_status", "pfas_information_source"]).count()
     counts = counts.map_batches(
         lambda t: t.rename_columns(["src", "pfas_status", "pfas_information_source", "n"]),
@@ -252,12 +249,11 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
     """Final nodes table: materials (identity ⋈ rolled-up status), chemicals
     (union-find NODE rows ⋈ folded status), manufacturers (no PFAS fields —
     the reference Manufacturer ORM has none, models/manufacturer.py:6-18)."""
-    mat = material_ids_ds.join(
-        material_status_ds,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("material_id",),
-        right_on=("entity_id",),
+    from .shuffle import bucket_hash_join
+
+    mat = bucket_hash_join(
+        material_ids_ds, material_status_ds, key="material_id",
+        right_key="entity_id", how="left", n_buckets=num_partitions,
     )
 
     def mat_nodes(t: pa.Table) -> pa.Table:
@@ -281,11 +277,11 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
     chem_base = chem_mapping_ds.filter(expr="row_kind == 'NODE'").select_columns(
         ["entity_id", "name", "cas"]
     )
-    chem = chem_base.join(
+    chem = bucket_hash_join(
+        chem_base,
         chem_status_ds.select_columns(["entity_id", "pfas_status", "pfas_information_source"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("entity_id",),
+        key="entity_id",
+        n_buckets=num_partitions,
     )
 
     def chem_nodes(t: pa.Table) -> pa.Table:

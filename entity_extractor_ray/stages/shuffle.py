@@ -98,3 +98,76 @@ def bucket_group_apply_arrow(
         return bucket_fn(group.remove_column(idx), bucket_id)
 
     return bucketed.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
+
+
+SIDE_COL = "__side"
+
+
+def bucket_hash_join(
+    left,
+    right,
+    key: str,
+    right_key: str = None,
+    how: str = "inner",
+    n_buckets: int = 32,
+    suffix: str = "_r",
+):
+    """Task-based distributed hash join: tag + union both sides, ONE shuffle
+    on the key's hash bucket, pandas merge within each bucket.
+
+    Compared to Dataset.join (which spins up an aggregator actor pool per
+    call), this reuses the plain sort-shuffle machinery — no actor startup,
+    so it wins for pipelines that chain several joins. Hot join keys are the
+    caller's responsibility (pre-reduce or salt before joining).
+
+    Output columns: all left columns + right columns (right key dropped;
+    name clashes suffixed). ``how``: "inner" or "left".
+    """
+    right_key = right_key or key
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_names = [n for n in r_schema.names if n != right_key]
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_out = {n: (n + suffix if n in l_names else n) for n in r_names}
+
+    out_fields = [(n, l_types[n]) for n in l_names] + [
+        (r_out[n], r_types[n]) for n in r_names
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def widen_left(t: pa.Table) -> pa.Table:
+        cols = {n: t.column(n) for n in l_names}
+        for n in r_names:
+            cols[r_out[n]] = pa.nulls(t.num_rows, r_types[n])
+        cols[SIDE_COL] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        cols = {key: t.column(right_key)}
+        for n in l_names:
+            if n != key:
+                cols[n] = pa.nulls(t.num_rows, l_types[n])
+        for n in r_names:
+            cols[r_out[n]] = t.column(n)
+        cols[SIDE_COL] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    unioned = left.map_batches(widen_left, batch_format="pyarrow").union(
+        right.map_batches(widen_right, batch_format="pyarrow")
+    )
+
+    r_out_cols = [r_out[n] for n in r_names]
+
+    def join_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        lhs = df[df[SIDE_COL] == 0][[c for c in l_names]]
+        rhs = df[df[SIDE_COL] == 1][[key] + r_out_cols]
+        merged = lhs.merge(rhs, on=key, how=how)
+        arrays = {
+            name: pa.array(merged[name], type=typ, from_pandas=True)
+            for name, typ in out_fields
+        }
+        return pa.table(arrays, schema=out_schema)
+
+    return bucket_group_apply(unioned, [key], join_bucket, n_buckets)

@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the baseline (numpy matmul per batch against a
+broadcast query matrix — the reference's k-NN retrieval J8,
+common/repositories/vector_repository.py:56-67, re-expressed without
+pgvector); an IVF-style coarse-quantizer variant is the scale path.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(batch: pa.Table):
+    ids = np.asarray(batch.column("vec_id").to_pylist())
+    mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_cosine(embeddings_ds, query_ids: List[int], k: int = 10):
+    """Exact top-k by cosine for each query id, excluding self.
+
+    Shape: broadcast the (tiny) query matrix via ray.put; each batch scores
+    its rows against all queries (one matmul) and emits its LOCAL top-k per
+    query; a driver-side heap merge of per-batch top-ks gives the global
+    top-k — no global sort, no all-pairs. Ties broken by ascending vec_id on
+    the ROUNDED score so the result is engine-independent."""
+    import ray
+
+    qset = set(query_ids)
+    qrows = embeddings_ds.map_batches(
+        lambda t: t.filter(pa.array([v in qset for v in t.column("vec_id").to_pylist()])),
+        batch_format="pyarrow",
+    ).take_all()
+    qids = np.asarray([r["vec_id"] for r in qrows])
+    qmat = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
+    ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        q_ids, q_mat = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        sims = q_mat @ _normalize(mat).T  # (n_query, n_batch)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            order = np.argsort(-sims[qi])
+            taken = 0
+            for j in order:
+                if ids[j] == q_ids[qi]:
+                    continue
+                out_q.append(int(q_ids[qi]))
+                out_v.append(int(ids[j]))
+                out_s.append(round(float(sims[qi, j]), 6))
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos_sim": out_s})
+
+    partials = embeddings_ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+
+    # driver-side merge (rows: n_queries * k * n_blocks — tiny)
+    best = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((-r["cos_sim"], r["vec_id"], r))
+    rows = []
+    for qid in sorted(best):
+        for _, _, r in heapq.nsmallest(k, best[qid]):
+            rows.append(r)
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
+
+
+def knn_cosine_sql(query_ids: List[int], k: int = 10) -> str:
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                 e.vec_id ASC) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+      WHERE q.vec_id IN ({ids})
+    ) WHERE rn <= {k}
+    """
+
+
+class IvfIndex:
+    """IVF-style coarse quantizer: deterministic-seed k-means-lite centroids
+    (one Lloyd iteration over a sample), assign each vector to its nearest
+    centroid, probe only the closest `n_probe` lists at query time.
+    Approximate; the 100TB-shaped ANN path (bucket-local scoring only)."""
+
+    def __init__(self, n_lists: int = 16, n_probe: int = 4, seed: int = 13):
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.seed = seed
+        self.centroids: Optional[np.ndarray] = None
+
+    def fit(self, sample: np.ndarray):
+        rng = np.random.RandomState(self.seed)
+        n = sample.shape[0]
+        idx = rng.choice(n, size=min(self.n_lists, n), replace=False)
+        cents = sample[idx].copy()
+        # one Lloyd refinement pass
+        assign = np.argmax(_normalize(sample) @ _normalize(cents).T, axis=1)
+        for c in range(cents.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        self.centroids = _normalize(cents)
+        return self
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(mat) @ self.centroids.T, axis=1)
+
+
+def knn_cosine_ivf(embeddings_ds, query_ids: List[int], k: int = 10,
+                   n_lists: int = 16, n_probe: int = 4):
+    """ANN top-k: assign vectors to IVF lists (one shuffle), score queries
+    only against their n_probe closest lists."""
+    import ray
+
+    sample_rows = embeddings_ds.take(2048)
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    index = IvfIndex(n_lists=n_lists, n_probe=n_probe).fit(sample)
+
+    qrows = [r for r in sample_rows if r["vec_id"] in set(query_ids)]
+    missing = set(query_ids) - {r["vec_id"] for r in qrows}
+    if missing:
+        qrows += embeddings_ds.filter(
+            lambda r: r["vec_id"] in missing
+        ).take_all()
+    qids = np.asarray([r["vec_id"] for r in qrows])
+    qmat = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
+    probe_lists = np.argsort(-(qmat @ index.centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qmat, probe_lists, index.centroids))
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        q_ids, q_mat, probes, cents = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        nm = _normalize(mat)
+        assign = np.argmax(nm @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, probes[qi]) & (ids != q_ids[qi])
+            if not mask.any():
+                continue
+            sims = q_mat[qi] @ nm[mask].T
+            sel_ids = ids[mask]
+            order = np.argsort(-sims)[:k]
+            for j in order:
+                out_q.append(int(q_ids[qi]))
+                out_v.append(int(sel_ids[j]))
+                out_s.append(round(float(sims[j]), 6))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos_sim": out_s})
+
+    partials = embeddings_ds.map_batches(local, batch_format="pyarrow").take_all()
+    best = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((-r["cos_sim"], r["vec_id"], r))
+    rows = []
+    for qid in sorted(best):
+        for _, _, r in heapq.nsmallest(k, best[qid]):
+            rows.append(r)
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
