@@ -29,11 +29,18 @@ def _synthetic_corpus(sf_dir: str) -> str:
     return write_turns(out, TurnCorpusSpec(n_convs=n_convs, seed=42), num_files=4)
 
 
-def _kg(sf_dir: str):
-    from entity_extractor_ray.pipelines.kg_build import build_kg
+_KG_CACHE: dict = {}
 
-    return build_kg(_synthetic_corpus(sf_dir), out_dir=None, n_buckets=16,
-                    num_join_partitions=8)
+
+def _kg(sf_dir: str):
+    """Build (once per session per sf tier) and reuse — the kg_* queries all
+    read different outputs of the same pipeline run."""
+    if sf_dir not in _KG_CACHE:
+        from entity_extractor_ray.pipelines.kg_build import build_kg
+
+        _KG_CACHE[sf_dir] = build_kg(_synthetic_corpus(sf_dir), out_dir=None,
+                                     n_buckets=16, num_join_partitions=8)
+    return _KG_CACHE[sf_dir]
 
 
 def entry() -> Any:

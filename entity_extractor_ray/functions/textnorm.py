@@ -161,24 +161,24 @@ def jaccard(a: set, b: set) -> float:
 
 
 def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> List[int]:
-    """Winnowing-style document fingerprint: Rabin-Karp rolling hash over a
-    char window, keep hashes ≡ 0 (mod keep_mod). Deterministic, mergeable."""
+    """Winnowing-style document fingerprint: polynomial hash of every
+    window-char sliding window (vectorized, uint64 wraparound), keeping
+    hashes ≡ 0 (mod keep_mod). Deterministic, mergeable, order-free."""
     t = " ".join(text.lower().split())
-    if len(t) < window:
-        return [stable_hash64(t) & 0x7FFFFFFFFFFFFFFF] if t else []
-    BASE = np.uint64(1000003)
-    h = np.uint64(0)
-    power = np.uint64(1)
-    for _ in range(window - 1):
-        power = power * BASE
-    out = []
-    data = np.frombuffer(t.encode("utf-8", "replace")[: len(t)], dtype=np.uint8)
-    # recompute on the raw bytes of the normalized string (ascii-safe inputs)
-    h = np.uint64(0)
-    for i, byte in enumerate(data):
-        if i >= window:
-            h = h - np.uint64(data[i - window]) * power
-        h = h * BASE + np.uint64(byte)
-        if i >= window - 1 and int(h) % keep_mod == 0:
-            out.append(int(h) & 0x7FFFFFFFFFFFFFFF)
-    return sorted(set(out))
+    if not t:
+        return []
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if data.size < window:
+        return [stable_hash64(t) & 0x7FFFFFFFFFFFFFFF]
+    base = 1000003
+    powers = np.array(
+        [pow(base, window - 1 - i, 1 << 64) for i in range(window)], dtype=np.uint64
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        hashes = hashes ^ (hashes >> np.uint64(31))
+        hashes = hashes * np.uint64(0x9E3779B97F4A7C15)
+    kept = hashes[hashes % np.uint64(keep_mod) == 0]
+    out = np.unique(kept & np.uint64(0x7FFFFFFFFFFFFFFF))
+    return [int(v) for v in out]

@@ -4,17 +4,22 @@ Logical DAG (SURVEY.md §7.1), all Ray Data:
 
     read_parquet(turns: conv_id, turn_idx, role, text, tool, ts)
       -> map_batches(RecordExtractor)            [vectorized RE2, stateless]
-      -> assemble_records                        [groupby conv bucket]
+      -> assemble_records + J1 guard dedup       [groupby conv/material bucket]
       -> explode triples / chem mentions         [map_batches]
       -> build_chemical_mapping                  [distinct-key groupby + union-find]
-      -> link_chem_mentions                      [hash join on probe_key]
+      -> link_chem_mentions                      [bucket hash join on probe_key]
       -> fold_chemical_states                    [bucketed ordered fold]
       -> material identities / edges / rollup    [pre-aggregated groupbys]
-      -> nodes / edges / lineage / metrics       [checkpointed Parquet sinks]
+      -> nodes / edges / lineage                 [Parquet sinks]
 
-Every stage output is checkpointed via CheckpointManager when ``out_dir`` is
-given (resume skips completed stages); in-memory mode (out_dir=None)
-materializes the small intermediate tables instead, for tests.
+Execution discipline: a stage is PINNED (checkpointed to Parquet when
+``out_dir`` is set, materialized otherwise) only when MULTIPLE downstream
+branches consume it — everything else stays lazy so Ray's streaming executor
+fuses it into its consumer and the stage count (fixed scheduling overhead)
+stays low. Pinned stages: deduped records, chemical mapping, linked
+mentions, chemical status, edges. Outputs (triples, nodes, edges, lineage)
+are written under ``out_dir`` and resumable; reruns skip completed stages
+via commit-last manifests (state/checkpoint.py).
 """
 
 from __future__ import annotations
@@ -73,6 +78,21 @@ def _read_turns(turns, columns):
     return turns.select_columns(columns)
 
 
+def _empty_result(metrics) -> KGResult:
+    import ray.data as rd
+
+    from ..stages.graph import EDGES_SCHEMA, LINEAGE_SCHEMA, NODES_SCHEMA
+    from ..stages.triples import TRIPLES_SCHEMA
+
+    return KGResult(
+        triples=rd.from_arrow(TRIPLES_SCHEMA.empty_table()),
+        nodes=rd.from_arrow(NODES_SCHEMA.empty_table()),
+        edges=rd.from_arrow(EDGES_SCHEMA.empty_table()),
+        lineage=rd.from_arrow(LINEAGE_SCHEMA.empty_table()),
+        metrics=metrics,
+    )
+
+
 def build_kg(
     turns,
     out_dir: Optional[str] = None,
@@ -84,32 +104,40 @@ def build_kg(
     """Run the full KG build.
 
     turns: parquet path(s) or a ray.data.Dataset with the input_hint schema.
-    out_dir: when set, every stage checkpoints to ``out_dir/<stage>/`` and a
-      rerun skips completed stages (stage-level resume).
+    out_dir: when set, pinned stages + outputs checkpoint to
+      ``out_dir/<stage>/``; a rerun skips completed stages (stage-level
+      resume with per-partition files inside each stage dir).
     n_buckets: hash-bucket count for the wide stages — scale with cluster
       size (rule of thumb: 2-4x total cores).
     """
-    ckpt = CheckpointManager(
-        out_dir, params_fingerprint=f"b{n_buckets}"
-    ) if out_dir else None
+    ckpt = CheckpointManager(out_dir, params_fingerprint=f"b{n_buckets}") if out_dir else None
     metrics: List[dict] = []
+    last_end = [time.perf_counter()]
 
-    def stage(name, build):
+    def pin(name, build):
+        """Checkpoint (out_dir mode) or materialize a multi-consumer stage.
+        gap_ms = wall time since the previous pin ended — construction-time
+        executions (broadcast probes etc.) show up there."""
         t0 = time.perf_counter()
         if ckpt is not None:
             ds = ckpt.run(name, build)
+            rows = ckpt.manifest(name)["rows"]
         else:
             ds = build().materialize()
+            rows = ds.count()
+        now = time.perf_counter()
         metrics.append(
             {
                 "partition_id": -1,
                 "stage": name,
                 "rows_in": -1,
-                "rows_out": ds.count() if ckpt is None else ckpt.manifest(name)["rows"],
+                "rows_out": rows,
                 "matched_count": -1,
-                "duration_ms": (time.perf_counter() - t0) * 1000,
+                "duration_ms": (now - t0) * 1000,
+                "gap_ms": (t0 - last_end[0]) * 1000,
             }
         )
+        last_end[0] = now
         return ds
 
     turns_ds = _read_turns(turns, ["conv_id", "turn_idx", "text"])
@@ -127,88 +155,45 @@ def build_kg(
         batch_size=batch_size,
         concurrency=extract_concurrency,
     )
-    records_all = stage("records", lambda: assemble_records(extraction, n_buckets))
-    if records_all.count() == 0:
-        # degenerate corpus (no extractable conversations): short-circuit with
-        # empty-but-schema-stable outputs — joins downstream would otherwise
-        # fail on schema-less empty datasets.
-        import ray.data as rd
+    # extract -> assemble -> J1-guard dedup fused into ONE pinned execution
+    records = pin(
+        "records",
+        lambda: dedup_records(assemble_records(extraction, n_buckets), n_buckets),
+    )
+    if records.count() == 0:
+        return _empty_result(metrics)
 
-        from ..stages.graph import EDGES_SCHEMA, LINEAGE_SCHEMA, NODES_SCHEMA
-        from ..stages.triples import TRIPLES_SCHEMA
-
-        return KGResult(
-            triples=rd.from_arrow(TRIPLES_SCHEMA.empty_table()),
-            nodes=rd.from_arrow(NODES_SCHEMA.empty_table()),
-            edges=rd.from_arrow(EDGES_SCHEMA.empty_table()),
-            lineage=rd.from_arrow(LINEAGE_SCHEMA.empty_table()),
-            metrics=metrics,
-        )
-    # J1 anti-join guard: only the first conversation per material identity
-    # survives (reference drops duplicate-material documents wholesale).
-    records = stage("records_dedup", lambda: dedup_records(records_all, n_buckets))
-
-    triples = stage(
-        "triples",
-        lambda: records.map_batches(explode_triples, batch_format="pyarrow"),
+    chem_mentions = records.map_batches(explode_chem_mentions, batch_format="pyarrow")
+    mapping = pin("chem_mapping", lambda: build_chemical_mapping(chem_mentions, n_buckets))
+    linked = pin(
+        "linked", lambda: link_chem_mentions(chem_mentions, mapping, num_join_partitions)
     )
-    chem_mentions = stage(
-        "chem_mentions",
-        lambda: records.map_batches(explode_chem_mentions, batch_format="pyarrow"),
-    )
-    mapping = stage(
-        "chem_mapping", lambda: build_chemical_mapping(chem_mentions, n_buckets)
-    )
-    linked = stage(
-        "linked",
-        lambda: link_chem_mentions(chem_mentions, mapping, num_join_partitions),
-    )
-    chem_status = stage(
-        "chem_status", lambda: fold_chemical_states(linked, n_buckets)
-    )
-    material_ids = stage(
-        "material_ids", lambda: build_material_identities(records, n_buckets)
-    )
-    contains_edges = stage(
-        "edges_contains", lambda: dedup_contains_edges(linked, n_buckets)
-    )
-    made_by_edges = stage("edges_made_by", lambda: dedup_made_by_edges(records))
-    edges = stage("edges", lambda: contains_edges.union(made_by_edges))
-
-    material_status = stage(
-        "material_status",
-        lambda: rollup_status(edges, chem_status, n_buckets, num_join_partitions),
-    )
-    manufacturers = stage("manufacturers", lambda: distinct_manufacturers(records))
-    nodes = stage(
-        "nodes",
-        lambda: assemble_nodes(
-            material_ids, material_status, mapping, chem_status, manufacturers,
-            num_join_partitions,
+    chem_status = pin("chem_status", lambda: fold_chemical_states(linked, n_buckets))
+    edges = pin(
+        "edges",
+        lambda: dedup_contains_edges(linked, n_buckets).union(
+            dedup_made_by_edges(records)
         ),
     )
-    lineage = stage(
-        "lineage",
-        lambda: linked.map_batches(
-            lineage_rows, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
-        ),
+
+    # single-consumer branches stay lazy (fused into their sink's execution)
+    triples = records.map_batches(explode_triples, batch_format="pyarrow")
+    material_ids = build_material_identities(records, n_buckets)
+    material_status = rollup_status(edges, chem_status, n_buckets, num_join_partitions)
+    manufacturers = distinct_manufacturers(records)
+    nodes = assemble_nodes(
+        material_ids, material_status, mapping, chem_status, manufacturers,
+        num_join_partitions,
+    )
+    lineage = linked.map_batches(
+        lineage_rows, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
     )
 
     if ckpt is not None:
-        metrics_out = [
-            dict(m, partition_id=-1, rows_in=-1, matched_count=-1)
-            for m in (
-                {
-                    "stage": sm["stage"],
-                    "rows_out": sm["rows_out"],
-                    "duration_ms": sm["duration_ms"],
-                }
-                for sm in ckpt.stage_metrics
-            )
-        ]
-    else:
-        metrics_out = metrics
+        triples = pin("triples", lambda ds=triples: ds)
+        nodes = pin("nodes", lambda ds=nodes: ds)
+        lineage = pin("lineage", lambda ds=lineage: ds)
 
     return KGResult(
-        triples=triples, nodes=nodes, edges=edges, lineage=lineage, metrics=metrics_out
+        triples=triples, nodes=nodes, edges=edges, lineage=lineage, metrics=metrics
     )

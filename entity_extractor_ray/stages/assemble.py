@@ -71,38 +71,63 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     out_mfr: List[str] = []
     out_chems: List[list] = []
 
-    for conv_id, g in group.groupby("conv_id", sort=False):
-        kinds = g["kind"].to_numpy()
-        mat_rows = g[kinds == "MATERIAL"]
-        if mat_rows.empty:
-            continue  # empty-material raise -> conversation dropped
-        first_mat = mat_rows.iloc[0]
-        chem_rows = g[kinds == "CHEMICAL"]
-        if chem_rows.empty:
-            continue  # empty-chemicals raise -> conversation dropped
-        prod_rows = g[kinds == "PRODUCT_NO"]
-        upc_rows = g[kinds == "UPC"]
-        product_no = prod_rows.iloc[0]["name"] if not prod_rows.empty else None
-        upc = upc_rows.iloc[0]["name"] if not upc_rows.empty else None
+    # column arrays once; the per-conversation loop indexes plain numpy/python
+    # values (iterrows would cost ~100us/row at this volume)
+    conv_arr = group["conv_id"].to_numpy()
+    kind_arr = group["kind"].to_numpy()
+    turn_arr = group["turn_idx"].to_numpy()
+    name_arr = group["name"].to_numpy()
+    mfr_arr = group["manufacturer"].to_numpy()
+    cas_arr = group["cas"].to_numpy()
+    comp_arr = group["composition"].to_numpy()
+    tag_arr = group["tag"].to_numpy()
+    src_arr = group["source"].to_numpy()
 
-        combined = combine_material_name(first_mat["name"], product_no, upc)
+    n = len(conv_arr)
+    bounds = [0] + [i for i in range(1, n) if conv_arr[i] != conv_arr[i - 1]] + [n]
+
+    for bi in range(len(bounds) - 1):
+        lo, hi = bounds[bi], bounds[bi + 1]
+        mat_i = prod_i = upc_i = -1
+        chem_idx: List[int] = []
+        for i in range(lo, hi):
+            k = kind_arr[i]
+            if k == "CHEMICAL":
+                chem_idx.append(i)
+            elif k == "MATERIAL":
+                if mat_i < 0:
+                    mat_i = i
+            elif k == "PRODUCT_NO":
+                if prod_i < 0:
+                    prod_i = i
+            elif k == "UPC":
+                if upc_i < 0:
+                    upc_i = i
+        if mat_i < 0 or not chem_idx:
+            continue  # empty-material / empty-chemicals raise -> conv dropped
+
+        combined = combine_material_name(
+            name_arr[mat_i],
+            name_arr[prod_i] if prod_i >= 0 else None,
+            name_arr[upc_i] if upc_i >= 0 else None,
+        )
 
         # dict-comprehension dedup: first-occurrence key order, last-wins value
         dedup: Dict[str, dict] = {}
-        for _, row in chem_rows.iterrows():
-            cas = row["cas"]
-            dedup[row["name"]] = {
-                "name": row["name"],
+        for i in chem_idx:
+            cas = cas_arr[i]
+            dedup[name_arr[i]] = {
+                "name": name_arr[i],
                 "cas": None if (cas is None or (isinstance(cas, float) and pd.isna(cas))) else cas,
-                "composition": row["composition"],
-                "tag": row["tag"],
-                "source": row["source"],
-                "turn_idx": int(row["turn_idx"]),
+                "composition": comp_arr[i],
+                "tag": tag_arr[i],
+                "source": src_arr[i],
+                "turn_idx": int(turn_arr[i]),
             }
-        out_conv.append(conv_id)
-        out_turn.append(int(first_mat["turn_idx"]))
+        out_conv.append(conv_arr[lo])
+        out_turn.append(int(turn_arr[mat_i]))
         out_name.append(combined)
-        out_mfr.append(first_mat["manufacturer"])
+        out_mfr.append(mfr_arr[mat_i])
         out_chems.append(list(dedup.values()))
 
     return pa.table(

@@ -1,0 +1,143 @@
+"""Text chunking + embedding stages (reference M15/M16, ST2/ST3).
+
+The reference chunks page text with a SemanticChunker (alt params: recursive
+chunk_size 2000 / overlap 200, token limit 3072 —
+/root/reference/app/modules/entity_extractor/constants.py:122-130) and embeds
+chunks with a remote model warmed once per process
+(embedding_service.py:30-40, 56-104). Here:
+
+  * chunk_text: deterministic fixed-window chunker, chunk i covers
+    [i*stride, i*stride + size) with stride = size - overlap — exactly
+    SQL-expressible for the parity oracle;
+  * HashingEmbedder: an actor-pool stage hosting a "warm" deterministic
+    embedding model (hashing-trick bag-of-words, L2-normalized float32) —
+    the Ray-side plumbing (actor __init__ model load, batched encode,
+    fixed_size_list output) is real; swap the model for a true encoder on a
+    GPU pool without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+CHUNK_SIZE = 2000
+CHUNK_OVERLAP = 200
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+CHUNKS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("chunk_idx", pa.int64()),
+        ("chunk_text", pa.string()),
+        ("n_chunk_chars", pa.int64()),
+    ]
+)
+
+
+def chunk_text(batch: pd.DataFrame, size: int = CHUNK_SIZE,
+               overlap: int = CHUNK_OVERLAP) -> pa.Table:
+    """doc rows -> chunk rows (flat_map shape, vectorized per batch)."""
+    stride = size - overlap
+    doc_ids: List[int] = []
+    idxs: List[int] = []
+    texts: List[str] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        t = text or ""
+        n = len(t)
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+        for i in range(n_chunks):
+            doc_ids.append(doc_id)
+            idxs.append(i)
+            texts.append(t[i * stride : i * stride + size])
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "n_chunk_chars": pa.array([len(t) for t in texts], pa.int64()),
+        },
+        schema=CHUNKS_SCHEMA,
+    )
+
+
+def chunk_text_sql(size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> str:
+    stride = size - overlap
+    return f"""
+    WITH n AS (
+      SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(text) > {size}
+                  THEN 1 + CAST(ceil((length(text) - {size}) / {stride}.0) AS BIGINT)
+                  ELSE 1 END AS n_chunks
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           gs.generate_series AS chunk_idx,
+           substring(text, 1 + gs.generate_series * {stride}, {size}) AS chunk_text,
+           length(substring(text, 1 + gs.generate_series * {stride}, {size})) AS n_chunk_chars
+    FROM n, generate_series(0, n.n_chunks - 1) AS gs
+    """
+
+
+EMBED_DIM = 64
+
+
+class HashingEmbedder:
+    """Actor-pool embedding stage: the 'model' (hash projection seeds) is
+    built ONCE per actor in __init__ (reference warms its encoder per process,
+    ST3); __call__ encodes a batch vectorized. Output column `embedding` is
+    fixed_size_list<float32, dim> — the engine's standard vector layout."""
+
+    def __init__(self, dim: int = EMBED_DIM, seed: int = 17):
+        import re
+
+        self.dim = dim
+        self.word_re = re.compile(r"[a-z0-9]+")
+        rng = np.random.RandomState(seed)
+        self.signs = rng.choice([-1.0, 1.0], size=1 << 16).astype(np.float32)
+        self._cache: dict = {}
+
+    def _slot(self, word: str):
+        got = self._cache.get(word)
+        if got is None:
+            from ..functions.textnorm import stable_hash64
+
+            h = stable_hash64(word)
+            got = (h % self.dim, self.signs[h % (1 << 16)])
+            if len(self._cache) < 1_000_000:
+                self._cache[word] = got
+        return got
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        text_col = "chunk_text" if "chunk_text" in batch.columns else "text"
+        vecs = np.zeros((len(batch), self.dim), dtype=np.float32)
+        for row, text in enumerate(batch[text_col]):
+            for w in self.word_re.findall((text or "").lower()):
+                slot, sign = self._slot(w)
+                vecs[row, slot] += sign
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vecs = vecs / norms
+        cols = {}
+        for c in batch.columns:
+            if c != text_col:
+                cols[c] = pa.array(batch[c])
+        cols["embedding"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), self.dim
+        )
+        return pa.table(cols)
+
+
+def embed_documents(docs_ds, concurrency: int = 4, batch_size: int = 1024):
+    """documents/chunks -> rows + embedding vector column (warm actor pool)."""
+    return docs_ds.map_batches(
+        HashingEmbedder,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

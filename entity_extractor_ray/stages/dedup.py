@@ -78,28 +78,36 @@ class MinHashSignatures:
         )
 
 
-def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
-    """(band_id, band_hash) bucket -> candidate pairs (id_a < id_b)."""
-    ids = sorted(set(group["doc_id"].tolist()))
-    a_out, b_out = [], []
-    # buckets are tiny by construction; cap pathological ones (salt-worthy)
-    if len(ids) > 1000:
-        ids = ids[:1000]
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+def _pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+    """One hash bucket of (band_id, band_hash) groups -> candidate pairs
+    (id_a < id_b). In-bucket pandas groupby amortizes per-group overhead
+    over thousands of LSH buckets."""
+    a_out: List[int] = []
+    b_out: List[int] = []
+    for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        if len(g) < 2:
+            continue
+        ids = sorted(set(g["doc_id"].tolist()))
+        # cap pathological buckets (hot-band salt would go here)
+        if len(ids) > 1000:
+            ids = ids[:1000]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pa.table(
+        {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
+    )
 
 
-def minhash_candidate_pairs(docs_ds, concurrency: int = 4):
-    """docs -> distinct LSH candidate pairs."""
+def minhash_candidate_pairs(docs_ds, concurrency: int = 4, n_buckets: int = 32):
+    """docs -> distinct LSH candidate pairs (one shuffle + one dedup groupby)."""
+    from .shuffle import bucket_group_apply
+
     bands = docs_ds.map_batches(
         MinHashSignatures, batch_format="pandas", concurrency=concurrency
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_buckets, batch_format="pandas"
-    )
+    pairs = bucket_group_apply(bands, ["band_id", "band_hash"], _pairs_bucket, n_buckets)
     return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
 
@@ -119,14 +127,24 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = JACCARD_THRESHOLD
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         tmap = ray.get(ref)
-        sims = []
-        for a, b_ in zip(batch["id_a"], batch["id_b"]):
-            ta, tb = tmap.get(a, ""), tmap.get(b_, "")
-            if use_words:
-                sa, sb = textnorm.word_ngrams(ta, 3), textnorm.word_ngrams(tb, 3)
-            else:
-                sa, sb = textnorm.char_shingles(ta, SHINGLE_K), textnorm.char_shingles(tb, SHINGLE_K)
-            sims.append(round(textnorm.jaccard(sa, sb), 6))
+        shingle_cache: dict = {}
+
+        def shingles(doc_id):
+            got = shingle_cache.get(doc_id)
+            if got is None:
+                text = tmap.get(doc_id, "")
+                got = (
+                    textnorm.word_ngrams(text, 3)
+                    if use_words
+                    else textnorm.char_shingles(text, SHINGLE_K)
+                )
+                shingle_cache[doc_id] = got
+            return got
+
+        sims = [
+            round(textnorm.jaccard(shingles(a), shingles(b_)), 6)
+            for a, b_ in zip(batch["id_a"], batch["id_b"])
+        ]
         out = batch.copy()
         out["jaccard"] = sims
         return out[out["jaccard"] >= threshold]
@@ -192,28 +210,40 @@ def simhash_rows(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def simhash_near_pairs(docs_ds, hamming_max: int = HAMMING_MAX, concurrency: int = 4):
+def simhash_near_pairs(docs_ds, hamming_max: int = HAMMING_MAX, concurrency: int = 4,
+                       n_buckets: int = 32):
     """Pairs within Hamming distance <= hamming_max, via sub-band blocking."""
+    from .shuffle import bucket_group_apply
+
     rows = docs_ds.map_batches(simhash_rows, batch_format="pandas",
                                concurrency=concurrency)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sims = [s + (1 << 63) for s in g["simhash"].tolist()]
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = textnorm.hamming64(sims[i], sims[j])
-                if d <= hamming_max:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+    def bucket_pairs(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_out: List[int] = []
+        b_out: List[int] = []
+        d_out: List[int] = []
+        for _, group in df.groupby(["band_id", "band_value"], sort=False):
+            if len(group) < 2:
+                continue
+            g = group.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].tolist()
+            sims = [s + (1 << 63) for s in g["simhash"].tolist()]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = textnorm.hamming64(sims[i], sims[j])
+                    if d <= hamming_max:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
 
-    pairs = rows.groupby(["band_id", "band_value"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = bucket_group_apply(rows, ["band_id", "band_value"], bucket_pairs, n_buckets)
     from ray.data.aggregate import Min
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

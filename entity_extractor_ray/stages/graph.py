@@ -199,15 +199,23 @@ def dedup_made_by_edges(records_ds):
 # ------------------------------------------------------------------ rollup
 
 def _resolve_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
-    """Per parent: reconstruct the child (status, source) multiset from count
-    rows and apply the reference lattice + source vote."""
+    """One hash bucket of (src, child status, child source) edge rows:
+    per parent apply the reference lattice + source vote directly. The
+    multiset reduction (value_counts) happens HERE, in-bucket — one
+    int-keyed shuffle total, no separate grouped count."""
     ids, statuses, sources = [], [], []
-    for parent, g in df.groupby("src", sort=False):
-        children: List = []
-        for _, row in g.iterrows():
-            children.extend([(row["pfas_status"], row["pfas_information_source"])] * int(row["n"]))
-        status, source = parent_pfas_resolution(children)
-        ids.append(parent)
+    df = df.sort_values("src", kind="mergesort")
+    src_arr = df["src"].to_numpy()
+    st_arr = df["pfas_status"].to_numpy()
+    so_arr = df["pfas_information_source"].to_numpy()
+    n = len(src_arr)
+    bounds = [0] + [i for i in range(1, n) if src_arr[i] != src_arr[i - 1]] + [n]
+    for bi in range(len(bounds) - 1):
+        lo, hi = bounds[bi], bounds[bi + 1]
+        status, source = parent_pfas_resolution(
+            list(zip(st_arr[lo:hi], so_arr[lo:hi]))
+        )
+        ids.append(src_arr[lo])
         statuses.append(status)
         sources.append(source if source is not None else SRC_NONE)
     return pa.table(
@@ -226,20 +234,20 @@ def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions
     child_status_ds: (entity_id, pfas_status, pfas_information_source).
     Returns (entity_id, pfas_status, pfas_information_source) for parents.
     """
-    from .shuffle import bucket_hash_join
+    from .shuffle import lookup_join
 
     contains = edges_ds.filter(expr="pred == 'CONTAINS'").select_columns(["src", "dst"])
     child = child_status_ds.select_columns(
         ["entity_id", "pfas_status", "pfas_information_source"]
     )
-    joined = bucket_hash_join(contains, child, key="dst", right_key="entity_id",
-                              n_buckets=num_partitions)
-    counts = joined.groupby(["src", "pfas_status", "pfas_information_source"]).count()
-    counts = counts.map_batches(
-        lambda t: t.rename_columns(["src", "pfas_status", "pfas_information_source", "n"]),
-        batch_format="pyarrow",
-    )
-    return bucket_group_apply(counts, ["src"], _resolve_bucket, n_buckets)
+    joined = lookup_join(contains, child, key="dst", right_key="entity_id",
+                         n_buckets=num_partitions)
+    # NB children-per-parent is bounded (distinct chemicals of one material),
+    # so shipping the joined edge rows directly into the per-parent bucket is
+    # skew-safe; a grouped pre-count would only matter for pathological
+    # fan-outs and costs an extra multi-string-key shuffle.
+    slim = joined.select_columns(["src", "pfas_status", "pfas_information_source"])
+    return bucket_group_apply(slim, ["src"], _resolve_bucket, n_buckets)
 
 
 # ------------------------------------------------------------------ nodes
@@ -249,9 +257,9 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
     """Final nodes table: materials (identity ⋈ rolled-up status), chemicals
     (union-find NODE rows ⋈ folded status), manufacturers (no PFAS fields —
     the reference Manufacturer ORM has none, models/manufacturer.py:6-18)."""
-    from .shuffle import bucket_hash_join
+    from .shuffle import lookup_join
 
-    mat = bucket_hash_join(
+    mat = lookup_join(
         material_ids_ds, material_status_ds, key="material_id",
         right_key="entity_id", how="left", n_buckets=num_partitions,
     )
@@ -277,7 +285,7 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
     chem_base = chem_mapping_ds.filter(expr="row_kind == 'NODE'").select_columns(
         ["entity_id", "name", "cas"]
     )
-    chem = bucket_hash_join(
+    chem = lookup_join(
         chem_base,
         chem_status_ds.select_columns(["entity_id", "pfas_status", "pfas_information_source"]),
         key="entity_id",

@@ -209,15 +209,15 @@ def link_chem_mentions(chem_mentions_ds, mapping_ds, num_partitions: int = 16):
     """Distributed hash join: mention probe_key -> canonical entity_id.
     Task-based bucket join (see shuffle.bucket_hash_join) — no per-join actor
     pool; probe keys are pre-hashed uniform so no salting needed."""
-    from .shuffle import bucket_hash_join
+    from .shuffle import lookup_join
 
     probes = chem_mentions_ds.map_batches(add_probe_and_material_keys, batch_format="pyarrow")
     probe_map = (
         mapping_ds.filter(expr="row_kind == 'PROBE'")
         .select_columns(["probe_key", "entity_id"])
     )
-    return bucket_hash_join(probes, probe_map, key="probe_key",
-                            n_buckets=num_partitions)
+    return lookup_join(probes, probe_map, key="probe_key",
+                       n_buckets=num_partitions)
 
 
 def _fold_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:

@@ -171,3 +171,60 @@ def bucket_hash_join(
         return pa.table(arrays, schema=out_schema)
 
     return bucket_group_apply(unioned, [key], join_bucket, n_buckets)
+
+
+def lookup_join(
+    left,
+    right,
+    key: str,
+    right_key: str = None,
+    how: str = "inner",
+    n_buckets: int = 32,
+    suffix: str = "_r",
+    broadcast_limit: int = 3_000_000,
+):
+    """Join with automatic strategy choice: when the right side is small
+    enough, BROADCAST it (ray.put once, per-batch pandas merge on the left —
+    zero shuffle, the map-side hash join); otherwise fall back to the
+    task-based bucket_hash_join. This mirrors the guide's rule: broadcast
+    dimension-sized sides, shuffle fact-sized ones."""
+    right_key = right_key or key
+
+    # Probe the right side with ONE bounded execution: limit()+to_pandas().
+    # (count()/schema()/to_pandas() would each re-execute a lazy chain.)
+    right_df = right.limit(broadcast_limit + 1).to_pandas()
+    if len(right_df) > broadcast_limit:
+        return bucket_hash_join(left, right, key, right_key, how, n_buckets, suffix)
+
+    import ray
+
+    r_names = [n for n in right_df.columns if n != right_key]
+    # clash detection without executing the left side; unknown schema (lazy
+    # chain, fetch declined) => assume disjoint names (true for all engine
+    # call sites) and skip suffixing
+    l_schema = left.schema(fetch_if_missing=False)
+    l_names = set(l_schema.names) if l_schema is not None else set()
+    r_out = {n: (n + suffix if n in l_names else n) for n in r_names}
+
+    right_df = right_df.rename(columns={right_key: key, **r_out})
+    r_arrow_fields = [
+        (f.name, f.type)
+        for f in pa.Schema.from_pandas(right_df, preserve_index=False)
+        if f.name != key
+    ]
+    right_ref = ray.put(right_df)
+
+    def probe(t: pa.Table) -> pa.Table:
+        # Arrow in / Arrow out with an explicit schema: a pandas return here
+        # would downgrade every downstream block (and its shuffles) to the
+        # slow pandas path, and all-null columns would drift the schema.
+        rdf = ray.get(right_ref)
+        merged = t.to_pandas().merge(rdf, on=key, how=how)
+        fields = [(f.name, f.type) for f in t.schema] + r_arrow_fields
+        arrays = {
+            name: pa.array(merged[name], type=typ, from_pandas=True)
+            for name, typ in fields
+        }
+        return pa.table(arrays, schema=pa.schema(fields))
+
+    return left.map_batches(probe, batch_format="pyarrow")

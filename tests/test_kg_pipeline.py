@@ -143,9 +143,7 @@ class TestResume:
             (r["src"], r["dst"], r["pred"], r["weight"]) for r in r1.edges.take_all()
         )
         # simulate failure after chem_status: nuke everything from edges on
-        for stage in ("edges_contains", "edges_made_by", "edges",
-                      "material_status", "nodes", "lineage", "manufacturers",
-                      "material_ids"):
+        for stage in ("edges", "nodes", "lineage"):
             path = os.path.join(out, stage)
             if os.path.exists(path):
                 shutil.rmtree(path)
