@@ -92,6 +92,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_cosine"] = lambda sf: sim.knn_cosine(_embs(sf), query_ids=[0, 1, 2], k=10)
     q["knn_cosine_ivf"] = lambda sf: sim.knn_cosine_ivf(_embs(sf), query_ids=[0, 1, 2], k=10)
 
+    # --- chunking + embedding (reference M15/M16 as Ray stages)
+    from entity_extractor_ray.stages import chunk as ck
+
+    q["chunk_documents"] = lambda sf: _docs(sf).map_batches(
+        ck.chunk_text, batch_format="pandas"
+    )
+
+    def _embed_docs(sf):
+        import pyarrow as pa
+
+        def summarize(t: "pa.Table") -> "pa.Table":
+            dims = pa.array([len(v) for v in t.column("embedding").to_pylist()], pa.int64())
+            return t.select(["doc_id"]).append_column("dim", dims)
+
+        return ck.embed_documents(_docs(sf)).map_batches(summarize, batch_format="pyarrow")
+
+    q["embed_documents"] = _embed_docs
+
+    # --- multimodal plumbing (stubbed decode; deterministic fake corpus)
+    from entity_extractor_ray.stages import multimodal as mm
+
+    def _media_features(sf):
+        import ray.data as rd
+
+        media = rd.from_arrow(mm.synth_media_table(n_items=128))
+        return mm.decode_media(media, concurrency=2, batch_size=16).select_columns(
+            ["item_id", "mime", "n_bytes", "sha16"]
+        )
+
+    q["media_features"] = _media_features
+
     # --- the KG construction pipeline itself (transcript input; rows-only)
     q["kg_triples"] = lambda sf: _kg(sf).triples
     q["kg_nodes"] = lambda sf: _kg(sf).nodes
@@ -125,6 +156,9 @@ def oracle_sql() -> dict[str, str]:
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
+    from entity_extractor_ray.stages import chunk as ck
+
+    sql["chunk_documents"] = ck.chunk_text_sql()
     # rows-only (non-SQL-expressible): winnow_fingerprints, minhash_dedup,
     # simhash_pairs, ngram_jaccard_pairs, embedding_lsh_pairs, knn_cosine_ivf,
     # kg_* (stateful multi-stage KG build over transcript input)

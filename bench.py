@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "60000"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "120000"))
 CORPUS_DIR = f"/tmp/eer_bench_corpus_{BENCH_CONVS}"
 
 
@@ -96,6 +96,19 @@ def run_once() -> dict:
         else:
             len(result)
 
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "kg_build_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "num_cpus": NUM_CPUS,
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / headline, 1),
+        }
+
     query_fns = {
         "q1_pricing_summary": lambda: rel.q1_pricing_summary(SF_DIR),
         "join_revenue_by_nation": lambda: rel.join_revenue_by_nation(SF_DIR),
@@ -126,8 +139,15 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same input, two fresh processes; headline KG build only, at 2x the
+    default corpus so compute dominates fixed per-stage costs."""
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_BENCH_CONVS=os.environ.get("GRAFT_SCALING_CONVS", str(BENCH_CONVS * 2)),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

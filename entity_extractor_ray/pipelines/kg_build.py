@@ -143,18 +143,21 @@ def build_kg(
     turns_ds = _read_turns(turns, ["conv_id", "turn_idx", "text"])
 
     if extract_concurrency is None:
-        import ray
+        # task pool + per-process singleton: elastic, no actor startup
+        # (the rule extractor's state is just compiled patterns); pass an
+        # explicit concurrency to get a fixed actor pool for heavy models
+        from ..stages.extract import extract_records
 
-        # actor pool sized to leave headroom for the read / shuffle stages
-        total_cpus = int(ray.cluster_resources().get("CPU", 8))
-        extract_concurrency = max(2, (total_cpus * 3) // 4)
-
-    extraction = turns_ds.map_batches(
-        RecordExtractor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=extract_concurrency,
-    )
+        extraction = turns_ds.map_batches(
+            extract_records, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        extraction = turns_ds.map_batches(
+            RecordExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=extract_concurrency,
+        )
     # extract -> assemble -> J1-guard dedup fused into ONE pinned execution
     records = pin(
         "records",
@@ -193,6 +196,28 @@ def build_kg(
         triples = pin("triples", lambda ds=triples: ds)
         nodes = pin("nodes", lambda ds=nodes: ds)
         lineage = pin("lineage", lambda ds=lineage: ds)
+
+        # persist the metrics table next to the data (A6 rollup surface)
+        import os
+
+        import pyarrow.parquet as pq
+
+        metrics_dir = os.path.join(out_dir, "metrics")
+        os.makedirs(metrics_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "partition_id": pa.array([m["partition_id"] for m in metrics], pa.int32()),
+                    "stage": pa.array([m["stage"] for m in metrics], pa.string()),
+                    "rows_in": pa.array([m["rows_in"] for m in metrics], pa.int64()),
+                    "rows_out": pa.array([m["rows_out"] for m in metrics], pa.int64()),
+                    "matched_count": pa.array([m["matched_count"] for m in metrics], pa.int64()),
+                    "duration_ms": pa.array([m["duration_ms"] for m in metrics], pa.float64()),
+                },
+                schema=METRICS_SCHEMA,
+            ),
+            os.path.join(metrics_dir, "metrics.parquet"),
+        )
 
     return KGResult(
         triples=triples, nodes=nodes, edges=edges, lineage=lineage, metrics=metrics

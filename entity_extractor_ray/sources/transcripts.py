@@ -111,10 +111,14 @@ def _alias_variant(name: str, rng: np.random.RandomState) -> str:
     return name[:3] + " " + name[3:]
 
 
-def generate_turns(spec: TurnCorpusSpec) -> pa.Table:
+def generate_turns(spec: TurnCorpusSpec, conv_range: Optional[tuple] = None) -> pa.Table:
+    """Generate turns for conversations in ``conv_range`` (default: all).
+    Each conversation is seeded independently by (seed, conv index), so
+    sharded generation produces byte-identical rows to a single pass."""
     chems = _chem_vocab(spec)
     mfrs = _mfr_vocab(spec)
     n_hot_chem = max(1, len(chems) // 50)
+    lo, hi = conv_range if conv_range is not None else (0, spec.n_convs)
 
     conv_ids: List[str] = []
     turn_idxs: List[int] = []
@@ -123,7 +127,7 @@ def generate_turns(spec: TurnCorpusSpec) -> pa.Table:
     tools: List[str] = []
     tss: List[int] = []
 
-    for ci in range(spec.n_convs):
+    for ci in range(lo, hi):
         rng = np.random.RandomState((spec.seed * 1_000_003 + ci) % (2**31 - 1))
         conv_id = f"conv{ci:06d}"
         is_hot = rng.rand() < spec.hot_fraction
@@ -231,16 +235,48 @@ def write_turns(
             if fh.read().strip() == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_turns(spec)
-    if shuffle:
-        perm = np.random.RandomState(spec.seed + 9).permutation(table.num_rows)
-        table = table.take(pa.array(perm))
-    rows_per_file = (table.num_rows + num_files - 1) // num_files
-    for i in range(num_files):
-        chunk = table.slice(i * rows_per_file, rows_per_file)
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(out_dir, f"turns_{i:04d}.parquet"),
-                           row_group_size=max(1024, rows_per_file // 4))
+
+    parallel = False
+    if spec.n_convs >= 20_000:
+        try:
+            import ray
+
+            parallel = ray.is_initialized()
+        except ImportError:
+            parallel = False
+
+    if parallel:
+        import ray
+
+        @ray.remote
+        def gen_shard(shard: int) -> str:
+            convs_per_file = (spec.n_convs + num_files - 1) // num_files
+            lo = shard * convs_per_file
+            hi = min(spec.n_convs, lo + convs_per_file)
+            if lo >= hi:
+                return ""
+            table = generate_turns(spec, (lo, hi))
+            if shuffle:  # local shard shuffle (per-shard seeded, deterministic)
+                perm = np.random.RandomState(spec.seed + 9 + shard).permutation(
+                    table.num_rows
+                )
+                table = table.take(pa.array(perm))
+            path = os.path.join(out_dir, f"turns_{shard:04d}.parquet")
+            pq.write_table(table, path, row_group_size=max(1024, table.num_rows // 4))
+            return path
+
+        ray.get([gen_shard.remote(i) for i in range(num_files)])
+    else:
+        table = generate_turns(spec)
+        if shuffle:
+            perm = np.random.RandomState(spec.seed + 9).permutation(table.num_rows)
+            table = table.take(pa.array(perm))
+        rows_per_file = (table.num_rows + num_files - 1) // num_files
+        for i in range(num_files):
+            chunk = table.slice(i * rows_per_file, rows_per_file)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(out_dir, f"turns_{i:04d}.parquet"),
+                               row_group_size=max(1024, rows_per_file // 4))
     with open(marker, "w") as fh:
         fh.write(stamp)
     return out_dir

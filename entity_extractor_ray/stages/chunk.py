@@ -78,9 +78,10 @@ def chunk_text_sql(size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> str:
     )
     SELECT doc_id,
            gs.generate_series AS chunk_idx,
-           substring(text, 1 + gs.generate_series * {stride}, {size}) AS chunk_text,
-           length(substring(text, 1 + gs.generate_series * {stride}, {size})) AS n_chunk_chars
-    FROM n, generate_series(0, n.n_chunks - 1) AS gs
+           substring(text, 1 + CAST(gs.generate_series AS BIGINT) * {stride}, {size}) AS chunk_text,
+           length(substring(text, 1 + CAST(gs.generate_series AS BIGINT) * {stride}, {size})) AS n_chunk_chars
+    FROM n JOIN generate_series(0, 100000) AS gs
+      ON gs.generate_series < n.n_chunks
     """
 
 

@@ -132,6 +132,20 @@ class RecordExtractor:
         return pa.concat_tables(out).combine_chunks()
 
 
+_RECORD_EXTRACTOR: "RecordExtractor | None" = None
+
+
+def extract_records(batch: pa.Table) -> pa.Table:
+    """Task-pool form of RecordExtractor: a module-level singleton per worker
+    process gives the same warm-once behavior with no actor-pool startup —
+    use this when the extractor state is cheap (compiled patterns); use the
+    class + ``concurrency=`` when it holds a real model."""
+    global _RECORD_EXTRACTOR
+    if _RECORD_EXTRACTOR is None:
+        _RECORD_EXTRACTOR = RecordExtractor()
+    return _RECORD_EXTRACTOR(batch)
+
+
 class MentionDetector:
     """turns batch -> mention rows (MENTIONS_SCHEMA): surface span + label.
 

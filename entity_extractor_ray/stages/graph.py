@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -94,7 +95,7 @@ def material_key_rows(batch: pa.Table) -> pa.Table:
 def _material_pick_first(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """Per material_id keep the display name of the FIRST mention (the
     deterministic stand-in for the reference's first-created-node-wins)."""
-    df = df.sort_values("min_order", kind="mergesort")
+    df = df.sort_values("order_key", kind="mergesort")
     firsts = df.drop_duplicates("material_id", keep="first")
     return pa.table(
         {
@@ -106,14 +107,12 @@ def _material_pick_first(df: pd.DataFrame, bucket_id: int) -> pa.Table:
 
 
 def build_material_identities(records_ds, n_buckets: int = 64):
-    """records -> one row per canonical material (material_id, name, manufacturer)."""
-    from ray.data.aggregate import Min
-
+    """records -> one row per canonical material (material_id, name,
+    manufacturer). ONE bucket shuffle on material_id; the first-mention
+    argmin happens in-bucket (records are already J1-deduped, so per-key
+    multiplicity is the alias-variant count — tiny)."""
     rows = records_ds.map_batches(material_key_rows, batch_format="pyarrow")
-    distinct = rows.groupby(["material_id", "name", "manufacturer"]).aggregate(
-        Min("order_key", alias_name="min_order")
-    )
-    return bucket_group_apply(distinct, ["material_id"], _material_pick_first, n_buckets)
+    return bucket_group_apply(rows, ["material_id"], _material_pick_first, n_buckets)
 
 
 # ------------------------------------------------------------------ edges
@@ -133,7 +132,7 @@ def contains_edge_rows(linked_batch: pa.Table) -> pa.Table:
 
 def _edge_pick_last(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """J4 upsert: per (src, dst, pred) the LAST-processed weight wins."""
-    df = df.sort_values("max_order", kind="mergesort")
+    df = df.sort_values("order_key", kind="mergesort")
     lasts = df.drop_duplicates(["src", "dst", "pred"], keep="last")
     return pa.table(
         {
@@ -149,13 +148,11 @@ def _edge_pick_last(df: pd.DataFrame, bucket_id: int) -> pa.Table:
 
 
 def dedup_contains_edges(linked_ds, n_buckets: int = 64):
-    from ray.data.aggregate import Max
-
+    """ONE bucket shuffle on (src, dst); last-write-wins picked in-bucket.
+    Per-key multiplicity is bounded by the J1 guard (one surviving
+    conversation per material), so no pre-aggregation is needed."""
     cand = linked_ds.map_batches(contains_edge_rows, batch_format="pyarrow")
-    distinct = cand.groupby(["src", "dst", "pred", "weight"]).aggregate(
-        Max("order_key", alias_name="max_order")
-    )
-    return bucket_group_apply(distinct, ["src", "dst"], _edge_pick_last, n_buckets)
+    return bucket_group_apply(cand, ["src", "dst"], _edge_pick_last, n_buckets)
 
 
 def made_by_edge_rows(records_batch: pa.Table) -> pa.Table:
@@ -177,52 +174,79 @@ def made_by_edge_rows(records_batch: pa.Table) -> pa.Table:
     )
 
 
-def dedup_made_by_edges(records_ds):
-    """Distinct (src, dst) MADE_BY edges — weightless, so a plain groupby-count
-    reduction (no argmax needed)."""
+def dedup_made_by_edges(records_ds, n_buckets: int = 64):
+    """Distinct (src, dst) MADE_BY edges — one bucket shuffle, in-bucket
+    drop_duplicates (records are J1-deduped, multiplicity ~1)."""
     cand = records_ds.map_batches(made_by_edge_rows, batch_format="pyarrow")
-    distinct = cand.groupby(["src", "dst", "pred"]).count()
-    return distinct.map_batches(
-        lambda t: pa.table(
+
+    def distinct_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        d = df.drop_duplicates(["src", "dst"])
+        return pa.table(
             {
-                "src": t.column("src"),
-                "dst": t.column("dst"),
-                "pred": t.column("pred"),
-                "weight": pa.nulls(t.num_rows, pa.string()),
+                "src": pa.array(d["src"].tolist(), pa.string()),
+                "dst": pa.array(d["dst"].tolist(), pa.string()),
+                "pred": pa.array(d["pred"].tolist(), pa.string()),
+                "weight": pa.nulls(len(d), pa.string()),
             },
             schema=EDGES_SCHEMA,
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return bucket_group_apply(cand, ["src", "dst"], distinct_bucket, n_buckets)
 
 
 # ------------------------------------------------------------------ rollup
 
+_STATUS_RANK = {"NO": 0, "PENDING": 1, "YES": 2}
+_RANK_STATUS = {0: "NO", 1: "PENDING", 2: "YES"}
+# preference rank per (parent PENDING?, source): lower = preferred;
+# unlisted sources never win the vote (rank 99)
+_PREF_PENDING = {"OECD": 0, "VAI": 1, "MANUAL": 2}
+_PREF_OTHER = {"VAI": 0, "OECD": 1, "MANUAL": 2}
+_PREF_INV_PENDING = {v: k for k, v in _PREF_PENDING.items()}
+_PREF_INV_OTHER = {v: k for k, v in _PREF_OTHER.items()}
+
+
 def _resolve_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """One hash bucket of (src, child status, child source) edge rows:
-    per parent apply the reference lattice + source vote directly. The
-    multiset reduction (value_counts) happens HERE, in-bucket — one
-    int-keyed shuffle total, no separate grouped count."""
-    ids, statuses, sources = [], [], []
-    df = df.sort_values("src", kind="mergesort")
-    src_arr = df["src"].to_numpy()
-    st_arr = df["pfas_status"].to_numpy()
-    so_arr = df["pfas_information_source"].to_numpy()
-    n = len(src_arr)
-    bounds = [0] + [i for i in range(1, n) if src_arr[i] != src_arr[i - 1]] + [n]
-    for bi in range(len(bounds) - 1):
-        lo, hi = bounds[bi], bounds[bi + 1]
-        status, source = parent_pfas_resolution(
-            list(zip(st_arr[lo:hi], so_arr[lo:hi]))
-        )
-        ids.append(src_arr[lo])
-        statuses.append(status)
-        sources.append(source if source is not None else SRC_NONE)
+    per parent apply the reference lattice + source vote — fully vectorized
+    (the lattice is max() over a status rank; the vote is min() over a
+    per-status preference rank restricted to voters), semantics identical
+    to functions.decision_tables.parent_pfas_resolution."""
+    rank = df["pfas_status"].map(_STATUS_RANK).fillna(1)
+    parent_rank = rank.groupby(df["src"], sort=False).transform("max")
+    parent_status_row = parent_rank.map(_RANK_STATUS)
+
+    is_pending_parent = parent_rank == 1
+    pref = pd.Series(
+        np.where(
+            is_pending_parent,
+            df["pfas_information_source"].map(_PREF_PENDING).fillna(99),
+            df["pfas_information_source"].map(_PREF_OTHER).fillna(99),
+        ),
+        index=df.index,
+    )
+    # only children whose status equals the parent's resolved status vote
+    voter = df["pfas_status"].map(_STATUS_RANK).fillna(1) == parent_rank
+    pref = pref.where(voter, 99)
+
+    g = pd.DataFrame(
+        {"src": df["src"], "status": parent_status_row, "pref": pref,
+         "pending": is_pending_parent}
+    ).groupby("src", sort=False).agg(
+        status=("status", "first"), pref=("pref", "min"), pending=("pending", "first")
+    ).reset_index()
+
+    src_out = g["src"].tolist()
+    status_out = g["status"].tolist()
+    source_out = [
+        (_PREF_INV_PENDING if pend else _PREF_INV_OTHER).get(int(p), SRC_NONE)
+        for p, pend in zip(g["pref"], g["pending"])
+    ]
     return pa.table(
         {
-            "entity_id": pa.array(ids, pa.string()),
-            "pfas_status": pa.array(statuses, pa.string()),
-            "pfas_information_source": pa.array(sources, pa.string()),
+            "entity_id": pa.array(src_out, pa.string()),
+            "pfas_status": pa.array(status_out, pa.string()),
+            "pfas_information_source": pa.array(source_out, pa.string()),
         }
     )
 
@@ -248,6 +272,50 @@ def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions
     # fan-outs and costs an extra multi-string-key shuffle.
     slim = joined.select_columns(["src", "pfas_status", "pfas_information_source"])
     return bucket_group_apply(slim, ["src"], _resolve_bucket, n_buckets)
+
+
+def _status_checksum(status_ds) -> int:
+    """Order-free checksum of an (entity_id, status, source) dataset — one
+    int64 per batch summed by Ray; used as the fixed-point terminator."""
+    import pyarrow.compute as pc2
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([0], pa.int64())})
+        joined = pc2.binary_join_element_wise(
+            t.column("entity_id"),
+            pc2.fill_null(t.column("pfas_status"), ""),
+            pc2.fill_null(t.column("pfas_information_source"), ""),
+            "\x1f",
+        )
+        hashed = pd.util.hash_pandas_object(joined.to_pandas(), index=False).to_numpy()
+        return pa.table({"h": pa.array([int(hashed.sum(dtype=np.uint64) >> np.uint64(1))], pa.int64())})
+
+    out = status_ds.map_batches(partial, batch_format="pyarrow").sum("h")
+    return int(out or 0)
+
+
+def rollup_fixed_point(edges_ds, leaf_status_ds, n_buckets: int = 32,
+                       num_partitions: int = 16, max_iters: int = 8):
+    """Iterate the grouped rollup to a fixed point for hierarchies deeper
+    than the reference's 2 levels (A5 generality): each round recomputes
+    every parent's resolution from the CURRENT statuses of its children,
+    terminating when the parent-status checksum stops changing (graph-depth
+    rounds for a DAG). Returns the parent status dataset of the final round."""
+    current = leaf_status_ds
+    parent = None
+    prev_sum = None
+    for _ in range(max_iters):
+        parent = rollup_status(edges_ds, current, n_buckets, num_partitions).materialize()
+        check = _status_checksum(parent)
+        if check == prev_sum:
+            break
+        prev_sum = check
+        # children for the next round: leaves + freshly rolled parents
+        current = leaf_status_ds.select_columns(
+            ["entity_id", "pfas_status", "pfas_information_source"]
+        ).union(parent)
+    return parent
 
 
 # ------------------------------------------------------------------ nodes

@@ -54,13 +54,22 @@ from .shuffle import bucket_group_apply, stable_bucket_array
 MAPPING_SCHEMA = pa.schema(
     [
         ("row_kind", pa.string()),  # PROBE | NODE
-        ("probe_key", pa.string()),
+        ("probe_key", pa.int64()),  # stable 63-bit hash of (tier, mfr, key)
         ("entity_id", pa.string()),
         ("name", pa.string()),
         ("cas", pa.string()),
         ("manufacturer", pa.string()),
     ]
 )
+
+
+def probe_hash(tier: str, mfr: str, value: str) -> int:
+    """Stable 63-bit probe key. Int keys keep the broadcast lookup index
+    ~10x cheaper to build per worker than long composite strings; blake2
+    collision odds at 2^63 are negligible for any realistic entity count."""
+    from ..functions.textnorm import stable_hash64
+
+    return stable_hash64(tier + "\x1f" + mfr + "\x1f" + value) >> 1
 
 CHEM_NODE_STATE_SCHEMA = pa.schema(
     [
@@ -107,6 +116,34 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         out["cas"].append(cas)
         out["manufacturer"].append(mfr)
 
+    # merge per-batch partials: same (mfr, name, cas) key from different
+    # batches folds to global min/max order
+    df = (
+        df.groupby(["manufacturer", "name", "cas"], sort=False)
+        .agg(min_order=("min_order", "min"), max_order=("max_order", "max"))
+        .reset_index()
+    )
+
+    # FAST PATH: a cluster of size >= 2 requires a shared name or shared
+    # non-empty cas within the manufacturer, so keys involved in neither
+    # duplication are singleton clusters — emit them without union-find.
+    dup_name = df.duplicated(["manufacturer", "name"], keep=False)
+    cas_nonempty = df["cas"] != ""
+    dup_cas = cas_nonempty & df.duplicated(["manufacturer", "cas"], keep=False)
+    involved = dup_name | dup_cas
+    singles = df[~involved]
+    if not singles.empty:
+        s_mfr = singles["manufacturer"].to_numpy()
+        s_name = singles["name"].to_numpy()
+        s_cas = singles["cas"].to_numpy()
+        for i in range(len(s_mfr)):
+            entity_id = stable_id("CHEMICAL", s_mfr[i], s_name[i])
+            emit("NODE", None, entity_id, s_name[i], s_cas[i] or None, s_mfr[i])
+            emit("PROBE", probe_hash("N", s_mfr[i], s_name[i]), entity_id)
+            if s_cas[i]:
+                emit("PROBE", probe_hash("C", s_mfr[i], s_cas[i]), entity_id)
+    df = df[involved]
+
     for mfr, g in df.groupby("manufacturer", sort=False):
         names = g["name"].to_numpy()
         cass = g["cas"].to_numpy()
@@ -151,12 +188,12 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
             emit("NODE", None, entity_id, names[winner], canon_cas, mfr)
             seen_probes = set()
             for i in members:
-                nk = "N\x1f" + mfr + "\x1f" + names[i]
+                nk = probe_hash("N", mfr, names[i])
                 if nk not in seen_probes:
                     seen_probes.add(nk)
                     emit("PROBE", nk, entity_id)
                 if cass[i]:
-                    ck = "C\x1f" + mfr + "\x1f" + cass[i]
+                    ck = probe_hash("C", mfr, cass[i])
                     if ck not in seen_probes:
                         seen_probes.add(ck)
                         emit("PROBE", ck, entity_id)
@@ -167,20 +204,36 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     )
 
 
+def _local_distinct_keys(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: per-batch (manufacturer, name, cas) distinct with
+    min/max order fold — hot entities collapse to one row per batch BEFORE
+    the shuffle, so skew never amplifies exchange volume."""
+    df = batch.to_pandas()
+    agg = (
+        df.groupby(["manufacturer", "name", "cas"], sort=False)["order_key"]
+        .agg(["min", "max"])
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "manufacturer": pa.array(agg["manufacturer"], pa.string()),
+            "name": pa.array(agg["name"], pa.string()),
+            "cas": pa.array(agg["cas"], pa.string()),
+            "min_order": pa.array(agg["min"], pa.string()),
+            "max_order": pa.array(agg["max"], pa.string()),
+        }
+    )
+
+
 def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64):
     """chem mention rows -> union-find mapping table (MAPPING_SCHEMA).
 
-    Shuffle profile: one groupby over distinct keys (pre-reduced, so hot
-    entities contribute ONE row regardless of mention count), then one
-    bucketed apply keyed on manufacturer."""
-    from ray.data.aggregate import Max, Min
-
+    Shuffle profile: map-side combine to per-batch distinct keys, then ONE
+    bucket shuffle keyed on manufacturer; cross-batch duplicates merge
+    in-bucket before union-find."""
     keys = chem_mentions_ds.map_batches(chem_link_keys, batch_format="pyarrow")
-    distinct = keys.groupby(["manufacturer", "name", "cas"]).aggregate(
-        Min("order_key", alias_name="min_order"),
-        Max("order_key", alias_name="max_order"),
-    )
-    return bucket_group_apply(distinct, ["manufacturer"], _union_find_bucket, n_buckets)
+    partial = keys.map_batches(_local_distinct_keys, batch_format="pyarrow")
+    return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
 
 
 def add_probe_and_material_keys(batch: pa.Table) -> pa.Table:
@@ -194,12 +247,12 @@ def add_probe_and_material_keys(batch: pa.Table) -> pa.Table:
     mat = batch.column("material_name").to_pylist()
     n = batch.num_rows
     probe = [
-        ("C\x1f" + mfr[i] + "\x1f" + cas[i]) if cas[i] else ("N\x1f" + mfr[i] + "\x1f" + name[i])
+        probe_hash("C", mfr[i], cas[i]) if cas[i] else probe_hash("N", mfr[i], name[i])
         for i in range(n)
     ]
     mat_ids = [stable_id("MATERIAL", normalize_name_key(mat[i]), mfr[i]) for i in range(n)]
     mfr_ids = [stable_id("MANUFACTURER", mfr[i]) for i in range(n)]
-    t = batch.append_column("probe_key", pa.array(probe, pa.string()))
+    t = batch.append_column("probe_key", pa.array(probe, pa.int64()))
     t = t.append_column("material_id", pa.array(mat_ids, pa.string()))
     t = t.append_column("manufacturer_id", pa.array(mfr_ids, pa.string()))
     return t.append_column("order_key", order_key_array(batch))

@@ -184,47 +184,101 @@ def lookup_join(
     broadcast_limit: int = 3_000_000,
 ):
     """Join with automatic strategy choice: when the right side is small
-    enough, BROADCAST it (ray.put once, per-batch pandas merge on the left —
+    enough, BROADCAST it (ray.put once, per-batch index lookup on the left —
     zero shuffle, the map-side hash join); otherwise fall back to the
-    task-based bucket_hash_join. This mirrors the guide's rule: broadcast
-    dimension-sized sides, shuffle fact-sized ones."""
+    task-based bucket_hash_join. The broadcast path requires UNIQUE right
+    keys (true for every entity/status table here; pd.Index raises on
+    duplicates). This mirrors the guide's rule: broadcast dimension-sized
+    sides, shuffle fact-sized ones."""
     right_key = right_key or key
 
-    # Probe the right side with ONE bounded execution: limit()+to_pandas().
+    # Probe the right side with ONE bounded execution: limit() + take.
     # (count()/schema()/to_pandas() would each re-execute a lazy chain.)
-    right_df = right.limit(broadcast_limit + 1).to_pandas()
-    if len(right_df) > broadcast_limit:
+    import pyarrow as pa2
+
+    probe_tables = [
+        b for b in right.limit(broadcast_limit + 1).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    right_tbl = (
+        pa2.concat_tables(probe_tables).combine_chunks() if probe_tables else None
+    )
+    if right_tbl is not None and right_tbl.num_rows > broadcast_limit:
         return bucket_hash_join(left, right, key, right_key, how, n_buckets, suffix)
 
     import ray
 
-    r_names = [n for n in right_df.columns if n != right_key]
+    if right_tbl is None:
+        # zero-row right side: recover its schema so the join still emits
+        # the right-hand columns (as nulls for "left", empty for "inner")
+        rs = right.schema()
+        right_tbl = rs.to_arrow() if hasattr(rs, "to_arrow") else pa.schema(
+            list(zip(rs.names, rs.types))
+        )
+        right_tbl = right_tbl.empty_table()
     # clash detection without executing the left side; unknown schema (lazy
     # chain, fetch declined) => assume disjoint names (true for all engine
     # call sites) and skip suffixing
     l_schema = left.schema(fetch_if_missing=False)
     l_names = set(l_schema.names) if l_schema is not None else set()
-    r_out = {n: (n + suffix if n in l_names else n) for n in r_names}
-
-    right_df = right_df.rename(columns={right_key: key, **r_out})
-    r_arrow_fields = [
-        (f.name, f.type)
-        for f in pa.Schema.from_pandas(right_df, preserve_index=False)
-        if f.name != key
-    ]
-    right_ref = ray.put(right_df)
+    rename = {
+        n: (key if n == right_key else (n + suffix if n in l_names else n))
+        for n in right_tbl.schema.names
+    }
+    right_tbl = right_tbl.rename_columns([rename[n] for n in right_tbl.schema.names])
+    # broadcast as ARROW (zero-copy from the object store); each WORKER
+    # builds the keyed lookup index ONCE and reuses it across batches via a
+    # per-process cache — per-batch probe cost is O(batch), not O(right)
+    # (pa.Table.join / a fresh pandas merge would re-hash the whole right
+    # side for every batch, which is what killed 8->32 scaling)
+    right_ref = ray.put(right_tbl)
+    r_names = [n for n in right_tbl.schema.names if n != key]
 
     def probe(t: pa.Table) -> pa.Table:
-        # Arrow in / Arrow out with an explicit schema: a pandas return here
-        # would downgrade every downstream block (and its shuffles) to the
-        # slow pandas path, and all-null columns would drift the schema.
-        rdf = ray.get(right_ref)
-        merged = t.to_pandas().merge(rdf, on=key, how=how)
-        fields = [(f.name, f.type) for f in t.schema] + r_arrow_fields
-        arrays = {
-            name: pa.array(merged[name], type=typ, from_pandas=True)
-            for name, typ in fields
-        }
-        return pa.table(arrays, schema=pa.schema(fields))
+        index, r_cols = _broadcast_index(right_ref, key)
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        pos = index.get_indexer(keys)
+        if how == "inner":
+            hit = pos >= 0
+            if not hit.all():
+                t = t.filter(pa.array(hit))
+                pos = pos[hit]
+            take_idx = pa.array(pos, pa.int64())
+        else:  # left: misses become null right-hand values
+            take_idx = pa.array(
+                [int(p) if p >= 0 else None for p in pos]
+                if (pos < 0).any() else pos,
+                pa.int64(),
+            )
+        taken = r_cols.take(take_idx)
+        out = t
+        for n in r_names:
+            out = out.append_column(n, taken.column(n))
+        return out
 
     return left.map_batches(probe, batch_format="pyarrow")
+
+
+_BROADCAST_INDEX_CACHE: dict = {}
+
+
+def _broadcast_index(ref, key: str):
+    """Per-worker-process cache: object ref -> (pandas Index over the key,
+    Arrow table of the non-key columns). The Arrow payload stays zero-copy;
+    only the key hash index is built per worker (once)."""
+    import ray
+
+    cache_key = ref.hex()
+    got = _BROADCAST_INDEX_CACHE.get(cache_key)
+    if got is None:
+        tbl = ray.get(ref)
+        index = pd.Index(tbl.column(key).to_numpy(zero_copy_only=False))
+        r_cols = tbl.drop_columns([key]) if hasattr(tbl, "drop_columns") else tbl.remove_column(
+            tbl.schema.get_field_index(key)
+        )
+        got = (index, r_cols.combine_chunks())
+        if len(_BROADCAST_INDEX_CACHE) >= 4:  # bound worker memory
+            _BROADCAST_INDEX_CACHE.pop(next(iter(_BROADCAST_INDEX_CACHE)))
+        _BROADCAST_INDEX_CACHE[cache_key] = got
+    return got
