@@ -1,0 +1,105 @@
+"""Dedup quality on planted near-duplicates: the LSH/SimHash pipelines must
+FIND the planted pairs (recall) and not link unrelated docs (precision)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _planted_docs():
+    """30 base docs; docs 100+i are near-copies of doc i for i in 0..9
+    (one word changed); the rest are unrelated word soups."""
+    rng = np.random.RandomState(3)
+    vocab = [f"word{j}" for j in range(500)]
+    texts = {}
+    for i in range(30):
+        words = [vocab[rng.randint(0, len(vocab))] for _ in range(60)]
+        texts[i] = " ".join(words)
+    for i in range(10):
+        words = texts[i].split()
+        words[5] = "CHANGED"
+        texts[100 + i] = " ".join(words)
+    return pa.table(
+        {
+            "doc_id": pa.array(list(texts.keys()), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_planted_docs())
+
+
+class TestMinHashDedup:
+    def test_planted_pairs_found(self, docs_ds):
+        from entity_extractor_ray.stages.dedup import minhash_dedup
+
+        clusters = minhash_dedup(docs_ds, threshold=0.6, concurrency=2)
+        cmap = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+        for i in range(10):
+            assert cmap[i] == cmap[100 + i], f"planted pair {i} not clustered"
+        # unrelated docs stay singletons
+        base_clusters = [cmap[i] for i in range(10, 30)]
+        assert len(set(base_clusters)) == 20
+
+    def test_exact_dedup_no_false_merges(self, docs_ds):
+        from entity_extractor_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(docs_ds).to_pandas()
+        assert len(out) == 40  # all texts distinct -> all survive
+
+
+class TestSimHash:
+    def test_planted_pairs_within_hamming(self, docs_ds):
+        from entity_extractor_ray.stages.dedup import simhash_near_pairs
+
+        pairs = simhash_near_pairs(docs_ds, hamming_max=10, concurrency=2).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        hits = sum(1 for i in range(10) if (i, 100 + i) in found)
+        assert hits >= 7  # SimHash blocking is approximate; most pairs found
+        # precision: no pair between two unrelated base docs
+        for a, b in found:
+            if a < 100 and b < 100:
+                pytest.fail(f"unrelated docs {a},{b} linked")
+
+
+class TestNgramJaccard:
+    def test_verified_pairs_exceed_threshold(self, docs_ds):
+        from entity_extractor_ray.stages.dedup import (
+            minhash_candidate_pairs,
+            verify_jaccard_pairs,
+        )
+
+        pairs = verify_jaccard_pairs(
+            minhash_candidate_pairs(docs_ds, concurrency=2), docs_ds,
+            threshold=0.5, use_words=True,
+        ).to_pandas()
+        assert (pairs["jaccard"] >= 0.5).all()
+        found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert sum(1 for i in range(10) if (i, 100 + i) in found) >= 8
+
+
+class TestEmbeddingDedup:
+    def test_hash_embedding_pairs(self, ray_session, docs_ds):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.chunk import embed_documents
+        from entity_extractor_ray.stages.dedup import embedding_cosine_pairs
+
+        embedded = embed_documents(docs_ds, concurrency=2).map_batches(
+            lambda t: pa.table(
+                {"vec_id": t.column("doc_id"), "embedding": t.column("embedding")}
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = embedding_cosine_pairs(embedded, threshold=0.95).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert sum(1 for i in range(10) if (i, 100 + i) in found) >= 9
+        for a, b in found:
+            if a < 100 and b < 100:
+                pytest.fail(f"unrelated docs {a},{b} linked by embedding")
