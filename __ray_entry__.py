@@ -132,10 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _mentions(sf):
         import ray.data as rd
 
-        from entity_extractor_ray.stages.extract import MentionDetector
+        from entity_extractor_ray.stages.extract import detect_mentions
 
         return rd.read_parquet(_synthetic_corpus(sf)).map_batches(
-            MentionDetector, batch_format="pyarrow", concurrency=4
+            detect_mentions, batch_format="pyarrow"
         )
 
     q["kg_mentions"] = _mentions

@@ -116,7 +116,7 @@ def run_once() -> dict:
         "topk_orders": lambda: rel.topk_orders(SF_DIR),
         "keyword_search_documents": lambda: rel.keyword_search_documents(SF_DIR),
         "exact_dedup": lambda: dd.exact_dedup(_docs()),
-        "minhash_dedup": lambda: dd.minhash_dedup(_docs(), concurrency=max(2, NUM_CPUS // 4)),
+        "minhash_dedup": lambda: dd.minhash_dedup(_docs()),
         "knn_cosine": lambda: sim.knn_cosine(_embs(), query_ids=[0, 1, 2], k=10),
     }
     queries = {}

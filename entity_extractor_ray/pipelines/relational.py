@@ -432,6 +432,87 @@ def keyword_search_sql() -> str:
     """
 
 
+# ------------------------------------------------------------------ sessions
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows over the event log (the streaming-shaped operator the
+    reference lacks — ray_guide pattern: partition by key, order by ts inside
+    the group, cut sessions at >30min gaps). One bucketed shuffle on user_id;
+    per-session rollup (session_idx, n_events, start/end)."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+        new_user = df["user_id"] != df["user_id"].shift()
+        new_session = new_user | ((df["ts"] - df["ts"].shift()) > gap)
+        session_idx = new_session.groupby(df["user_id"], sort=False).cumsum() - 1
+        g = df.assign(session_idx=session_idx).groupby(
+            ["user_id", "session_idx"], sort=False
+        ).agg(
+            n_events=("event_type", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].tolist(), pa.int64()),
+                "session_idx": pa.array(g["session_idx"].astype("int64"), pa.int64()),
+                "n_events": pa.array(g["n_events"].tolist(), pa.int64()),
+                "session_start": pa.array(
+                    g["session_start"].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    g["session_end"].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return bucket_group_apply(ds, ["user_id"], per_bucket, n_buckets=16)
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+def like_scan_parts(sf_dir: str):
+    """LIKE-substring scan (reference find_material_by_name_substring,
+    global_node_repository.py:55-63) over part names."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(t.column("p_name"), "ol")
+        return t.filter(mask).select(["p_partkey", "p_name"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+LIKE_SCAN_SQL = "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ol%'"
+
+
 # ------------------------------------------------------------------ registry
 
 def relational_queries():
@@ -447,6 +528,8 @@ def relational_queries():
         "events_hourly": events_hourly,
         "events_user_stats": events_user_stats,
         "keyword_search_documents": keyword_search_documents,
+        "events_sessionize": events_sessionize,
+        "like_scan_parts": like_scan_parts,
     }
 
 
@@ -463,4 +546,6 @@ def relational_oracle_sql():
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_user_stats": EVENTS_USER_SQL,
         "keyword_search_documents": keyword_search_sql(),
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "like_scan_parts": LIKE_SCAN_SQL,
     }

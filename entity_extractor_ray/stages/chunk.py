@@ -134,11 +134,31 @@ class HashingEmbedder:
         return pa.table(cols)
 
 
-def embed_documents(docs_ds, concurrency: int = 4, batch_size: int = 1024):
-    """documents/chunks -> rows + embedding vector column (warm actor pool)."""
+_EMBEDDER_SINGLETON = None
+
+
+def _embed_batch(batch):
+    global _EMBEDDER_SINGLETON
+    if _EMBEDDER_SINGLETON is None:
+        _EMBEDDER_SINGLETON = HashingEmbedder()
+    return _EMBEDDER_SINGLETON(batch)
+
+
+def embed_documents(docs_ds, concurrency: int = None, batch_size: int = 1024):
+    """documents/chunks -> rows + embedding vector column.
+
+    Default: elastic task pool with a per-process warm singleton (the
+    hashing model is cheap to build; an actor pool sized near num_cpus can
+    starve the read/shuffle operators). Pass an explicit ``concurrency`` to
+    pin a fixed actor pool for a heavyweight encoder (GPU model), sized to
+    leave CPU headroom for the other stages."""
+    if concurrency is not None:
+        return docs_ds.map_batches(
+            HashingEmbedder,
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return docs_ds.map_batches(
-        HashingEmbedder,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        _embed_batch, batch_format="pandas", batch_size=batch_size
     )

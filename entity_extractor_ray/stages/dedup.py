@@ -57,7 +57,11 @@ _MINHASH_A, _MINHASH_B = textnorm.make_minhash_params(NUM_PERM)
 
 
 class MinHashSignatures:
-    """Actor-pool stage: doc -> (band_id, band_hash, doc_id) rows."""
+    """doc -> (band_id, band_hash, doc_id) rows. Used as a TASK-pool stage
+    via the module singleton below: an actor pool sized near the CPU count
+    would reserve every slot and starve the read/shuffle operators (observed
+    deadlock at num_cpus=4); the signature state is cheap to build once per
+    worker process."""
 
     def __init__(self, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS):
         self.a, self.b = textnorm.make_minhash_params(num_perm)
@@ -100,13 +104,23 @@ def _pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     )
 
 
-def minhash_candidate_pairs(docs_ds, concurrency: int = 4, n_buckets: int = 32):
-    """docs -> distinct LSH candidate pairs (one shuffle + one dedup groupby)."""
+_MINHASH_SINGLETON: "MinHashSignatures | None" = None
+
+
+def _minhash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    global _MINHASH_SINGLETON
+    if _MINHASH_SINGLETON is None:
+        _MINHASH_SINGLETON = MinHashSignatures()
+    return _MINHASH_SINGLETON(batch)
+
+
+def minhash_candidate_pairs(docs_ds, concurrency: int = None, n_buckets: int = 32):
+    """docs -> distinct LSH candidate pairs (one shuffle + one dedup groupby).
+    ``concurrency`` is accepted for API compatibility; signatures run as
+    elastic tasks with a per-process singleton."""
     from .shuffle import bucket_group_apply
 
-    bands = docs_ds.map_batches(
-        MinHashSignatures, batch_format="pandas", concurrency=concurrency
-    )
+    bands = docs_ds.map_batches(_minhash_rows, batch_format="pandas")
     pairs = bucket_group_apply(bands, ["band_id", "band_hash"], _pairs_bucket, n_buckets)
     return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
@@ -175,7 +189,7 @@ def connected_components(pairs: pd.DataFrame, all_ids: List[int]) -> pd.DataFram
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
-def minhash_dedup(docs_ds, threshold: float = JACCARD_THRESHOLD, concurrency: int = 4):
+def minhash_dedup(docs_ds, threshold: float = JACCARD_THRESHOLD, concurrency: int = None):
     """Full near-dup pipeline -> (doc_id, cluster_id); cluster rep = min id."""
     pairs = verify_jaccard_pairs(
         minhash_candidate_pairs(docs_ds, concurrency), docs_ds, threshold
@@ -190,7 +204,7 @@ SIMHASH_BANDS = 4
 HAMMING_MAX = 3
 
 
-def simhash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+def simhash_rows(batch: pd.DataFrame) -> pd.DataFrame:  # stateless task fn
     """doc -> 4 rows (band_id, band_value, doc_id, simhash)."""
     doc_ids, band_ids, band_vals, sims = [], [], [], []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
@@ -210,13 +224,12 @@ def simhash_rows(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def simhash_near_pairs(docs_ds, hamming_max: int = HAMMING_MAX, concurrency: int = 4,
+def simhash_near_pairs(docs_ds, hamming_max: int = HAMMING_MAX, concurrency: int = None,
                        n_buckets: int = 32):
     """Pairs within Hamming distance <= hamming_max, via sub-band blocking."""
     from .shuffle import bucket_group_apply
 
-    rows = docs_ds.map_batches(simhash_rows, batch_format="pandas",
-                               concurrency=concurrency)
+    rows = docs_ds.map_batches(simhash_rows, batch_format="pandas")
 
     def bucket_pairs(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         a_out: List[int] = []
@@ -313,7 +326,7 @@ HYPERPLANE_BITS = 8
 
 
 def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
-                        concurrency: int = 4):
+                        concurrency: int = None):
     """Hyperplane-LSH bucketed near-dup: sign-bits of random projections form
     the bucket key; exact cosine verified within buckets only. Approximate
     (recall < 1), but bucket-local — the 100TB-shaped variant."""

@@ -132,6 +132,19 @@ class RecordExtractor:
         return pa.concat_tables(out).combine_chunks()
 
 
+_MENTION_DETECTOR: "MentionDetector | None" = None
+
+
+def detect_mentions(batch: pa.Table) -> pa.Table:
+    """Task-pool form of MentionDetector (per-process singleton) — safe at
+    any num_cpus; an actor pool sized >= the CPU count can starve the other
+    operators in small sessions."""
+    global _MENTION_DETECTOR
+    if _MENTION_DETECTOR is None:
+        _MENTION_DETECTOR = MentionDetector()
+    return _MENTION_DETECTOR(batch)
+
+
 _RECORD_EXTRACTOR: "RecordExtractor | None" = None
 
 

@@ -85,7 +85,9 @@ def make_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def run_parity(sf_dir: str, only=None):
+def run_parity(sf_dir: str, only=None, verbose=True):
+    import time
+
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -95,6 +97,9 @@ def run_parity(sf_dir: str, only=None):
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_start = time.perf_counter()
+        if verbose:
+            print(f"[parity] {name} ...", flush=True)
         if name not in sqls:
             # rows-only check
             try:
@@ -113,6 +118,9 @@ def run_parity(sf_dir: str, only=None):
 
             traceback.print_exc()
             results[name] = [f"ERROR {type(e).__name__}: {e}"]
+        if verbose:
+            print(f"[parity] {name} -> {results[name][0][:120]} "
+                  f"({time.perf_counter() - t_start:.1f}s)", flush=True)
     return results
 
 
