@@ -513,6 +513,71 @@ def like_scan_parts(sf_dir: str):
 LIKE_SCAN_SQL = "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ol%'"
 
 
+def regex_extract_documents(sf_dir: str):
+    """Vectorized regex extraction over document text (the M4 extraction
+    pattern applied to the secondary corpus): all 'sp...'-prefixed tokens per
+    doc, comma-joined in match order."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        pat = re.compile(r"sp[a-z]+")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "matches": batch["text"].fillna("").map(
+                    lambda t: ",".join(pat.findall(t))
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+REGEX_EXTRACT_SQL = """
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, 'sp[a-z]+'), ','), '') AS matches
+FROM documents
+"""
+
+
+def concat_by_lang(sf_dir: str):
+    """Ordered grouped concatenation (the reference's per-file page-text
+    concat M3, file_analysis_service.py:556-564, generalized): doc ids per
+    language in ascending order, space-joined."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def per_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        g = (
+            df.sort_values("doc_id")
+            .groupby("lang", sort=False)["doc_id"]
+            .agg(lambda s: " ".join(str(v) for v in s))
+            .reset_index(name="doc_ids")
+        )
+        n_docs = df.groupby("lang", sort=False)["doc_id"].size().reset_index(name="n_docs")
+        merged = g.merge(n_docs, on="lang")
+        return pa.table(
+            {
+                "lang": pa.array(merged["lang"], pa.string()),
+                "doc_ids": pa.array(merged["doc_ids"], pa.string()),
+                "n_docs": pa.array(merged["n_docs"], pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(ds, ["lang"], per_bucket, n_buckets=8)
+
+
+CONCAT_BY_LANG_SQL = """
+SELECT lang,
+       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def relational_queries():
@@ -530,6 +595,8 @@ def relational_queries():
         "keyword_search_documents": keyword_search_documents,
         "events_sessionize": events_sessionize,
         "like_scan_parts": like_scan_parts,
+        "regex_extract_documents": regex_extract_documents,
+        "concat_by_lang": concat_by_lang,
     }
 
 
@@ -548,4 +615,6 @@ def relational_oracle_sql():
         "keyword_search_documents": keyword_search_sql(),
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "like_scan_parts": LIKE_SCAN_SQL,
+        "regex_extract_documents": REGEX_EXTRACT_SQL,
+        "concat_by_lang": CONCAT_BY_LANG_SQL,
     }
