@@ -110,7 +110,22 @@ def build_kg(
     n_buckets: hash-bucket count for the wide stages — scale with cluster
       size (rule of thumb: 2-4x total cores).
     """
-    ckpt = CheckpointManager(out_dir, params_fingerprint=f"b{n_buckets}") if out_dir else None
+    if out_dir:
+        from ..state.checkpoint import input_fingerprint
+
+        # fingerprint = params + INPUT identity (file sizes/mtimes) so stale
+        # checkpoints from a previous input never masquerade as current
+        in_fp = (
+            input_fingerprint(turns)
+            if isinstance(turns, (str, list))
+            else "ds"  # Dataset input: identity unknowable without executing;
+            # callers passing a Dataset + out_dir own invalidation
+        )
+        ckpt = CheckpointManager(
+            out_dir, params_fingerprint=f"b{n_buckets}_j{num_join_partitions}_{in_fp}"
+        )
+    else:
+        ckpt = None
     metrics: List[dict] = []
     last_end = [time.perf_counter()]
 

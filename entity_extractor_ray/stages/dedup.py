@@ -41,8 +41,8 @@ def exact_dedup(docs_ds):
 
 def exact_dedup_sql() -> str:
     return """
-    SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
-    FROM documents GROUP BY md5(text)
+    SELECT md5(COALESCE(text, '')) AS fingerprint, min(doc_id) AS doc_id
+    FROM documents GROUP BY md5(COALESCE(text, ''))
     """
 
 

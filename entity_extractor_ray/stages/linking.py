@@ -17,8 +17,19 @@ A parallel engine can't probe a mutable shared index row-at-a-time
   2. block by manufacturer and union-find within the block: members sharing
      a non-null CAS or sharing an exact name collapse into one cluster.
      Because every observed (name, cas) pair is itself a member that unions
-     its name-key with its cas-key, the 2-tier probe precedence is preserved:
-     a mention's CAS and name always resolve to the same cluster;
+     its name-key with its cas-key, MAPPING CONSISTENCY is preserved: a
+     mention's CAS and name always resolve to the same cluster.
+
+     DOCUMENTED DIVERGENCE (cluster granularity): union-find is coarser than
+     the reference's order-dependent two-tier probe. In a chain
+     (A,X), (B,X), (B,Y) the reference — probing a mutable store in arrival
+     order — keeps TWO nodes (the (B,Y) mention probes CAS Y first, misses,
+     then hits name B), while union-find transitively collapses all three
+     keys into ONE cluster. The engine intentionally picks the
+     order-independent transitive closure: it is deterministic under any
+     parallel schedule, whereas the reference's granularity depends on
+     ingestion order (a (B,Y)-before-(B,X) arrival produces different nodes).
+     Pinned by tests/test_linking_chains.py;
   3. the cluster winner is the member with the MINIMUM (conv_id, turn_idx)
      order key — the deterministic stand-in for the reference's
      "first-created node wins" arrival-order semantics; canonical CAS is the

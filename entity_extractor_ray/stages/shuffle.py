@@ -145,10 +145,12 @@ def bucket_hash_join(
         return pa.table(cols)
 
     def widen_right(t: pa.Table) -> pa.Table:
-        cols = {key: t.column(right_key)}
+        # build columns in widen_left's output order so the unioned blocks
+        # share ONE schema (mismatched orders make Ray log a schema-divergence
+        # warning and depend on downstream by-name selection for correctness)
+        cols = {}
         for n in l_names:
-            if n != key:
-                cols[n] = pa.nulls(t.num_rows, l_types[n])
+            cols[n] = t.column(right_key) if n == key else pa.nulls(t.num_rows, l_types[n])
         for n in r_names:
             cols[r_out[n]] = t.column(n)
         cols[SIDE_COL] = pa.array(np.ones(t.num_rows, dtype=np.int8))
@@ -187,8 +189,10 @@ def lookup_join(
     enough, BROADCAST it (ray.put once, per-batch index lookup on the left —
     zero shuffle, the map-side hash join); otherwise fall back to the
     task-based bucket_hash_join. The broadcast path requires UNIQUE right
-    keys (true for every entity/status table here; pd.Index raises on
-    duplicates). This mirrors the guide's rule: broadcast dimension-sized
+    keys — verified up front (a duplicate-keyed pd.Index only fails later,
+    at get_indexer probe time, with an opaque InvalidIndexError) — and
+    non-unique right sides fall back to bucket_hash_join, which handles
+    multiplicity. This mirrors the guide's rule: broadcast dimension-sized
     sides, shuffle fact-sized ones."""
     right_key = right_key or key
 
@@ -206,6 +210,14 @@ def lookup_join(
     )
     if right_tbl is not None and right_tbl.num_rows > broadcast_limit:
         return bucket_hash_join(left, right, key, right_key, how, n_buckets, suffix)
+    if right_tbl is not None and right_tbl.num_rows > 0:
+        import pyarrow.compute as pc
+
+        n_distinct = pc.count_distinct(right_tbl.column(right_key)).as_py()
+        if n_distinct != right_tbl.num_rows:
+            # non-unique right keys: the broadcast index would mis-probe;
+            # the bucket join's pandas merge handles multiplicity correctly
+            return bucket_hash_join(left, right, key, right_key, how, n_buckets, suffix)
 
     import ray
 

@@ -114,8 +114,10 @@ def winnow_fingerprints(batch: pd.DataFrame) -> pa.Table:
 
 
 def token_counts_sql() -> str:
+    # COALESCE(text, '') mirrors the Python side's null -> "" mapping so the
+    # contract survives null-bearing corpora (SQL length(NULL) is NULL).
     return f"""
-    SELECT doc_id, CAST(length(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+    SELECT doc_id, CAST(length(regexp_extract_all(COALESCE(text, ''), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
     FROM documents
     """
 
@@ -125,8 +127,8 @@ def quality_features_sql() -> str:
     return f"""
     WITH w AS (
       SELECT doc_id,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             regexp_extract_all(lower(text), '[a-z]+') AS words
+             CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+             regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS words
       FROM documents
     ), c AS (
       SELECT doc_id, n_chars,
@@ -146,7 +148,7 @@ def lang_id_sql() -> str:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
     WITH w AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+      SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS words
       FROM documents
     ), c AS (
       SELECT doc_id,
@@ -163,4 +165,4 @@ def lang_id_sql() -> str:
 
 
 def exact_fingerprints_sql() -> str:
-    return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+    return "SELECT doc_id, md5(COALESCE(text, '')) AS fingerprint FROM documents"

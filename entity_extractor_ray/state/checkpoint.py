@@ -24,6 +24,29 @@ import pyarrow.parquet as pq
 MANIFEST = "_SUCCESS"
 
 
+def input_fingerprint(paths) -> str:
+    """Stable fingerprint of the INPUT data identity: every parquet file's
+    (relative name, size, mtime_ns). Folded into the stage fingerprint so a
+    rerun with the same out_dir but changed/updated inputs invalidates the
+    checkpoints instead of silently serving stale stage outputs."""
+    import glob
+    import hashlib
+
+    if isinstance(paths, str):
+        paths = [paths]
+    entries = []
+    for p in paths:
+        files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)) if os.path.isdir(p) else [p]
+        for f in files:
+            try:
+                st = os.stat(f)
+                entries.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                entries.append(f"{os.path.basename(f)}:missing")
+    digest = hashlib.blake2b("\n".join(entries).encode(), digest_size=8).hexdigest()
+    return f"in{digest}"
+
+
 class CheckpointManager:
     """Stage-level checkpoint registry rooted at one output directory."""
 
