@@ -80,7 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["exact_dedup"] = lambda sf: dd.exact_dedup(_docs(sf))
     q["minhash_dedup"] = lambda sf: dd.minhash_dedup(_docs(sf))
     q["simhash_pairs"] = lambda sf: dd.simhash_near_pairs(_docs(sf))
-    q["ngram_jaccard_pairs"] = lambda sf: dd.verify_jaccard_pairs(
+    # exact inverted-index n-gram Jaccard (oracle-backed); the LSH-candidate
+    # verified variant stays as a rows-only entry
+    q["ngram_jaccard_pairs"] = lambda sf: dd.ngram_jaccard_pairs(_docs(sf), threshold=0.3)
+    q["minhash_verified_pairs"] = lambda sf: dd.verify_jaccard_pairs(
         dd.minhash_candidate_pairs(_docs(sf)), _docs(sf), threshold=0.3, use_words=True
     )
     # threshold tuned to the synthetic embedding table's cosine range
@@ -154,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = ts.lang_id_sql()
     sql["doc_fingerprints"] = ts.exact_fingerprints_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
+    sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
     from entity_extractor_ray.stages import chunk as ck

@@ -105,6 +105,55 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(
+    texts, a: np.ndarray, b: np.ndarray, k: int = 5
+) -> np.ndarray:
+    """MinHash signatures for a WHOLE batch in one numpy pass: concatenate
+    every doc's shingle hashes, compute the (num_perm x total_shingles)
+    affine scramble once, then segment-minimize with np.minimum.reduceat —
+    no per-doc matmul setup cost (the round-1 profile showed the per-doc
+    loop dominating minhash_dedup at ~580 docs/s).
+
+    Returns uint64[n_docs, num_perm]; docs with no shingles get the
+    MERSENNE61 sentinel row (same as minhash_signature)."""
+    per_doc = [_shingle_hashes(t or "", k) for t in texts]
+    n_docs = len(per_doc)
+    num_perm = a.shape[0]
+    sizes = np.array([h.size for h in per_doc], dtype=np.int64)
+    out = np.full((n_docs, num_perm), MERSENNE61, dtype=np.uint64)
+    nonempty = np.flatnonzero(sizes > 0)
+    if nonempty.size == 0:
+        return out
+    concat = np.concatenate([per_doc[i] for i in nonempty])
+    # (num_perm, total) affine scramble with uint64 wraparound — identical
+    # arithmetic to minhash_signature
+    with np.errstate(over="ignore"):
+        vals = concat[None, :] * a[:, None] + b[:, None]
+    offsets = np.concatenate(([0], np.cumsum(sizes[nonempty])[:-1]))
+    mins = np.minimum.reduceat(vals, offsets, axis=1)  # (num_perm, n_nonempty)
+    out[nonempty] = mins.T
+    return out
+
+
+def minhash_band_hashes_batch(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """Band hashes for a batch of signatures -> uint64[n_docs, num_bands].
+    Row-hash of each band chunk via a vectorized polynomial mix (replaces
+    the per-band blake2b calls; deterministic, seed-free)."""
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    chunks = sigs[:, : rows * num_bands].reshape(n_docs, num_bands, rows)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.full((n_docs, num_bands), 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ chunks[:, :, r]) * mix
+            acc = acc ^ (acc >> np.uint64(29))
+        # fold the band index in so identical chunks in different bands differ
+        acc = (acc + np.arange(num_bands, dtype=np.uint64)[None, :]) * mix
+        acc = acc ^ (acc >> np.uint64(32))
+    return acc >> np.uint64(1)  # 63-bit, fits signed int64
+
+
 def minhash_bands(sig: np.ndarray, num_bands: int) -> List[int]:
     """Split a signature into bands; returns one stable 63-bit hash per band."""
     rows = sig.shape[0] // num_bands

@@ -18,6 +18,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List
 
 import numpy as np
@@ -25,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import textnorm
+
+logger = logging.getLogger("entity_extractor_ray.dedup")
 
 # ------------------------------------------------------------------ exact
 
@@ -57,48 +60,63 @@ _MINHASH_A, _MINHASH_B = textnorm.make_minhash_params(NUM_PERM)
 
 
 class MinHashSignatures:
-    """doc -> (band_id, band_hash, doc_id) rows. Used as a TASK-pool stage
-    via the module singleton below: an actor pool sized near the CPU count
-    would reserve every slot and starve the read/shuffle operators (observed
-    deadlock at num_cpus=4); the signature state is cheap to build once per
-    worker process."""
+    """doc batch -> (band_id, band_hash, doc_id) rows, ONE numpy pass per
+    batch (textnorm.minhash_signatures_batch / minhash_band_hashes_batch).
+    Used as a TASK-pool stage via the module singleton below: an actor pool
+    sized near the CPU count would reserve every slot and starve the
+    read/shuffle operators (observed deadlock at num_cpus=4); the signature
+    state is cheap to build once per worker process."""
 
     def __init__(self, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS):
         self.a, self.b = textnorm.make_minhash_params(num_perm)
         self.num_bands = num_bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids: List[int] = []
-        band_ids: List[int] = []
-        band_hashes: List[int] = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = textnorm.minhash_signature(text or "", self.a, self.b, SHINGLE_K)
-            for band_id, band_hash in enumerate(textnorm.minhash_bands(sig, self.num_bands)):
-                doc_ids.append(doc_id)
-                band_ids.append(band_id)
-                band_hashes.append(band_hash)
-        return pd.DataFrame(
-            {"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes}
+        sigs = textnorm.minhash_signatures_batch(
+            batch["text"].tolist(), self.a, self.b, SHINGLE_K
         )
+        bands = textnorm.minhash_band_hashes_batch(sigs, self.num_bands)
+        n, num_bands = bands.shape
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), num_bands),
+                "band_id": np.tile(np.arange(num_bands, dtype=np.int64), n),
+                "band_hash": bands.astype(np.int64).ravel(),
+            }
+        )
+
+
+BUCKET_PAIR_CAP = 1000
 
 
 def _pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """One hash bucket of (band_id, band_hash) groups -> candidate pairs
-    (id_a < id_b). In-bucket pandas groupby amortizes per-group overhead
-    over thousands of LSH buckets."""
-    a_out: List[int] = []
-    b_out: List[int] = []
+    (id_a < id_b), vectorized triu per group. Pathological buckets (a band
+    value shared by >BUCKET_PAIR_CAP docs — i.e. boilerplate) are truncated
+    to the cap and the truncation is COUNTED and logged, never silent."""
+    a_parts: List[np.ndarray] = []
+    b_parts: List[np.ndarray] = []
+    n_truncated_buckets = 0
+    n_dropped_ids = 0
     for _, g in df.groupby(["band_id", "band_hash"], sort=False):
         if len(g) < 2:
             continue
-        ids = sorted(set(g["doc_id"].tolist()))
-        # cap pathological buckets (hot-band salt would go here)
-        if len(ids) > 1000:
-            ids = ids[:1000]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size > BUCKET_PAIR_CAP:
+            n_truncated_buckets += 1
+            n_dropped_ids += int(ids.size - BUCKET_PAIR_CAP)
+            ids = ids[:BUCKET_PAIR_CAP]
+        iu, ju = np.triu_indices(ids.size, k=1)
+        a_parts.append(ids[iu])
+        b_parts.append(ids[ju])
+    if n_truncated_buckets:
+        logger.warning(
+            "minhash LSH bucket %d: truncated %d oversized band groups "
+            "(cap=%d), dropped %d doc ids from candidate generation",
+            bucket_id, n_truncated_buckets, BUCKET_PAIR_CAP, n_dropped_ids,
+        )
+    a_out = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+    b_out = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
     return pa.table(
         {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
     )
@@ -127,75 +145,332 @@ def minhash_candidate_pairs(docs_ds, concurrency: int = None, n_buckets: int = 3
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = JACCARD_THRESHOLD,
                          use_words: bool = False):
-    """Join candidate pairs back to texts (broadcast the doc map — callers
-    use this on verification-scale data; at full scale the join is a
-    Dataset.join on doc_id) and keep pairs with true Jaccard >= threshold."""
-    import ray
+    """Keep candidate pairs whose TRUE Jaccard >= threshold.
 
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=8192, batch_format="pandas"
-    ):
-        texts.update(zip(b["doc_id"], b["text"]))
-    ref = ray.put(texts)
+    Fully distributed: the candidate pairs JOIN the docs table on each side
+    (shuffle.lookup_join auto-broadcasts a dimension-sized docs table and
+    falls back to a task-based bucket hash join at scale) — no driver-side
+    doc_id->text map, no O(N) driver state. Shingle sets are cached per
+    batch keyed on doc_id, so a doc occurring in many pairs of one batch is
+    shingled once."""
+    from .shuffle import lookup_join
+
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    joined = lookup_join(
+        pairs_ds, docs.rename_columns({"text": "text_a"}), key="id_a", right_key="doc_id"
+    )
+    joined = lookup_join(
+        joined, docs.rename_columns({"text": "text_b"}), key="id_b", right_key="doc_id"
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tmap = ray.get(ref)
-        shingle_cache: dict = {}
+        cache: dict = {}
 
-        def shingles(doc_id):
-            got = shingle_cache.get(doc_id)
+        def shingles(doc_id, text):
+            got = cache.get(doc_id)
             if got is None:
-                text = tmap.get(doc_id, "")
                 got = (
-                    textnorm.word_ngrams(text, 3)
+                    textnorm.word_ngrams(text or "", 3)
                     if use_words
-                    else textnorm.char_shingles(text, SHINGLE_K)
+                    else textnorm.char_shingles(text or "", SHINGLE_K)
                 )
-                shingle_cache[doc_id] = got
+                cache[doc_id] = got
             return got
 
         sims = [
-            round(textnorm.jaccard(shingles(a), shingles(b_)), 6)
-            for a, b_ in zip(batch["id_a"], batch["id_b"])
+            round(textnorm.jaccard(shingles(a, ta), shingles(b_, tb)), 6)
+            for a, b_, ta, tb in zip(
+                batch["id_a"], batch["id_b"], batch["text_a"], batch["text_b"]
+            )
         ]
-        out = batch.copy()
+        out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = sims
         return out[out["jaccard"] >= threshold]
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+    return joined.map_batches(verify, batch_format="pandas")
 
 
-def connected_components(pairs: pd.DataFrame, all_ids: List[int]) -> pd.DataFrame:
-    """Min-label union-find over verified pairs -> (doc_id, cluster_id).
-    Driver-side: pair sets are small after verification; the scale path is
-    iterative min-label propagation with groupby rounds (ray_guide pattern)."""
-    parent: Dict[int, int] = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    rows = [(i, find(i)) for i in all_ids]
-    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+LABELS_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int64())]
+)
 
 
-def minhash_dedup(docs_ds, threshold: float = JACCARD_THRESHOLD, concurrency: int = None):
-    """Full near-dup pipeline -> (doc_id, cluster_id); cluster rep = min id."""
+def propagate_min_labels(pairs_ds, n_buckets: int = 32, max_rounds: int = 50):
+    """Distributed connected components over (id_a, id_b) edges -> one
+    (node, label) row per node appearing in any pair, label = component min.
+
+    Iterative min-label propagation as groupby rounds (the scale replacement
+    for driver-side union-find): each round joins the edge list against the
+    current labels (broadcast while small, bucket join at scale), takes the
+    per-node min over {own label} ∪ {neighbor labels}, and stops when no
+    label changed. Rounds needed = component diameter (near-dup clusters are
+    shallow); labels materialize per round and stay O(#nodes-in-pairs) —
+    never O(corpus)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucket_group_apply, lookup_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "nbr": pa.array([], pa.int64())}
+            )
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
+        return pa.table(
+            {
+                "node": pa.chunked_array([a, b]).combine_chunks(),
+                "nbr": pa.chunked_array([b, a]).combine_chunks(),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    # init: label(node) = min(node, min neighbor) — fuses round 1
+    def init_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        agg = df.groupby("node", sort=False)["nbr"].min().reset_index()
+        lab = np.minimum(agg["node"].to_numpy(), agg["nbr"].to_numpy())
+        return pa.table(
+            {
+                "node": pa.array(agg["node"].to_numpy(), pa.int64()),
+                "label": pa.array(lab, pa.int64()),
+                "changed": pa.array((lab != agg["node"].to_numpy()).astype(np.int64)),
+            },
+            schema=LABELS_SCHEMA,
+        )
+
+    labels = bucket_group_apply(edges, ["node"], init_bucket, n_buckets).materialize()
+
+    def min_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        # rows: (node, cand, old) — old is the node's current label (same on
+        # every row of the node); new label = min cand; changed = new < old
+        agg = df.groupby("node", sort=False).agg(
+            label=("cand", "min"), old=("old", "min")
+        ).reset_index()
+        return pa.table(
+            {
+                "node": pa.array(agg["node"].to_numpy(), pa.int64()),
+                "label": pa.array(agg["label"].to_numpy(), pa.int64()),
+                "changed": pa.array(
+                    (agg["label"].to_numpy() < agg["old"].to_numpy()).astype(np.int64)
+                ),
+            },
+            schema=LABELS_SCHEMA,
+        )
+
+    for _ in range(max_rounds):
+        changed = labels.aggregate(Sum("changed", alias_name="n"))["n"]
+        if not changed:
+            break
+        nbr_labels = labels.select_columns(["node", "label"]).rename_columns(
+            {"node": "nbr", "label": "cand"}
+        )
+        cand_edges = lookup_join(edges, nbr_labels, key="nbr").map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "cand": t.column("cand"), "old": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "cand": t.column("label"), "old": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        # old is null on neighbor rows; pandas min ignores NaN, and every node
+        # has exactly one own-row carrying its current label
+        labels = bucket_group_apply(
+            cand_edges.union(own), ["node"], min_bucket, n_buckets
+        ).materialize()
+
+    return labels.select_columns(["node", "label"])
+
+
+def minhash_dedup(docs_ds, threshold: float = JACCARD_THRESHOLD,
+                  concurrency: int = None, n_buckets: int = 32):
+    """Full near-dup pipeline -> Dataset(doc_id, cluster_id); cluster rep =
+    min doc_id of the connected component. End-to-end distributed: LSH
+    candidates -> join-based Jaccard verification -> min-label propagation;
+    docs outside any verified pair keep their own id via a LEFT join (no
+    take_all of the corpus)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import lookup_join
+
     pairs = verify_jaccard_pairs(
-        minhash_candidate_pairs(docs_ds, concurrency), docs_ds, threshold
-    ).to_pandas()
-    all_ids = [r["doc_id"] for r in docs_ds.select_columns(["doc_id"]).take_all()]
-    return connected_components(pairs, all_ids)
+        minhash_candidate_pairs(docs_ds, concurrency, n_buckets), docs_ds, threshold
+    ).select_columns(["id_a", "id_b"])
+    labels = propagate_min_labels(pairs, n_buckets)
+    ids = docs_ds.select_columns(["doc_id"])
+    joined = lookup_join(
+        ids,
+        labels.rename_columns({"node": "doc_id", "label": "cluster_id"}),
+        key="doc_id",
+        how="left",
+    )
+
+    def fill_singletons(t: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(t.column("cluster_id"), t.column("doc_id"))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "cluster_id": pc.cast(cluster, pa.int64())}
+        )
+
+    return joined.map_batches(fill_singletons, batch_format="pyarrow")
+
+
+# ------------------------------------------------- exact n-gram Jaccard pairs
+
+NGRAM_N = 3
+
+
+def _gram_rows(batch: pd.DataFrame, n: int = NGRAM_N) -> pd.DataFrame:
+    """doc -> one row per DISTINCT word-n-gram: (gram_hash, doc_id, n_grams).
+    The doc's gram count rides along so the pair stage needs no size join.
+    Gram hashing = pandas' fixed-key siphash (vectorized, process-stable)."""
+    out_gram: List[str] = []
+    out_doc: List[int] = []
+    out_n: List[int] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        grams = textnorm.word_ngrams(text or "", n)
+        out_gram.extend(grams)
+        out_doc.extend([doc_id] * len(grams))
+        out_n.extend([len(grams)] * len(grams))
+    hashes = pd.util.hash_pandas_object(pd.Series(out_gram, dtype=object), index=False)
+    return pd.DataFrame(
+        {
+            "gram": hashes.to_numpy().astype(np.int64),
+            "doc_id": np.asarray(out_doc, dtype=np.int64),
+            "n_grams": np.asarray(out_n, dtype=np.int64),
+        }
+    )
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = NGRAM_N, threshold: float = 0.3,
+                        n_buckets: int = 32):
+    """EXACT all-pairs word-n-gram Jaccard >= threshold — the distributed
+    inverted-index shape (no LSH approximation, so it admits a true SQL
+    oracle; see ngram_jaccard_pairs_sql):
+
+      1. map-side: distinct n-gram hashes per doc, gram count carried;
+      2. ONE shuffle keyed on gram; per posting list, co-occurring pairs
+         with partial counts (pre-aggregated in-bucket);
+      3. ONE shuffle keyed on the pair; intersection = sum of partials,
+         jaccard = inter / (n_a + n_b - inter), floor-truncated to 6dp
+         (floor, not round: numpy is half-even, SQL half-away).
+
+    Skew note: a gram shared by k docs emits O(k^2) pair rows; at corpus
+    scale, drop ubiquitous grams first (document-frequency filter) — exact
+    semantics here keeps every gram because the oracle must match."""
+    from .shuffle import bucket_group_apply
+
+    grams = docs_ds.map_batches(_gram_rows, fn_kwargs={"n": n}, batch_format="pandas")
+
+    def posting_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_p: List[np.ndarray] = []
+        b_p: List[np.ndarray] = []
+        na_p: List[np.ndarray] = []
+        nb_p: List[np.ndarray] = []
+        for _, g in df.groupby("gram", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["doc_id"].to_numpy())
+            ids = g["doc_id"].to_numpy()[order]
+            ns = g["n_grams"].to_numpy()[order]
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_p.append(ids[iu])
+            b_p.append(ids[ju])
+            na_p.append(ns[iu])
+            nb_p.append(ns[ju])
+        if not a_p:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_p),
+                "id_b": np.concatenate(b_p),
+                "n_a": np.concatenate(na_p),
+                "n_b": np.concatenate(nb_p),
+            }
+        )
+        # in-bucket combiner: count co-occurrences before the pair shuffle
+        agg = pairs.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False).size().reset_index(name="inter")
+        return pa.table(
+            {
+                "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+                "n_a": pa.array(agg["n_a"].to_numpy(), pa.int64()),
+                "n_b": pa.array(agg["n_b"].to_numpy(), pa.int64()),
+                "inter": pa.array(agg["inter"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(grams, ["gram"], posting_bucket, n_buckets)
+
+    def pair_reduce(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        agg = (
+            df.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False)["inter"]
+            .sum()
+            .reset_index()
+        )
+        inter = agg["inter"].to_numpy().astype(np.float64)
+        union = (agg["n_a"] + agg["n_b"]).to_numpy() - inter
+        raw = inter / union
+        keep = raw >= threshold
+        jacc = np.floor(raw[keep] * 1e6) / 1e6
+        return pa.table(
+            {
+                "id_a": pa.array(agg["id_a"].to_numpy()[keep], pa.int64()),
+                "id_b": pa.array(agg["id_b"].to_numpy()[keep], pa.int64()),
+                "jaccard": pa.array(jacc, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(partials, ["id_a", "id_b"], pair_reduce, n_buckets)
+
+
+def ngram_jaccard_pairs_sql(n: int = NGRAM_N, threshold: float = 0.3) -> str:
+    """DuckDB oracle for ngram_jaccard_pairs: same grams (\\w+ over lowered
+    text, <n-word docs fold to one joined gram, empty docs emit none), same
+    inverted-index join, same floor-truncated 6dp jaccard."""
+    concat = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\\w+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) < {n} THEN array_to_string(ws, ' ')
+                  ELSE {concat} END AS gram
+      FROM w
+      JOIN (SELECT unnest(range(1, (SELECT CAST(COALESCE(max(len(ws)), 0) AS BIGINT) + 1 FROM w))) AS i) s
+        ON i <= CASE WHEN len(ws) < {n} THEN 1 ELSE len(ws) - {n} + 1 END
+      WHERE len(ws) > 0
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((i.inter * 1.0 / (sa.n_grams + sb.n_grams - i.inter)) * 1000000) / 1000000 AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.inter * 1.0 / (sa.n_grams + sb.n_grams - i.inter) >= {threshold}
+    """
 
 
 # ------------------------------------------------------------------ simhash

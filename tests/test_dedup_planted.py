@@ -39,7 +39,7 @@ class TestMinHashDedup:
     def test_planted_pairs_found(self, docs_ds):
         from entity_extractor_ray.stages.dedup import minhash_dedup
 
-        clusters = minhash_dedup(docs_ds, threshold=0.6, concurrency=2)
+        clusters = minhash_dedup(docs_ds, threshold=0.6, concurrency=2).to_pandas()
         cmap = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
         for i in range(10):
             assert cmap[i] == cmap[100 + i], f"planted pair {i} not clustered"
