@@ -550,13 +550,28 @@ def _normalized_matrix(embeddings_ds):
     return np.asarray(ids), mat / norms
 
 
-def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.95):
+EXACT_COSINE_MAX_ROWS = 200_000
+
+
+def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.95,
+                           max_exact_rows: int = EXACT_COSINE_MAX_ROWS):
     """Exact all-pairs cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
     Brute force per batch against the broadcast matrix (numpy matmul) — the
-    verification-scale method; the scale path is hyperplane-LSH bucketing
-    (embedding_lsh_pairs)."""
+    DECLARED verification-scale method: O(N) driver materialization and
+    O(N^2) scoring. A row-count gate stops it from running unbounded: inputs
+    larger than ``max_exact_rows`` are routed to the multi-band LSH variant
+    (embedding_lsh_pairs) automatically, with a logged notice."""
     import ray
+
+    n_rows = embeddings_ds.count()
+    if n_rows > max_exact_rows:
+        logger.warning(
+            "embedding_cosine_pairs: %d rows exceeds the exact-path gate "
+            "(%d); routing to multi-band hyperplane LSH (approximate).",
+            n_rows, max_exact_rows,
+        )
+        return embedding_lsh_pairs(embeddings_ds, threshold=threshold)
 
     ids, mat = _normalized_matrix(embeddings_ds)
     ref = ray.put((ids, mat))
@@ -597,52 +612,115 @@ def embedding_cosine_pairs_sql(threshold: float = 0.95) -> str:
     """
 
 
-HYPERPLANE_BITS = 8
+LSH_BUCKET_CAP = 2000
+
+
+def lsh_plan(threshold: float, target_recall: float = 0.95,
+             band_hit_rate: float = 0.2) -> tuple:
+    """(n_bands, bits_per_band) for a cosine threshold, from the hyperplane
+    collision model p_bit = 1 - arccos(t)/pi:
+      bits  = largest b with p_bit^b >= band_hit_rate (bucket discrimination),
+      bands = enough that 1 - (1 - p_bit^bits)^bands >= target_recall.
+    Low thresholds genuinely need more bands/fewer bits — the cost of ANN at
+    weak similarity is the model, not this implementation."""
+    t = float(np.clip(threshold, -1.0, 1.0))
+    p_bit = 1.0 - np.arccos(t) / np.pi
+    p_bit = float(np.clip(p_bit, 1e-6, 1 - 1e-9))
+    bits = max(2, int(np.floor(np.log(band_hit_rate) / np.log(p_bit))))
+    p_band = p_bit ** bits
+    bands = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_band)))
+    return max(1, min(bands, 32)), bits
 
 
 def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
-                        concurrency: int = None):
-    """Hyperplane-LSH bucketed near-dup: sign-bits of random projections form
-    the bucket key; exact cosine verified within buckets only. Approximate
-    (recall < 1), but bucket-local — the 100TB-shaped variant."""
+                        concurrency: int = None, n_bands: int = None,
+                        bits_per_band: int = None,
+                        bucket_cap: int = LSH_BUCKET_CAP, n_buckets: int = 32):
+    """MULTI-BAND hyperplane-LSH near-dup pairs — the 100TB-shaped variant.
+
+    Each vector gets ``n_bands`` independent sign-bit keys of
+    ``bits_per_band`` random hyperplanes (a pair collides if ANY band
+    matches — same banding recall structure as the MinHash path above, vs
+    the single-key variant whose 2^8 buckets degenerated to O(N^2/256)
+    all-pairs inside one map_groups task). Band/bit counts default to
+    lsh_plan(threshold) (~0.95 recall at the threshold). Bucket population
+    shrinks geometrically in bits_per_band, pair recall is recovered across
+    bands, and oversized buckets are capped at ``bucket_cap`` with a LOGGED
+    truncation count. Exact cosine is verified in-bucket only; duplicate
+    pair hits across bands fold in one final groupby."""
     import ray
+    from ray.data.aggregate import Min
+
+    from .shuffle import bucket_group_apply
+
+    auto_bands, auto_bits = lsh_plan(threshold)
+    n_bands = n_bands or auto_bands
+    bits_per_band = bits_per_band or auto_bits
 
     def make_planes(dim):
         rng = np.random.RandomState(seed)
-        return rng.normal(size=(HYPERPLANE_BITS, dim))
+        return rng.normal(size=(n_bands, bits_per_band, dim))
 
     first = embeddings_ds.take(1)[0]
     planes = make_planes(len(first["embedding"]))
     planes_ref = ray.put(planes)
+    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
 
     def bucketize(batch: pa.Table) -> pd.DataFrame:
         pl = ray.get(planes_ref)
-        ids = batch.column("vec_id").to_pylist()
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bits = (mat @ pl.T) > 0
-        keys = (bits * (1 << np.arange(HYPERPLANE_BITS))).sum(axis=1)
-        return pd.DataFrame({
-            "vec_id": ids, "bucket": keys.astype("int64"),
-            "embedding": list(mat),
-        })
+        n = len(ids)
+        # (n, n_bands, bits) sign bits -> (n, n_bands) int keys
+        proj = np.einsum("nd,bkd->nbk", mat, pl) > 0
+        keys = (proj * weights[None, None, :]).sum(axis=2)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, n_bands),
+                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                "band_key": keys.astype(np.int64).ravel(),
+                "embedding": [mat[i] for i in range(n) for _ in range(n_bands)],
+            }
+        )
 
     bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id")
-        ids = g["vec_id"].tolist()
-        mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
-        sims = mat @ mat.T
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    s_out.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cos_sim": s_out})
+    def band_bucket_pairs(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_out: List[int] = []
+        b_out: List[int] = []
+        s_out: List[float] = []
+        n_truncated = 0
+        for _, g in df.groupby(["band_id", "band_key"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(g) > bucket_cap:
+                n_truncated += len(g) - bucket_cap
+                g = g.iloc[:bucket_cap]
+            ids = g["vec_id"].to_numpy()
+            mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ (mat / norms).T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            a_out.extend(ids[iu[hit]].tolist())
+            b_out.extend(ids[ju[hit]].tolist())
+            s_out.extend(np.round(sims[iu[hit], ju[hit]], 6).tolist())
+        if n_truncated:
+            logger.warning(
+                "embedding LSH bucket %d: %d vectors dropped by bucket_cap=%d",
+                bucket_id, n_truncated, bucket_cap,
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "cos_sim": pa.array(s_out, pa.float64()),
+            }
+        )
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucket_group_apply(bucketed, ["band_id", "band_key"], band_bucket_pairs, n_buckets)
+    # a pair found in several bands reports the same rounded cosine; Min is a
+    # deterministic dedup fold
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("cos_sim", alias_name="cos_sim"))
