@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- similarity search
     q["knn_cosine"] = lambda sf: sim.knn_cosine(_embs(sf), query_ids=[0, 1, 2], k=10)
+    # predicate-filtered retrieval (the reference always scopes kNN by
+    # metadata — vector_repository.py:56-67 filters by file_id)
+    q["knn_cosine_filtered"] = lambda sf: sim.knn_cosine(
+        _embs(sf), query_ids=[0, 1, 2], k=10, filter_col="label", filter_values=[1, 3, 5]
+    )
     q["knn_cosine_ivf"] = lambda sf: sim.knn_cosine_ivf(_embs(sf), query_ids=[0, 1, 2], k=10)
 
     # --- chunking + embedding (reference M15/M16 as Ray stages)
@@ -160,6 +165,16 @@ def oracle_sql() -> dict[str, str]:
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
+    sql["knn_cosine_filtered"] = sim.knn_cosine_sql(
+        query_ids=[0, 1, 2], k=10, filter_col="label", filter_values=[1, 3, 5]
+    )
+    # embed_documents is summarized to (doc_id, dim) by the query wrapper;
+    # the dim is the embedder's fixed output width
+    from entity_extractor_ray.stages.chunk import EMBED_DIM
+
+    sql["embed_documents"] = (
+        f"SELECT doc_id, CAST({EMBED_DIM} AS BIGINT) AS dim FROM documents"
+    )
     from entity_extractor_ray.stages import chunk as ck
 
     sql["chunk_documents"] = ck.chunk_text_sql()

@@ -28,27 +28,58 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def knn_cosine(embeddings_ds, query_ids: List[int], k: int = 10):
+def _fetch_rows_by_ids(embeddings_ds, wanted: List[int]):
+    """Vectorized id-set fetch: pc.is_in mask inside map_batches (NOT a
+    per-row Python filter over the dataset)."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(set(wanted)), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=value_set))
+
+    return embeddings_ds.map_batches(pick, batch_format="pyarrow").take_all()
+
+
+def knn_cosine(embeddings_ds, query_ids: List[int], k: int = 10,
+               filter_col: str = None, filter_values: List = None):
     """Exact top-k by cosine for each query id, excluding self.
 
     Shape: broadcast the (tiny) query matrix via ray.put; each batch scores
     its rows against all queries (one matmul) and emits its LOCAL top-k per
     query; a driver-side heap merge of per-batch top-ks gives the global
     top-k — no global sort, no all-pairs. Ties broken by ascending vec_id on
-    the ROUNDED score so the result is engine-independent."""
+    the ROUNDED score so the result is engine-independent.
+
+    ``filter_col`` / ``filter_values`` scope the CANDIDATE set with an
+    IN-list metadata predicate, applied vectorized inside each batch before
+    scoring — the reference's retrieval is always scoped this way
+    (vector_repository.py:56-67 filters by file_id before the L2 order).
+    Queries are looked up in the unfiltered table."""
+    import pyarrow.compute as pc
+
     import ray
 
-    qset = set(query_ids)
-    qrows = embeddings_ds.map_batches(
-        lambda t: t.filter(pa.array([v in qset for v in t.column("vec_id").to_pylist()])),
-        batch_format="pyarrow",
-    ).take_all()
+    qrows = _fetch_rows_by_ids(embeddings_ds, query_ids)
     qids = np.asarray([r["vec_id"] for r in qrows])
     qmat = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
     ref = ray.put((qids, qmat))
+    filter_set = (
+        pa.array(sorted(set(filter_values))) if filter_values is not None else None
+    )
 
     def local_topk(batch: pa.Table) -> pd.DataFrame:
         q_ids, q_mat = ray.get(ref)
+        if filter_set is not None:
+            batch = batch.filter(pc.is_in(batch.column(filter_col), value_set=filter_set))
+            if batch.num_rows == 0:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.array([], dtype="int64"),
+                        "vec_id": pd.array([], dtype="int64"),
+                        "cos_sim": pd.array([], dtype="float64"),
+                    }
+                )
         ids, mat = _to_matrix(batch)
         sims = q_mat @ _normalize(mat).T  # (n_query, n_batch)
         out_q, out_v, out_s = [], [], []
@@ -79,8 +110,13 @@ def knn_cosine(embeddings_ds, query_ids: List[int], k: int = 10):
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
 
 
-def knn_cosine_sql(query_ids: List[int], k: int = 10) -> str:
+def knn_cosine_sql(query_ids: List[int], k: int = 10,
+                   filter_col: str = None, filter_values: List = None) -> str:
     ids = ", ".join(str(q) for q in query_ids)
+    pred = ""
+    if filter_values is not None:
+        vals = ", ".join(str(v) for v in sorted(set(filter_values)))
+        pred = f"AND e.{filter_col} IN ({vals})"
     return f"""
     SELECT query_id, vec_id, cos_sim FROM (
       SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
@@ -92,7 +128,7 @@ def knn_cosine_sql(query_ids: List[int], k: int = 10) -> str:
                      CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
                  e.vec_id ASC) AS rn
       FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-      WHERE q.vec_id IN ({ids})
+      WHERE q.vec_id IN ({ids}) {pred}
     ) WHERE rn <= {k}
     """
 
@@ -140,9 +176,9 @@ def knn_cosine_ivf(embeddings_ds, query_ids: List[int], k: int = 10,
     qrows = [r for r in sample_rows if r["vec_id"] in set(query_ids)]
     missing = set(query_ids) - {r["vec_id"] for r in qrows}
     if missing:
-        qrows += embeddings_ds.filter(
-            lambda r: r["vec_id"] in missing
-        ).take_all()
+        # vectorized is_in fetch (a per-row Python ds.filter would scan the
+        # whole dataset through the row interface)
+        qrows += _fetch_rows_by_ids(embeddings_ds, list(missing))
     qids = np.asarray([r["vec_id"] for r in qrows])
     qmat = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
     probe_lists = np.argsort(-(qmat @ index.centroids.T), axis=1)[:, :n_probe]
