@@ -87,8 +87,11 @@ def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
             m = _UPC_RE.search(text)
             if m:
                 upc = m.group("upc")
-        m = _CHEM_RE.search(text)
-        if m:
+        # ALL chemical sentences of a turn count (finditer, not search):
+        # the reference's LLM extraction returns every chemical on the page
+        # (artifact_ingestor_service.py:798-802 expects a LIST), so a turn
+        # carrying two chemical sentences contributes two mentions
+        for m in _CHEM_RE.finditer(text):
             chems.append(
                 {
                     "chemical_name": m.group("name"),

@@ -126,10 +126,61 @@ class RecordExtractor:
             return mk(t, "CHEMICAL", name=f["name"], cas=cas,
                       composition=f["pct"], tag=f["tag"], source=f["source"])
 
-        out += _extract_rows(batch, CHEMICAL_PATTERN, chem_builder)
+        # pc.extract_regex yields only the FIRST match per turn. Turns with a
+        # single chemical sentence (the overwhelming case) stay on that
+        # vectorized path; turns carrying SEVERAL chemical sentences take a
+        # finditer side-path so no mention is silently lost (the reference's
+        # LLM extraction returns every chemical on the page,
+        # artifact_ingestor_service.py:798-802).
+        n_chem = pc.count_substring(
+            pc.fill_null(batch.column("text"), ""), 'It contains ingredient "'
+        )
+        multi_mask = pc.greater(n_chem, 1)
+        n_multi = pc.sum(multi_mask).as_py() or 0
+        if n_multi == 0:
+            out += _extract_rows(batch, CHEMICAL_PATTERN, chem_builder)
+        else:
+            single = batch.filter(pc.invert(multi_mask))
+            out += _extract_rows(single, CHEMICAL_PATTERN, chem_builder)
+            out.append(self._chem_finditer(batch.filter(multi_mask)))
         if not out:
             return self._empty
         return pa.concat_tables(out).combine_chunks()
+
+    def _chem_finditer(self, batch: pa.Table) -> pa.Table:
+        """Rare path: every chemical-sentence match of every turn (Python
+        finditer over the few multi-chemical rows only)."""
+        import re
+
+        cre = re.compile(CHEMICAL_PATTERN)
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = {k: [] for k in ("conv_id", "turn_idx", "name", "cas", "composition", "tag", "source")}
+        for c, t, text in zip(conv, tidx, texts):
+            for m in cre.finditer(text or ""):
+                rows["conv_id"].append(c)
+                rows["turn_idx"].append(t)
+                rows["name"].append(m.group("name"))
+                rows["cas"].append(m.group("cas") or None)
+                rows["composition"].append(m.group("pct"))
+                rows["tag"].append(m.group("tag"))
+                rows["source"].append(m.group("source"))
+        n = len(rows["conv_id"])
+        return pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                "kind": pa.array(["CHEMICAL"] * n, pa.string()),
+                "name": pa.array(rows["name"], pa.string()),
+                "manufacturer": pa.nulls(n, pa.string()),
+                "cas": pa.array(rows["cas"], pa.string()),
+                "composition": pa.array(rows["composition"], pa.string()),
+                "tag": pa.array(rows["tag"], pa.string()),
+                "source": pa.array(rows["source"], pa.string()),
+            },
+            schema=EXTRACTION_SCHEMA,
+        )
 
 
 _MENTION_DETECTOR: "MentionDetector | None" = None
@@ -177,6 +228,16 @@ class MentionDetector:
         ("TAG", r"tagged ([A-Z_]+)"),
     )
 
+    # Joins every text of the batch into ONE corpus string with this
+    # separator and runs each pattern's finditer ONCE over it — the Python
+    # loop becomes output-sized (per match) instead of input-sized (per
+    # row x per pattern). Why `"\x00"` is safe: the quoted-capture patterns
+    # ([^"]+) cannot cross the quote chars, the numeric/uppercase captures
+    # cannot match '"' or NUL, and no literal prefix contains either — so a
+    # match can never span two rows; the only separator artifact is a
+    # capture equal to "\x00", dropped by the NUL filter below.
+    SEP = '"\x00"'
+
     def __init__(self) -> None:
         import re
 
@@ -188,20 +249,28 @@ class MentionDetector:
             return self._empty
         conv = batch.column("conv_id").to_pylist()
         tidx = batch.column("turn_idx").to_pylist()
-        texts = batch.column("text").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        sep_len = len(self.SEP)
+        # starts[i] = offset of row i's text in the joined corpus
+        lengths = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lengths[:-1] + sep_len, out=starts[1:])
+        corpus = self.SEP.join(texts)
+
         rows_conv, rows_tidx, rows_mention, rows_label = [], [], [], []
         rows_s, rows_e = [], []
-        for c, t, text in zip(conv, tidx, texts):
-            if not text:
-                continue
-            for label, cre in self._compiled:
-                for m in cre.finditer(text):
-                    rows_conv.append(c)
-                    rows_tidx.append(t)
-                    rows_mention.append(m.group(1))
-                    rows_label.append(label)
-                    rows_s.append(m.start(1))
-                    rows_e.append(m.end(1))
+        for label, cre in self._compiled:
+            for m in cre.finditer(corpus):
+                g = m.group(1)
+                if "\x00" in g:
+                    continue  # separator artifact
+                row = int(np.searchsorted(starts, m.start(1), side="right")) - 1
+                rows_conv.append(conv[row])
+                rows_tidx.append(tidx[row])
+                rows_mention.append(g)
+                rows_label.append(label)
+                rows_s.append(m.start(1) - starts[row])
+                rows_e.append(m.end(1) - starts[row])
         n = len(rows_conv)
         return pa.table(
             {
