@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_nodes"] = lambda sf: _kg(sf).nodes
     q["kg_edges"] = lambda sf: _kg(sf).edges
     q["kg_lineage"] = lambda sf: _kg(sf).lineage
+    # errors side-channel: audited drops/coercions (reference FAILED run-state
+    # rows); rows-only — verified exactly vs the serial oracle in
+    # tests/test_kg_pipeline.py
+    q["kg_errors"] = lambda sf: _kg(sf).errors
 
     def _mentions(sf):
         import ray.data as rd

@@ -202,6 +202,47 @@ def fold_chemical_state(
     return status, src
 
 
+def fold_chemical_state_total(
+    existing_status: str,
+    existing_source: str,
+    new_tag: str,
+    new_source: str,
+) -> Tuple[str, str, bool]:
+    """Total variant of fold_chemical_state for the errors side-channel: an
+    impossible transition (the reference RAISES and aborts the whole document,
+    artifact_ingestor_service.py:1244-1248) keeps the existing (status,
+    source) unchanged and reports coerced=True so the pipeline can emit an
+    error row instead of crashing a 10-hour job."""
+    try:
+        status, src = fold_chemical_state(
+            existing_status, existing_source, new_tag, new_source
+        )
+        return status, src, False
+    except TransitionError:
+        return existing_status, existing_source, True
+
+
+def fold_chemical_mentions_total(
+    mentions: Iterable[Tuple[str, str]],
+) -> Tuple[str, str, int]:
+    """fold_chemical_mentions with the total extension: returns
+    (status, source, n_coerced) where n_coerced counts impossible
+    transitions that were skipped (reference raise -> engine error row)."""
+    it = iter(mentions)
+    try:
+        tag, source = next(it)
+    except StopIteration:
+        raise ValueError("fold_chemical_mentions needs at least one mention")
+    status = pfas_status_from_tag(tag)
+    n_coerced = 0
+    for tag, new_source in it:
+        status, source, coerced = fold_chemical_state_total(
+            status, source, tag, new_source
+        )
+        n_coerced += int(coerced)
+    return status, source, n_coerced
+
+
 def fold_chemical_mentions(
     mentions: Iterable[Tuple[str, str]],
 ) -> Tuple[str, str]:

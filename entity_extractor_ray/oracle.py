@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from .functions.decision_tables import (
     combine_material_name,
-    fold_chemical_state,
+    fold_chemical_state_total,
     normalize_name_key,
     normalize_cas,
     parent_pfas_resolution,
@@ -61,6 +61,10 @@ class OracleStore:
         self.edges: Dict[Tuple[str, str, str], Optional[str]] = {}  # (src,dst,pred)->weight
         self.triples: List[tuple] = []
         self.lineage: List[tuple] = []
+        # errors side-channel (run-state FAILED rows of the reference):
+        # (stage, key, reason) — assemble drops, J1 duplicate drops,
+        # impossible-transition coercions
+        self.errors: List[tuple] = []
 
 
 def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
@@ -103,7 +107,16 @@ def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
                 }
             )
     if material is None or not chems:
-        return None
+        # classify the drop for the errors channel — but only when the
+        # conversation produced ANY extraction signal (pure-filler
+        # conversations are not failed documents, they are non-documents)
+        found_any = (
+            material is not None or product_no is not None
+            or upc is not None or bool(chems)
+        )
+        if not found_any:
+            return None
+        return {"__drop_reason": "EMPTY_MATERIAL" if material is None else "EMPTY_CHEMICALS"}
     # A1 dedup: dict keyed on chemical_name — first-key order, last value wins
     dedup = {c["chemical_name"]: c for c in chems}
     return {
@@ -121,6 +134,7 @@ def ingest(store: OracleStore, conv_id: str, record: dict) -> None:
 
     # J1 anti-join guard: duplicate material -> whole conversation dropped
     if mat_key in store.materials:
+        store.errors.append(("dedup", conv_id, "MATERIAL_ALREADY_INGESTED"))
         return
 
     # J3 manufacturer link-or-create (exact name)
@@ -173,10 +187,14 @@ def ingest(store: OracleStore, conv_id: str, record: dict) -> None:
             store.chem_nodes.append(node)
             store.chem_by_name[(mfr_name, name)] = node
         else:
-            status, source = fold_chemical_state(
+            status, source, coerced = fold_chemical_state_total(
                 node["pfas_status"], node["pfas_information_source"],
                 chem["tag"], chem["source"],
             )
+            if coerced:
+                store.errors.append(
+                    ("status_fold", node["entity_id"], "IMPOSSIBLE_TRANSITION")
+                )
             node["pfas_status"] = status
             node["pfas_information_source"] = source
             node["cas_number"] = cas  # reference overwrites on every link (:1081)
@@ -214,8 +232,18 @@ def run_oracle(turns_table: pa.Table) -> OracleStore:
         record = extract_record(list(zip(g["turn_idx"], g["text"])))
         if record is None:
             continue
+        if "__drop_reason" in record:
+            store.errors.append(("assemble", conv_id, record["__drop_reason"]))
+            continue
         ingest(store, conv_id, record)
     return store
+
+
+def oracle_errors(store: OracleStore) -> List[dict]:
+    """Errors side-channel as (stage, key, reason) dicts — the serial
+    counterpart of KGResult.errors (reference run-state FAILED rows,
+    file_analysis_service.py:190-207)."""
+    return [{"stage": s, "key": k, "reason": r} for s, k, r in store.errors]
 
 
 def oracle_nodes(store: OracleStore) -> List[dict]:

@@ -49,6 +49,14 @@ from ..stages.linking import (
 from ..stages.triples import explode_chem_mentions, explode_triples
 from ..state.checkpoint import CheckpointManager
 
+ERRORS_SCHEMA = pa.schema(
+    [
+        ("stage", pa.string()),  # assemble | dedup | status_fold
+        ("key", pa.string()),  # conv_id (assemble/dedup) or entity_id
+        ("reason", pa.string()),
+    ]
+)
+
 METRICS_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
@@ -68,6 +76,12 @@ class KGResult:
     edges: "ray.data.Dataset"  # noqa: F821
     lineage: "ray.data.Dataset"  # noqa: F821
     metrics: List[dict]
+    # errors side-channel (ERRORS_SCHEMA): the reference surfaces per-document
+    # failures as run-state rows / failed.lock files
+    # (file_analysis_service.py:190-207) and aborts documents on impossible
+    # transitions (artifact_ingestor_service.py:1244-1248); the engine keeps
+    # the job alive and emits one auditable row per drop/coercion instead
+    errors: "ray.data.Dataset" = None  # noqa: F821
 
 
 def _read_turns(turns, columns):
@@ -90,6 +104,7 @@ def _empty_result(metrics) -> KGResult:
         edges=rd.from_arrow(EDGES_SCHEMA.empty_table()),
         lineage=rd.from_arrow(LINEAGE_SCHEMA.empty_table()),
         metrics=metrics,
+        errors=rd.from_arrow(ERRORS_SCHEMA.empty_table()),
     )
 
 
@@ -173,7 +188,9 @@ def build_kg(
             batch_size=batch_size,
             concurrency=extract_concurrency,
         )
-    # extract -> assemble -> J1-guard dedup fused into ONE pinned execution
+    # extract -> assemble -> J1-guard dedup fused into ONE pinned execution;
+    # the pinned table carries BOTH surviving records (drop_reason null) and
+    # audited error rows, so resume keeps the error channel too
     records = pin(
         "records",
         lambda: dedup_records(assemble_records(extraction, n_buckets), n_buckets),
@@ -181,7 +198,28 @@ def build_kg(
     if records.count() == 0:
         return _empty_result(metrics)
 
-    chem_mentions = records.map_batches(explode_chem_mentions, batch_format="pyarrow")
+    import pyarrow.compute as pc
+
+    def _only_clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("drop_reason")))
+
+    def _record_error_rows(t: pa.Table) -> pa.Table:
+        errs = t.filter(pc.is_valid(t.column("drop_reason")))
+        reason = errs.column("drop_reason")
+        stage = pc.if_else(
+            pc.equal(reason, "MATERIAL_ALREADY_INGESTED"),
+            pa.scalar("dedup", pa.string()),
+            pa.scalar("assemble", pa.string()),
+        )
+        return pa.table(
+            {"stage": stage, "key": errs.column("conv_id"), "reason": reason},
+            schema=ERRORS_SCHEMA,
+        )
+
+    # lazy per-batch filters — they fuse into each consumer's execution
+    clean = records.map_batches(_only_clean, batch_format="pyarrow")
+
+    chem_mentions = clean.map_batches(explode_chem_mentions, batch_format="pyarrow")
     mapping = pin("chem_mapping", lambda: build_chemical_mapping(chem_mentions, n_buckets))
     linked = pin(
         "linked", lambda: link_chem_mentions(chem_mentions, mapping, num_join_partitions)
@@ -190,15 +228,36 @@ def build_kg(
     edges = pin(
         "edges",
         lambda: dedup_contains_edges(linked, n_buckets).union(
-            dedup_made_by_edges(records)
+            dedup_made_by_edges(clean)
         ),
     )
 
+    def _fold_error_rows(t: pa.Table) -> pa.Table:
+        errs = t.filter(pc.greater(t.column("n_coerced"), 0))
+        keys: List[str] = []
+        for eid, n in zip(
+            errs.column("entity_id").to_pylist(), errs.column("n_coerced").to_pylist()
+        ):
+            keys.extend([eid] * int(n))  # one error row per skipped transition
+        k = len(keys)
+        return pa.table(
+            {
+                "stage": pa.array(["status_fold"] * k, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "reason": pa.array(["IMPOSSIBLE_TRANSITION"] * k, pa.string()),
+            },
+            schema=ERRORS_SCHEMA,
+        )
+
+    errors = records.map_batches(_record_error_rows, batch_format="pyarrow").union(
+        chem_status.map_batches(_fold_error_rows, batch_format="pyarrow")
+    )
+
     # single-consumer branches stay lazy (fused into their sink's execution)
-    triples = records.map_batches(explode_triples, batch_format="pyarrow")
-    material_ids = build_material_identities(records, n_buckets)
+    triples = clean.map_batches(explode_triples, batch_format="pyarrow")
+    material_ids = build_material_identities(clean, n_buckets)
     material_status = rollup_status(edges, chem_status, n_buckets, num_join_partitions)
-    manufacturers = distinct_manufacturers(records)
+    manufacturers = distinct_manufacturers(clean)
     nodes = assemble_nodes(
         material_ids, material_status, mapping, chem_status, manufacturers,
         num_join_partitions,
@@ -211,6 +270,7 @@ def build_kg(
         triples = pin("triples", lambda ds=triples: ds)
         nodes = pin("nodes", lambda ds=nodes: ds)
         lineage = pin("lineage", lambda ds=lineage: ds)
+        errors = pin("errors", lambda ds=errors: ds)
 
         # persist the metrics table next to the data (A6 rollup surface)
         import os
@@ -235,5 +295,6 @@ def build_kg(
         )
 
     return KGResult(
-        triples=triples, nodes=nodes, edges=edges, lineage=lineage, metrics=metrics
+        triples=triples, nodes=nodes, edges=edges, lineage=lineage,
+        metrics=metrics, errors=errors,
     )

@@ -51,6 +51,12 @@ RECORD_SCHEMA = pa.schema(
         ("material_name", pa.string()),  # combined with product_no / upc
         ("manufacturer", pa.string()),
         ("chemicals", pa.list_(CHEMICAL_STRUCT)),
+        # errors side-channel: null for surviving records; a reason code
+        # (EMPTY_MATERIAL / EMPTY_CHEMICALS / MATERIAL_ALREADY_INGESTED) for
+        # conversations the reference would FAIL (raise at
+        # artifact_ingestor_service.py:794-802 / 979-989) — kept as rows so
+        # drops are auditable instead of silent
+        ("drop_reason", pa.string()),
     ]
 )
 
@@ -70,6 +76,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     out_name: List[str] = []
     out_mfr: List[str] = []
     out_chems: List[list] = []
+    out_reason: List = []
 
     # column arrays once; the per-conversation loop indexes plain numpy/python
     # values (iterrows would cost ~100us/row at this volume)
@@ -104,7 +111,15 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
                 if upc_i < 0:
                     upc_i = i
         if mat_i < 0 or not chem_idx:
-            continue  # empty-material / empty-chemicals raise -> conv dropped
+            # empty-material / empty-chemicals raise -> conv dropped, but
+            # AUDITED: an error row replaces the reference's exception
+            out_conv.append(conv_arr[lo])
+            out_turn.append(int(turn_arr[lo]))
+            out_name.append(None if mat_i < 0 else name_arr[mat_i])
+            out_mfr.append(None if mat_i < 0 else mfr_arr[mat_i])
+            out_chems.append([])
+            out_reason.append("EMPTY_MATERIAL" if mat_i < 0 else "EMPTY_CHEMICALS")
+            continue
 
         combined = combine_material_name(
             name_arr[mat_i],
@@ -129,6 +144,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
         out_name.append(combined)
         out_mfr.append(mfr_arr[mat_i])
         out_chems.append(list(dedup.values()))
+        out_reason.append(None)
 
     return pa.table(
         {
@@ -137,6 +153,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
             "material_name": pa.array(out_name, pa.string()),
             "manufacturer": pa.array(out_mfr, pa.string()),
             "chemicals": pa.array(out_chems, pa.list_(CHEMICAL_STRUCT)),
+            "drop_reason": pa.array(out_reason, pa.string()),
         },
         schema=RECORD_SCHEMA,
     )
@@ -162,7 +179,14 @@ def dedup_records(records_ds, n_buckets: int = 64):
     (check_if_material_already_ingested -> save_msds except-path,
     artifact_ingestor_service.py:979-989, 606-610) — so only the FIRST
     conversation per material identity contributes anything to the graph.
-    Deterministic replacement for arrival order: min (conv_id, turn_idx)."""
+    Deterministic replacement for arrival order: min (conv_id, turn_idx).
+
+    Losers are NOT dropped: they survive with drop_reason =
+    MATERIAL_ALREADY_INGESTED (and chemicals emptied, matching the
+    reference's whole-document rollback) so the drop is auditable via the
+    errors side-channel. Rows already carrying a drop_reason from assembly
+    pass through on a per-conversation key (they never had a material
+    identity to compete on)."""
     import pyarrow.compute as pc
 
     from ..functions.decision_tables import normalize_name_key
@@ -172,7 +196,14 @@ def dedup_records(records_ds, n_buckets: int = 64):
     def add_keys(batch: pa.Table) -> pa.Table:
         mat = batch.column("material_name").to_pylist()
         mfr = batch.column("manufacturer").to_pylist()
-        keys = [normalize_name_key(m) + "\x1f" + f for m, f in zip(mat, mfr)]
+        conv = batch.column("conv_id").to_pylist()
+        reason = batch.column("drop_reason").to_pylist()
+        keys = [
+            # error rows get a conversation-unique key: no identity contest
+            "\x00ERR\x1f" + c if r is not None
+            else normalize_name_key(m) + "\x1f" + f
+            for m, f, c, r in zip(mat, mfr, conv, reason)
+        ]
         t = batch.append_column("mat_key", pa.array(keys, pa.string()))
         return t.append_column("order_key", order_key_array(batch))
 
@@ -184,11 +215,32 @@ def dedup_records(records_ds, n_buckets: int = 64):
         )
         sorted_t = bucket.take(order)
         keys = sorted_t.column("mat_key").to_pylist()
-        keep = [i for i, k in enumerate(keys) if i == 0 or k != keys[i - 1]]
-        kept = sorted_t.take(pa.array(keep, pa.int64()))
-        drop = [kept.schema.get_field_index("mat_key")]
-        kept = kept.remove_column(drop[0])
-        kept = kept.remove_column(kept.schema.get_field_index("order_key"))
-        return kept.select(RECORD_SCHEMA.names).cast(RECORD_SCHEMA)
+        n = len(keys)
+        is_dup = pa.array(
+            [i > 0 and keys[i] == keys[i - 1] for i in range(n)], pa.bool_()
+        )
+        reason = pc.if_else(
+            is_dup,
+            pa.scalar("MATERIAL_ALREADY_INGESTED", pa.string()),
+            sorted_t.column("drop_reason"),
+        )
+        # rollback semantics: a duplicate's chemicals contribute nothing
+        # (if_else lacks list<struct> kernels, so patch dup slots in Python —
+        # dup rows are a small minority of any bucket)
+        chems = sorted_t.column("chemicals")
+        dup_mask = is_dup.to_pylist()
+        if any(dup_mask):
+            chem_list = chems.to_pylist()
+            for i, d in enumerate(dup_mask):
+                if d:
+                    chem_list[i] = []
+            chems = pa.chunked_array([pa.array(chem_list, pa.list_(CHEMICAL_STRUCT))])
+        out = sorted_t.set_column(
+            sorted_t.schema.get_field_index("drop_reason"), "drop_reason", reason
+        )
+        out = out.set_column(
+            out.schema.get_field_index("chemicals"), "chemicals", chems
+        )
+        return out.select(RECORD_SCHEMA.names).cast(RECORD_SCHEMA)
 
     return bucket_group_apply_arrow(keyed, ["mat_key"], keep_first, n_buckets)

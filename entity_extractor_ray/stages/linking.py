@@ -56,7 +56,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.decision_tables import (
-    fold_chemical_mentions,
+    fold_chemical_mentions_total,
     normalize_name_key,
 )
 from ..functions.textnorm import stable_id
@@ -88,6 +88,11 @@ CHEM_NODE_STATE_SCHEMA = pa.schema(
         ("pfas_status", pa.string()),
         ("pfas_information_source", pa.string()),
         ("n_mentions", pa.int64()),
+        # errors side-channel: count of impossible (source, source) transitions
+        # that were skipped during the fold (the reference RAISES and aborts
+        # the document, artifact_ingestor_service.py:1244-1248; the engine
+        # holds the existing state and reports the coercion)
+        ("n_coerced", pa.int64()),
     ]
 )
 
@@ -288,21 +293,23 @@ def _fold_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """Per-entity ordered fold of (tag, source) mention streams into the
     final (status, source) — fold_chemical_mentions over (conv, turn) order."""
     df = df.sort_values("order_key", kind="mergesort")
-    ids, statuses, sources, counts = [], [], [], []
+    ids, statuses, sources, counts, coerced = [], [], [], [], []
     for entity_id, g in df.groupby("entity_id", sort=False):
-        status, source = fold_chemical_mentions(
+        status, source, n_coerced = fold_chemical_mentions_total(
             list(zip(g["tag"].to_numpy(), g["source"].to_numpy()))
         )
         ids.append(entity_id)
         statuses.append(status)
         sources.append(source)
         counts.append(len(g))
+        coerced.append(n_coerced)
     return pa.table(
         {
             "entity_id": pa.array(ids, pa.string()),
             "pfas_status": pa.array(statuses, pa.string()),
             "pfas_information_source": pa.array(sources, pa.string()),
             "n_mentions": pa.array(counts, pa.int64()),
+            "n_coerced": pa.array(coerced, pa.int64()),
         },
         schema=CHEM_NODE_STATE_SCHEMA,
     )

@@ -98,6 +98,18 @@ class CheckpointManager:
             shutil.rmtree(out)
         ds = build()
         ds.write_parquet(tmp)
+        # an empty stage writes no files (and possibly no directory): commit
+        # an explicit zero-row parquet carrying the schema so the rename and
+        # the later read_parquet stay uniform
+        os.makedirs(tmp, exist_ok=True)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+            arrow_schema = getattr(ds.schema(), "base_schema", None)
+            if arrow_schema is None:
+                raise RuntimeError(
+                    f"stage {name!r} produced no rows and its schema is "
+                    "unavailable; cannot commit an empty checkpoint"
+                )
+            pq.write_table(arrow_schema.empty_table(), os.path.join(tmp, "empty_0.parquet"))
         os.rename(tmp, out)
 
         rows = 0

@@ -116,6 +116,97 @@ class TestOrderingInvariant:
         assert checksum(files) == checksum(list(reversed(files)))
 
 
+class TestErrors:
+    def test_natural_corpus_errors_match_oracle(self, kg, oracle_store):
+        """The synthetic corpus produces duplicate-material conversations
+        naturally; engine error rows must equal the serial oracle's exactly
+        (multiset compare — status_fold rows replicate per coercion)."""
+        got = sorted((r["stage"], r["key"], r["reason"]) for r in kg.errors.take_all())
+        want = sorted(
+            (e["stage"], e["key"], e["reason"])
+            for e in orc.oracle_errors(oracle_store)
+        )
+        assert want, "natural corpus should contain duplicate-material drops"
+        assert got == want
+
+    def test_planted_error_cases(self, ray_session, tmp_path_factory):
+        """Planted corpus exercising every reason code: EMPTY_CHEMICALS,
+        EMPTY_MATERIAL, MATERIAL_ALREADY_INGESTED, IMPOSSIBLE_TRANSITION —
+        and a filler-only conversation that must NOT produce an error row."""
+        rows = []
+
+        def turn(conv, idx, text):
+            rows.append((conv, idx, "user", text, "", 1_700_000_000_000_000 + idx))
+
+        def mat(m, f):
+            return f'We are reviewing material "{m}" supplied by "{f}".'
+
+        def chem(n, cas, pct, tag, src):
+            cas_bit = f" with CAS {cas}" if cas else ""
+            return (
+                f'It contains ingredient "{n}"{cas_bit} at {pct}% '
+                f"tagged {tag} (source {src})."
+            )
+
+        turn("convA", 0, mat("Foam 1", "Acme Corp"))  # material, no chemicals
+        turn("convA", 1, "Could you summarize the findings so far?")
+        turn("convB", 0, chem("Chem B", "1000-01-0", 10.0, "PFAS", "OPENAI"))
+        turn("convC", 0, mat("Sealant 7", "Acme Corp"))
+        turn("convC", 1, chem("Chem C", None, 5.0, "PFAS", "OPENAI"))
+        # same material identity as convC after normalization -> J1 drop
+        turn("convD", 0, mat("sealant 7", "Acme Corp"))
+        turn("convD", 1, chem("Chem D", None, 5.0, "NO_PFAS", "OECD"))
+        # same chemical entity mentioned with OECD then MANUAL sources:
+        # final_source(OECD, MANUAL) is an impossible transition
+        turn("convE", 0, mat("Laminate 1", "Acme Corp"))
+        turn("convE", 1, chem("Chem Z", "5555-55-5", 1.0, "PENDING", "OECD"))
+        turn("convF", 0, mat("Laminate 2", "Acme Corp"))
+        turn("convF", 1, chem("Chem Z", "5555-55-5", 2.0, "PFAS", "MANUAL"))
+        turn("convG", 0, "Thanks, let me look into compliance next.")  # non-doc
+
+        table = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([r[4] for r in rows], pa.string()),
+                "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+            }
+        )
+        path = str(tmp_path_factory.mktemp("planted") / "turns.parquet")
+        pq.write_table(table, path)
+
+        result = build_kg(path, out_dir=None, n_buckets=4, num_join_partitions=2)
+        store = orc.run_oracle(table)
+
+        got = sorted(
+            (r["stage"], r["key"], r["reason"]) for r in result.errors.take_all()
+        )
+        want = sorted(
+            (e["stage"], e["key"], e["reason"]) for e in orc.oracle_errors(store)
+        )
+        assert got == want
+        assert ("assemble", "convA", "EMPTY_CHEMICALS") in got
+        assert ("assemble", "convB", "EMPTY_MATERIAL") in got
+        assert ("dedup", "convD", "MATERIAL_ALREADY_INGESTED") in got
+        assert any(s == "status_fold" and r == "IMPOSSIBLE_TRANSITION"
+                   for s, _, r in got)
+        assert not any(k == "convG" for _, k, _r in got)
+
+        # the graph itself must still match the oracle exactly: dropped
+        # conversations contribute nothing, the coerced fold keeps state
+        got_nodes = {
+            (r["entity_id"], r["pfas_status"], r["pfas_information_source"])
+            for r in result.nodes.take_all()
+        }
+        want_nodes = {
+            (n["entity_id"], n["pfas_status"], n["pfas_information_source"])
+            for n in orc.oracle_nodes(store)
+        }
+        assert got_nodes == want_nodes
+
+
 class TestResume:
     def test_rerun_skips_stages_and_is_identical(self, ray_session, small_turns, tmp_path_factory):
         out = str(tmp_path_factory.mktemp("kg_resume") / "out")
