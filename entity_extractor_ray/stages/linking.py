@@ -197,8 +197,9 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
             clusters.setdefault(find(i), []).append(i)
 
         for members in clusters.values():
-            winner = min(members, key=lambda i: min_orders[i])
-            last = max(members, key=lambda i: max_orders[i])
+            # (order, name, cas) tie-break matches _component_mapping exactly
+            winner = min(members, key=lambda i: (min_orders[i], names[i], cass[i]))
+            last = max(members, key=lambda i: (max_orders[i], names[i], cass[i]))
             entity_id = stable_id("CHEMICAL", mfr, names[winner])
             canon_cas = cass[last] if cass[last] else None
             emit("NODE", None, entity_id, names[winner], canon_cas, mfr)
@@ -241,15 +242,159 @@ def _local_distinct_keys(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64):
+SKEW_KEY_THRESHOLD = 100_000
+
+
+def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
+                           skew_threshold: int = SKEW_KEY_THRESHOLD):
     """chem mention rows -> union-find mapping table (MAPPING_SCHEMA).
 
     Shuffle profile: map-side combine to per-batch distinct keys, then ONE
     bucket shuffle keyed on manufacturer; cross-batch duplicates merge
-    in-bucket before union-find."""
+    in-bucket before union-find.
+
+    HOT-KEY HANDLING: the manufacturer block is the union-find unit, so a
+    pathological manufacturer owning millions of distinct chemicals would
+    ship its whole key set into one task. Manufacturers whose distinct-key
+    row count exceeds ``skew_threshold`` (an upper bound — per-batch partials
+    may double-count a key) are routed to a fully distributed
+    connected-component path (_component_mapping: name<->cas edges +
+    min-label propagation + per-component reduce) whose largest task is one
+    COMPONENT, not one manufacturer. Both paths emit identical NODE/PROBE
+    rows for the same input. Pass ``skew_threshold=None`` to disable the
+    gate (single in-task path)."""
     keys = chem_mentions_ds.map_batches(chem_link_keys, batch_format="pyarrow")
     partial = keys.map_batches(_local_distinct_keys, batch_format="pyarrow")
-    return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
+    if skew_threshold is None:
+        return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
+
+    # distinct-key vocabulary: bounded by entity count, not mention count —
+    # safe to materialize (spills if large); consumed by the count gate and
+    # by whichever path(s) run
+    partial = partial.materialize()
+    counts = partial.groupby("manufacturer").count()
+    hot = [
+        r["manufacturer"]
+        for r in counts.iter_rows()
+        if r["count()"] > skew_threshold
+    ]
+    if not hot:
+        return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
+
+    hot_set = pa.array(sorted(hot), pa.string())
+
+    def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+        mask = pc.is_in(batch.column("manufacturer"), value_set=hot_set)
+        return batch.filter(mask if keep_hot else pc.invert(mask))
+
+    cold = partial.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")
+    hot_rows = partial.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow")
+    cold_mapping = bucket_group_apply(cold, ["manufacturer"], _union_find_bucket, n_buckets)
+    return cold_mapping.union(_component_mapping(hot_rows, n_buckets))
+
+
+def _component_mapping(rows_ds, n_buckets: int = 64):
+    """Distributed equivalent of _union_find_bucket for oversized
+    manufacturer blocks: the merge relation (shared exact name OR shared
+    non-empty CAS within a manufacturer) becomes a bipartite edge list
+    name_node <-> cas_node (node ids = the probe keys themselves), connected
+    components come from min-label propagation (stages/dedup.py), and the
+    NODE/PROBE emission reduces per COMPONENT — components are entity-sized,
+    so no task ever holds a whole manufacturer."""
+    from .dedup import propagate_min_labels
+    from .shuffle import lookup_join
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        mfr = batch.column("manufacturer").to_pylist()
+        name = batch.column("name").to_pylist()
+        cas = batch.column("cas").to_pylist()
+        a, b = [], []
+        for m, nm, c in zip(mfr, name, cas):
+            if c:
+                a.append(probe_hash("N", m, nm))
+                b.append(probe_hash("C", m, c))
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    edges = rows_ds.map_batches(edge_rows, batch_format="pyarrow")
+    labels = propagate_min_labels(edges, n_buckets)
+
+    def add_name_node(batch: pa.Table) -> pa.Table:
+        mfr = batch.column("manufacturer").to_pylist()
+        name = batch.column("name").to_pylist()
+        nodes = [probe_hash("N", m, nm) for m, nm in zip(mfr, name)]
+        return batch.append_column("name_node", pa.array(nodes, pa.int64()))
+
+    keyed = rows_ds.map_batches(add_name_node, batch_format="pyarrow")
+    joined = lookup_join(
+        keyed,
+        labels.rename_columns({"node": "name_node", "label": "comp"}),
+        key="name_node",
+        how="left",
+        n_buckets=n_buckets,
+    )
+
+    def fill_comp(batch: pa.Table) -> pa.Table:
+        comp = pc.coalesce(
+            pc.cast(batch.column("comp"), pa.int64()), batch.column("name_node")
+        )
+        idx = batch.schema.get_field_index("comp")
+        return batch.set_column(idx, "comp", comp)
+
+    labeled = joined.map_batches(fill_comp, batch_format="pyarrow")
+
+    def comp_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        out: Dict[str, List] = {n: [] for n in MAPPING_SCHEMA.names}
+
+        def emit(kind, probe, entity, name=None, cas=None, mfr=None):
+            out["row_kind"].append(kind)
+            out["probe_key"].append(probe)
+            out["entity_id"].append(entity)
+            out["name"].append(name)
+            out["cas"].append(cas)
+            out["manufacturer"].append(mfr)
+
+        # cross-batch duplicates of one (mfr, name, cas) key merge here, same
+        # as _union_find_bucket's in-bucket pre-merge
+        df = (
+            df.groupby(["comp", "manufacturer", "name", "cas"], sort=False)
+            .agg(min_order=("min_order", "min"), max_order=("max_order", "max"))
+            .reset_index()
+        )
+        for _, g in df.groupby("comp", sort=False):
+            names = g["name"].to_numpy()
+            cass = g["cas"].to_numpy()
+            min_orders = g["min_order"].to_numpy()
+            max_orders = g["max_order"].to_numpy()
+            mfr = g["manufacturer"].iloc[0]  # node ids embed the mfr: 1 per comp
+            members = range(len(names))
+            winner = min(members, key=lambda i: (min_orders[i], names[i], cass[i]))
+            last = max(members, key=lambda i: (max_orders[i], names[i], cass[i]))
+            entity_id = stable_id("CHEMICAL", mfr, names[winner])
+            canon_cas = cass[last] if cass[last] else None
+            emit("NODE", None, entity_id, names[winner], canon_cas, mfr)
+            seen_probes = set()
+            for i in members:
+                nk = probe_hash("N", mfr, names[i])
+                if nk not in seen_probes:
+                    seen_probes.add(nk)
+                    emit("PROBE", nk, entity_id)
+                if cass[i]:
+                    ck = probe_hash("C", mfr, cass[i])
+                    if ck not in seen_probes:
+                        seen_probes.add(ck)
+                        emit("PROBE", ck, entity_id)
+
+        return pa.table(
+            {n: pa.array(out[n], MAPPING_SCHEMA.field(n).type) for n in MAPPING_SCHEMA.names},
+            schema=MAPPING_SCHEMA,
+        )
+
+    slim = labeled.select_columns(
+        ["comp", "manufacturer", "name", "cas", "min_order", "max_order"]
+    )
+    return bucket_group_apply(slim, ["comp"], comp_bucket, n_buckets)
 
 
 def add_probe_and_material_keys(batch: pa.Table) -> pa.Table:
@@ -291,7 +436,10 @@ def link_chem_mentions(chem_mentions_ds, mapping_ds, num_partitions: int = 16):
 
 def _fold_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """Per-entity ordered fold of (tag, source) mention streams into the
-    final (status, source) — fold_chemical_mentions over (conv, turn) order."""
+    final (status, source) — fold_chemical_mentions over (conv, turn) order.
+    Verification-scale reference path (ships every mention of an entity into
+    one group); the production path is the associative segment composition
+    in fold_chemical_states."""
     df = df.sort_values("order_key", kind="mergesort")
     ids, statuses, sources, counts, coerced = [], [], [], [], []
     for entity_id, g in df.groupby("entity_id", sort=False):
@@ -315,7 +463,177 @@ def _fold_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     )
 
 
-def fold_chemical_states(linked_ds, n_buckets: int = 64):
-    """linked mention rows -> per-entity folded (status, source)."""
+def fold_chemical_states_simple(linked_ds, n_buckets: int = 64):
+    """Reference shape: one bucket shuffle, whole entity history per group."""
     slim = linked_ds.select_columns(["entity_id", "order_key", "tag", "source"])
     return bucket_group_apply(slim, ["entity_id"], _fold_bucket, n_buckets)
+
+
+# ---------------------------------------------- associative segment fold
+#
+# The (status, source) fold is order-dependent but its state space is FINITE
+# (3 statuses x a small source alphabet), so any contiguous mention segment
+# composes into one transfer function state -> (state', n_coerced) — a
+# monoid. The production fold therefore:
+#   1. range-sorts mentions by (entity_id, order_key) — Ray's sort range-
+#      partitions, so a hot entity SPANS blocks instead of landing on one
+#      task;
+#   2. per sorted batch, collapses each entity run into ONE segment row
+#      (lead result + dense transfer vectors over the state alphabet);
+#   3. groups the per-entity segment rows (tiny: one per batch the entity
+#      touches) and composes them in min_order order.
+# Exchange volume for the final group is O(entities x segments), never
+# O(mentions-of-hottest-entity).
+
+_CANON_SOURCES = ("OPENAI", "MANUAL", "OECD", "NONE", "VAI")
+
+
+def _build_fold_tables(input_sources: List[str]):
+    """Dense transfer tables over the dynamic alphabet.
+
+    States: STATUSES x (canonical sources + any observed non-canonical ones
+    — the fold's total extension can hold an arbitrary input source as
+    existing state, so observed sources are part of the closure).
+    Mention types: STATUSES x observed input sources."""
+    from ..functions.decision_tables import (
+        STATUSES,
+        TransitionError,
+        final_source,
+        final_status,
+    )
+
+    state_sources = list(_CANON_SOURCES) + sorted(
+        set(input_sources) - set(_CANON_SOURCES)
+    )
+    in_sources = sorted(set(input_sources))
+    states = [(st, src) for st in STATUSES for src in state_sources]
+    mtypes = [(st, src) for st in STATUSES for src in in_sources]
+    state_idx = {s: i for i, s in enumerate(states)}
+    mtype_idx = {m: i for i, m in enumerate(mtypes)}
+
+    n_s, n_m = len(states), len(mtypes)
+    step = np.zeros((n_s, n_m), np.int16)
+    coer = np.zeros((n_s, n_m), np.int8)
+    for si, (est, esrc) in enumerate(states):
+        for mi, (nst, nsrc) in enumerate(mtypes):
+            try:
+                src = final_source(esrc, nsrc)
+                status = final_status(esrc, nsrc, est, nst)
+                step[si, mi] = state_idx[(status, src)]
+            except TransitionError:
+                step[si, mi] = si
+                coer[si, mi] = 1
+    # a mention type as the FIRST mention initializes state directly
+    init = np.array(
+        [state_idx[(st, src)] for st, src in mtypes], np.int16
+    )
+    return states, state_idx, mtype_idx, step, coer, init
+
+
+SEGMENT_SCHEMA_NAMES = (
+    "entity_id", "min_order", "n_mentions", "lead_state", "lead_coerced",
+    "vec_state", "vec_coerced",
+)
+
+
+def _segment_summary_fn(fold_tables):
+    states, state_idx, mtype_idx, step, coer, init = fold_tables
+    n_s = len(states)
+
+    def summarize(df: pd.DataFrame) -> pa.Table:
+        from ..functions.decision_tables import pfas_status_from_tag
+
+        ent = df["entity_id"].to_numpy()
+        orders = df["order_key"].to_numpy()
+        mt = np.fromiter(
+            (
+                mtype_idx[(pfas_status_from_tag(t), s)]
+                for t, s in zip(df["tag"].to_numpy(), df["source"].to_numpy())
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        n = len(ent)
+        bounds = [0] + [i for i in range(1, n) if ent[i] != ent[i - 1]] + [n]
+
+        out = {k: [] for k in SEGMENT_SCHEMA_NAMES}
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            seg = mt[lo:hi]
+            lead = int(init[seg[0]])
+            lead_c = 0
+            v = np.arange(n_s, dtype=np.int16)
+            c = np.zeros(n_s, np.int64)
+            for m in seg[1:]:
+                lead_c += int(coer[lead, m])
+                lead = int(step[lead, m])
+            for m in seg:
+                c += coer[v, m]
+                v = step[v, m]
+            out["entity_id"].append(ent[lo])
+            out["min_order"].append(orders[lo])
+            out["n_mentions"].append(hi - lo)
+            out["lead_state"].append(lead)
+            out["lead_coerced"].append(lead_c)
+            out["vec_state"].append(v.tolist())
+            out["vec_coerced"].append(c.tolist())
+        return pa.table(
+            {
+                "entity_id": pa.array(out["entity_id"], pa.string()),
+                "min_order": pa.array(out["min_order"], pa.string()),
+                "n_mentions": pa.array(out["n_mentions"], pa.int64()),
+                "lead_state": pa.array(out["lead_state"], pa.int16()),
+                "lead_coerced": pa.array(out["lead_coerced"], pa.int64()),
+                "vec_state": pa.array(out["vec_state"], pa.list_(pa.int16())),
+                "vec_coerced": pa.array(out["vec_coerced"], pa.list_(pa.int64())),
+            }
+        )
+
+    return summarize
+
+
+def fold_chemical_states(linked_ds, n_buckets: int = 64):
+    """linked mention rows -> per-entity folded (status, source), via the
+    associative segment composition (see block comment above). Output is
+    identical to fold_chemical_states_simple (pinned by
+    tests/test_fold_associative.py and the e2e-exact oracle suite)."""
+    slim = linked_ds.select_columns(["entity_id", "order_key", "tag", "source"])
+    input_sources = [s for s in slim.unique("source") if s is not None]
+    fold_tables = _build_fold_tables(input_sources)
+    states = fold_tables[0]
+
+    segs = slim.sort(["entity_id", "order_key"]).map_batches(
+        _segment_summary_fn(fold_tables), batch_format="pandas"
+    )
+
+    def compose_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values(["entity_id", "min_order"], kind="mergesort")
+        ids, statuses, sources, counts, coerced = [], [], [], [], []
+        for entity_id, g in df.groupby("entity_id", sort=False):
+            lead = g["lead_state"].to_numpy()
+            lead_c = g["lead_coerced"].to_numpy()
+            vs = g["vec_state"].to_numpy()
+            vc = g["vec_coerced"].to_numpy()
+            state = int(lead[0])
+            n_coerced = int(lead_c[0])
+            for k in range(1, len(g)):
+                n_coerced += int(vc[k][state])
+                state = int(vs[k][state])
+            status, source = states[state]
+            ids.append(entity_id)
+            statuses.append(status)
+            sources.append(source)
+            counts.append(int(g["n_mentions"].sum()))
+            coerced.append(n_coerced)
+        return pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "pfas_status": pa.array(statuses, pa.string()),
+                "pfas_information_source": pa.array(sources, pa.string()),
+                "n_mentions": pa.array(counts, pa.int64()),
+                "n_coerced": pa.array(coerced, pa.int64()),
+            },
+            schema=CHEM_NODE_STATE_SCHEMA,
+        )
+
+    return bucket_group_apply(segs, ["entity_id"], compose_bucket, n_buckets)
