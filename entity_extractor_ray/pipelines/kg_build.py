@@ -190,11 +190,30 @@ def build_kg(
         )
     # extract -> assemble -> J1-guard dedup fused into ONE pinned execution;
     # the pinned table carries BOTH surviving records (drop_reason null) and
-    # audited error rows, so resume keeps the error channel too
-    records = pin(
-        "records",
-        lambda: dedup_records(assemble_records(extraction, n_buckets), n_buckets),
-    )
+    # audited error rows, so resume keeps the error channel too. With an
+    # out_dir, the assemble shuffle commits PER-BUCKET part files
+    # (assemble_records_partitioned): a death mid-records resumes from the
+    # finished buckets instead of restarting the stage from zero.
+    if ckpt is not None:
+        import os
+
+        from ..stages.assemble import assemble_records_partitioned
+
+        parts_dir = os.path.join(out_dir, "records_assemble")
+        records = pin(
+            "records",
+            lambda: dedup_records(
+                assemble_records_partitioned(
+                    extraction, parts_dir, n_buckets, fingerprint=ckpt.fingerprint
+                ),
+                n_buckets,
+            ),
+        )
+    else:
+        records = pin(
+            "records",
+            lambda: dedup_records(assemble_records(extraction, n_buckets), n_buckets),
+        )
     if records.count() == 0:
         return _empty_result(metrics)
 

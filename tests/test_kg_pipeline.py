@@ -221,6 +221,41 @@ class TestResume:
         )
         assert nodes1 == nodes2
 
+    def test_partition_level_resume(self, ray_session, small_turns, tmp_path_factory):
+        """Kill 'mid-records': downstream stages absent, some assemble part
+        files committed. The rerun must rebuild ONLY the missing parts
+        (untouched parts keep their mtime) and produce identical output."""
+        import glob as g
+        import os
+        import shutil
+
+        out = str(tmp_path_factory.mktemp("kg_parts") / "out")
+        r1 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        nodes1 = sorted(
+            (r["entity_id"], r["pfas_status"]) for r in r1.nodes.take_all()
+        )
+        parts_dir = os.path.join(out, "records_assemble")
+        parts = sorted(g.glob(os.path.join(parts_dir, "part-*.parquet")))
+        assert len(parts) == 8
+
+        # simulate a crash during the records stage: no stage dirs committed
+        # yet, 5 of 8 assemble parts already on disk
+        for d in os.listdir(out):
+            if d != "records_assemble":
+                shutil.rmtree(os.path.join(out, d))
+        for p in parts[:3]:
+            os.remove(p)
+        kept_mtimes = {p: os.stat(p).st_mtime_ns for p in parts[3:]}
+
+        r2 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        for p, m in kept_mtimes.items():
+            assert os.stat(p).st_mtime_ns == m, f"finished part rebuilt: {p}"
+        assert len(g.glob(os.path.join(parts_dir, "part-*.parquet"))) == 8
+        nodes2 = sorted(
+            (r["entity_id"], r["pfas_status"]) for r in r2.nodes.take_all()
+        )
+        assert nodes1 == nodes2
+
     def test_partial_failure_resume(self, ray_session, small_turns, tmp_path_factory):
         """Delete a late-stage checkpoint; rerun must rebuild ONLY that stage
         (earlier stages report skipped) and produce identical output."""
