@@ -131,6 +131,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_features"] = _media_features
 
+    # real binary ingestion: read_binary_files over an on-disk corpus ->
+    # actor-pool decode; oracle-backed via DuckDB read_blob
+    def _media_file_features(sf):
+        mm.write_media_corpus("/tmp/eer_media_corpus")
+        return mm.media_file_features("/tmp/eer_media_corpus")
+
+    q["media_file_features"] = _media_file_features
+
     # --- the KG construction pipeline itself (transcript input; rows-only)
     q["kg_triples"] = lambda sf: _kg(sf).triples
     q["kg_nodes"] = lambda sf: _kg(sf).nodes
@@ -182,6 +190,12 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import chunk as ck
 
     sql["chunk_documents"] = ck.chunk_text_sql()
+    # binary ingestion oracle reads the SAME files the Ray query reads; the
+    # corpus is (re)generated here too in case the oracle runs first
+    from entity_extractor_ray.stages import multimodal as mm
+
+    mm.write_media_corpus("/tmp/eer_media_corpus")
+    sql["media_file_features"] = mm.media_file_features_sql("/tmp/eer_media_corpus")
     # rows-only (non-SQL-expressible): winnow_fingerprints, minhash_dedup,
     # simhash_pairs, ngram_jaccard_pairs, embedding_lsh_pairs, knn_cosine_ivf,
     # kg_* (stateful multi-stage KG build over transcript input)

@@ -38,6 +38,10 @@ FEATURES_SCHEMA = pa.schema(
         ("mime", pa.string()),
         ("n_bytes", pa.int64()),
         ("sha16", pa.string()),
+        # md5 of the UPPERCASE hex of the payload — chosen because DuckDB can
+        # reproduce it (md5(hex(content))), giving binary ingestion a real
+        # value-hash oracle (md5(BLOB) is not overloaded in DuckDB 1.0)
+        ("payload_md5", pa.string()),
         ("features", pa.list_(pa.float32())),
     ]
 )
@@ -66,6 +70,103 @@ def synth_media_table(n_items: int = 64, seed: int = 5) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+_MIME_EXT = {"image/png": "png", "image/jpeg": "jpg", "audio/wav": "wav"}
+_EXT_MIME = {v: k for k, v in _MIME_EXT.items()}
+_FILENAME_RE = r"item_(\d+)_(\d+)x(\d+)\.(\w+)$"
+
+
+def write_media_corpus(out_dir: str, n_items: int = 128, seed: int = 5) -> str:
+    """Materialize synth_media_table as REAL on-disk binary files
+    (item_<id>_<w>x<h>.<ext>) — the ingestion target for read_media_files
+    (reference S3 blob reader, file_analysis_service.py:268-358). Idempotent
+    via a parameter marker."""
+    import os
+
+    marker = os.path.join(out_dir, "_SPEC")
+    stamp = f"n_items={n_items} seed={seed}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = synth_media_table(n_items, seed)
+    for i in range(table.num_rows):
+        item = table.slice(i, 1).to_pylist()[0]
+        ext = _MIME_EXT[item["mime"]]
+        name = f"item_{item['item_id']:05d}_{item['width']}x{item['height']}.{ext}"
+        with open(os.path.join(out_dir, name), "wb") as fh:
+            fh.write(item["payload"])
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out_dir
+
+
+def read_media_files(media_dir: str):
+    """Binary-file ingestion: ray.data.read_binary_files over the corpus
+    directory, metadata (item_id, mime, width, height) recovered from the
+    filename -> MEDIA_SCHEMA Dataset. This is the S3/S6 blob-reader path
+    with a real read_binary_files source (payloads stream as blocks; never
+    driver-materialized)."""
+    import re
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(media_dir, include_paths=True)
+    pattern = re.compile(_FILENAME_RE)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        ids, mimes, ws, hs, keep_payloads = [], [], [], [], []
+        for p, payload in zip(paths, payloads):
+            m = pattern.search(p)
+            if m is None:  # non-corpus file (markers etc.) — skip
+                continue
+            ids.append(int(m.group(1)))
+            ws.append(int(m.group(2)))
+            hs.append(int(m.group(3)))
+            mimes.append(_EXT_MIME.get(m.group(4), "application/octet-stream"))
+            keep_payloads.append(payload)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(keep_payloads, pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def media_file_features(media_dir: str, concurrency: int = 2, batch_size: int = 16):
+    """read_binary_files -> actor-pool decode -> (item_id, mime, n_bytes,
+    payload_md5): the oracle-comparable binary-ingestion query (DuckDB side:
+    media_file_features_sql)."""
+    decoded = decode_media(
+        read_media_files(media_dir), concurrency=concurrency, batch_size=batch_size
+    )
+    return decoded.select_columns(["item_id", "mime", "n_bytes", "payload_md5"])
+
+
+def media_file_features_sql(media_dir: str) -> str:
+    """DuckDB oracle over the SAME on-disk files via read_blob: filename
+    metadata parse + octet_length + md5(hex(content)) (== the engine's
+    md5-of-uppercase-hex)."""
+    return f"""
+    SELECT CAST(regexp_extract(filename, 'item_(\\d+)_', 1) AS BIGINT) AS item_id,
+           CASE WHEN filename LIKE '%.png' THEN 'image/png'
+                WHEN filename LIKE '%.jpg' THEN 'image/jpeg'
+                WHEN filename LIKE '%.wav' THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS mime,
+           octet_length(content) AS n_bytes,
+           md5(hex(content)) AS payload_md5
+    FROM read_blob('{media_dir}/item_*')
+    """
 
 
 class ImageDecodeStub:
@@ -107,10 +208,11 @@ class ImageDecodeStub:
         ids = batch.column("item_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         mimes = batch.column("mime").to_pylist()
-        feats, shas, sizes = [], [], []
+        feats, shas, md5s, sizes = [], [], [], []
         for payload, mime in zip(payloads, mimes):
             feats.append(self._decode(payload, mime))
             shas.append(hashlib.blake2b(payload, digest_size=8).hexdigest())
+            md5s.append(hashlib.md5(payload.hex().upper().encode()).hexdigest())
             sizes.append(len(payload))
         return pa.table(
             {
@@ -118,6 +220,7 @@ class ImageDecodeStub:
                 "mime": pa.array(mimes, pa.string()),
                 "n_bytes": pa.array(sizes, pa.int64()),
                 "sha16": pa.array(shas, pa.string()),
+                "payload_md5": pa.array(md5s, pa.string()),
                 "features": pa.array([list(map(float, f)) for f in feats],
                                      pa.list_(pa.float32())),
             },
