@@ -149,6 +149,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tests/test_kg_pipeline.py
     q["kg_errors"] = lambda sf: _kg(sf).errors
 
+    # J5 1-hop traversal over the produced graph (chemicals of each material,
+    # reference global_node_repository.py:197-219); exact vs the serial
+    # oracle in tests/test_kg_pipeline.py
+    def _traversal(sf):
+        from entity_extractor_ray.stages.graph import chemicals_of_material
+
+        kg = _kg(sf)
+        return chemicals_of_material(kg.nodes, kg.edges)
+
+    q["kg_traversal"] = _traversal
+
     def _mentions(sf):
         import ray.data as rd
 

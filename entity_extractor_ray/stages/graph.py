@@ -425,3 +425,49 @@ def lineage_rows(linked_batch: pa.Table, n_buckets: int = 64) -> pa.Table:
         },
         schema=LINEAGE_SCHEMA,
     )
+
+
+# ------------------------------------------------------------ J5 traversal
+
+def chemicals_of_material(nodes_ds, edges_ds, num_partitions: int = 8):
+    """1-hop KG traversal over the engine's OWN outputs: every material with
+    its contained chemicals and their PFAS state (reference
+    global_node_repository.py:197-219 — get_chemicals_of_a_material /
+    get_materials_of_a_chemical reporting queries).
+
+    Shape: CONTAINS edges join the dimension-sized node table twice via
+    lookup_join (broadcast while small, bucket join at scale)."""
+    contains = edges_ds.filter(expr="pred == 'CONTAINS'").select_columns(
+        ["src", "dst", "weight"]
+    )
+    mats = (
+        nodes_ds.filter(expr="node_type == 'MATERIAL'")
+        .select_columns(["entity_id", "name"])
+        .rename_columns({"name": "material_name"})
+    )
+    chems = (
+        nodes_ds.filter(expr="node_type == 'CHEMICAL'")
+        .select_columns(["entity_id", "name", "cas_number", "pfas_status"])
+        .rename_columns({"name": "chemical_name"})
+    )
+    from .shuffle import lookup_join
+
+    j = lookup_join(contains, mats, key="src", right_key="entity_id",
+                    n_buckets=num_partitions)
+    j = lookup_join(j, chems, key="dst", right_key="entity_id",
+                    n_buckets=num_partitions)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "material_id": t.column("src"),
+                "material_name": t.column("material_name"),
+                "chemical_id": t.column("dst"),
+                "chemical_name": t.column("chemical_name"),
+                "cas_number": t.column("cas_number"),
+                "pfas_status": t.column("pfas_status"),
+                "weight": t.column("weight"),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")

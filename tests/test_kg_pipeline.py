@@ -91,6 +91,28 @@ class TestLineage:
             assert row["entity_id"] in node_ids
 
 
+class TestTraversal:
+    def test_chemicals_of_material_matches_oracle(self, kg, oracle_store):
+        """J5 1-hop traversal (nodes JOIN edges JOIN nodes) must reproduce
+        the oracle's CONTAINS adjacency with full node attributes."""
+        from entity_extractor_ray.stages.graph import chemicals_of_material
+
+        got = {
+            (r["material_id"], r["material_name"], r["chemical_id"],
+             r["chemical_name"], r["cas_number"], r["pfas_status"], r["weight"])
+            for r in chemicals_of_material(kg.nodes, kg.edges).take_all()
+        }
+        mats = {m["entity_id"]: m for m in oracle_store.materials.values()}
+        chems = {c["entity_id"]: c for c in oracle_store.chem_nodes}
+        want = {
+            (src, mats[src]["name"], dst, chems[dst]["name"],
+             chems[dst]["cas_number"], chems[dst]["pfas_status"], weight)
+            for (src, dst, pred), weight in oracle_store.edges.items()
+            if pred == "CONTAINS"
+        }
+        assert want and got == want
+
+
 class TestOrderingInvariant:
     def test_turn_checksum_stable(self, small_turns, ray_session):
         """Per-turn text equality under stable (conv_id, turn_idx) order:
