@@ -96,6 +96,16 @@ def run_once() -> dict:
         else:
             len(result)
 
+    stages = [
+        {
+            "stage": m["stage"],
+            "duration_s": round(m["duration_ms"] / 1000, 2),
+            "gap_s": round(m.get("gap_ms", 0) / 1000, 2),
+            "rows": m["rows_out"],
+        }
+        for m in res.metrics
+    ]
+
     if os.environ.get("GRAFT_SKIP_QUERIES"):
         ray.shutdown()
         return {
@@ -107,6 +117,7 @@ def run_once() -> dict:
             "num_cpus": NUM_CPUS,
             "turns": n_turns,
             "turns_per_sec": round(n_turns / headline, 1),
+            "stages": stages,
         }
 
     query_fns = {
@@ -158,6 +169,20 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-stage speedups: compute-bound stages should approach hi/lo while
+    # shuffle-bound stages flatline on one memory bus — the evidence for the
+    # single-box bandwidth ceiling (BASELINE.md scaling section)
+    lo_stages = {s["stage"]: s["duration_s"] for s in r_lo.get("stages", [])}
+    stages = [
+        {
+            "stage": s["stage"],
+            "sec_8": lo_stages.get(s["stage"]),
+            "sec_32": s["duration_s"],
+            "speedup": round(lo_stages[s["stage"]] / s["duration_s"], 2)
+            if lo_stages.get(s["stage"]) and s["duration_s"] else None,
+        }
+        for s in r_hi.get("stages", [])
+    ]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -168,6 +193,7 @@ def run_scaling() -> dict:
         "turns_per_sec_32": r_hi["turns_per_sec"],
         "turns": r_hi["turns"],
         "sf": r_hi["sf"],
+        "stages": stages,
     }
 
 

@@ -225,9 +225,20 @@ def ingest(store: OracleStore, conv_id: str, record: dict) -> None:
 
 
 def run_oracle(turns_table: pa.Table) -> OracleStore:
+    import pandas as pd
+
     df = turns_table.select(["conv_id", "turn_idx", "text"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     store = OracleStore()
+    # M14 ingest validation: rows missing a grouping key fail as INVALID_ROW
+    # (engine counterpart: kg_build.validate_turns)
+    bad = df["conv_id"].isna() | df["turn_idx"].isna()
+    if bad.any():
+        for cid in df.loc[bad, "conv_id"]:
+            store.errors.append(
+                ("ingest", cid if pd.notna(cid) else "<null-conv>", "INVALID_ROW")
+            )
+        df = df[~bad]
     for conv_id, g in df.groupby("conv_id", sort=True):
         record = extract_record(list(zip(g["turn_idx"], g["text"])))
         if record is None:

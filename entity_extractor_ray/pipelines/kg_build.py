@@ -108,6 +108,51 @@ def _empty_result(metrics) -> KGResult:
     )
 
 
+TURNS_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("text", pa.string())]
+)
+
+
+def validate_turns(batch: pa.Table):
+    """Ingest-time request validation (reference M14: DTO validation before
+    any processing): cast to the contract schema (int64 turn_idx from wider
+    readers narrows; incompatible types raise loudly here, not five stages
+    later) and split off rows missing a key (null conv_id / turn_idx) as
+    INVALID_ROW error rows instead of letting them corrupt grouping."""
+    import pyarrow.compute as pc
+
+    t = batch.select(TURNS_SCHEMA.names).cast(TURNS_SCHEMA)
+    valid = pc.and_(
+        pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))
+    )
+    return t.filter(valid), t.filter(pc.invert(valid))
+
+
+def _validate_split(batch: pa.Table) -> pa.Table:
+    ok, _bad = validate_turns(batch)
+    return ok
+
+
+def _invalid_error_rows(batch: pa.Table) -> pa.Table:
+    """Ingest-error scan body — reads only (conv_id, turn_idx), never text."""
+    import pyarrow.compute as pc
+
+    valid = pc.and_(
+        pc.is_valid(batch.column("conv_id")), pc.is_valid(batch.column("turn_idx"))
+    )
+    bad = batch.filter(pc.invert(valid))
+    n = bad.num_rows
+    key = pc.fill_null(bad.column("conv_id"), "<null-conv>")
+    return pa.table(
+        {
+            "stage": pa.array(["ingest"] * n, pa.string()),
+            "key": key,
+            "reason": pa.array(["INVALID_ROW"] * n, pa.string()),
+        },
+        schema=ERRORS_SCHEMA,
+    )
+
+
 def build_kg(
     turns,
     out_dir: Optional[str] = None,
@@ -115,6 +160,7 @@ def build_kg(
     num_join_partitions: int = 16,
     extract_concurrency: Optional[int] = None,
     batch_size: int = 8192,
+    progress=None,
 ) -> KGResult:
     """Run the full KG build.
 
@@ -124,6 +170,9 @@ def build_kg(
       resume with per-partition files inside each stage dir).
     n_buckets: hash-bucket count for the wide stages — scale with cluster
       size (rule of thumb: 2-4x total cores).
+    progress: optional callable(stage_name, rows, seconds) invoked as each
+      pinned stage commits — the live progress surface (reference A8 stage
+      gauges); defaults to a logging.info line per stage.
     """
     if out_dir:
         from ..state.checkpoint import input_fingerprint
@@ -141,6 +190,14 @@ def build_kg(
         )
     else:
         ckpt = None
+    if progress is None:
+        import logging
+
+        _plog = logging.getLogger("entity_extractor_ray.kg_build")
+
+        def progress(stage, rows, seconds):  # noqa: F811
+            _plog.info("stage %s: %d rows in %.1fs", stage, rows, seconds)
+
     metrics: List[dict] = []
     last_end = [time.perf_counter()]
 
@@ -168,9 +225,13 @@ def build_kg(
             }
         )
         last_end[0] = now
+        progress(name, rows, (now - t0))
         return ds
 
-    turns_ds = _read_turns(turns, ["conv_id", "turn_idx", "text"])
+    raw_turns = _read_turns(turns, ["conv_id", "turn_idx", "text"])
+    # M14 ingest validation: schema cast + key-null split (lazy; fuses into
+    # the extract stage)
+    turns_ds = raw_turns.map_batches(_validate_split, batch_format="pyarrow")
 
     if extract_concurrency is None:
         # task pool + per-process singleton: elastic, no actor startup
@@ -268,29 +329,53 @@ def build_kg(
             schema=ERRORS_SCHEMA,
         )
 
-    errors = records.map_batches(_record_error_rows, batch_format="pyarrow").union(
-        chem_status.map_batches(_fold_error_rows, batch_format="pyarrow")
+    # ingest-invalid rows are a second (lazy) scan of the raw input — Ray
+    # Data operators are single-output, so a rare-row side-channel costs a
+    # re-read IF AND ONLY IF the errors dataset is actually consumed; the
+    # scan is pruned to the two key columns (never re-reads text)
+    ingest_errors = _read_turns(turns, ["conv_id", "turn_idx"]).map_batches(
+        _invalid_error_rows, batch_format="pyarrow"
+    )
+    errors = (
+        records.map_batches(_record_error_rows, batch_format="pyarrow")
+        .union(chem_status.map_batches(_fold_error_rows, batch_format="pyarrow"))
+        .union(ingest_errors)
     )
 
     # single-consumer branches stay lazy (fused into their sink's execution)
     triples = clean.map_batches(explode_triples, batch_format="pyarrow")
-    material_ids = build_material_identities(clean, n_buckets)
-    material_status = rollup_status(edges, chem_status, n_buckets, num_join_partitions)
-    manufacturers = distinct_manufacturers(clean)
-    nodes = assemble_nodes(
-        material_ids, material_status, mapping, chem_status, manufacturers,
-        num_join_partitions,
-    )
+
+    def _build_nodes():
+        # the nodes inputs are staged, not fused: fusing three
+        # shuffle-bearing branches plus the node-assembly joins into ONE
+        # streaming plan makes every all-to-all run concurrently and
+        # thrashes the single shared memory bus (measured 68s fused vs 16s
+        # staged at 32 CPUs, 2.4M turns). The branches are entity-dimension-
+        # sized, so materializing them (object store, spillable) is bounded
+        # and keeps each shuffle's working set alone on the bus.
+        material_ids = build_material_identities(clean, n_buckets).materialize()
+        material_status = rollup_status(
+            edges, chem_status, n_buckets, num_join_partitions
+        ).materialize()
+        manufacturers = distinct_manufacturers(clean).materialize()
+        return assemble_nodes(
+            material_ids, material_status, mapping, chem_status, manufacturers,
+            num_join_partitions,
+        )
+
     lineage = linked.map_batches(
         lineage_rows, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
     )
 
     if ckpt is not None:
         triples = pin("triples", lambda ds=triples: ds)
-        nodes = pin("nodes", lambda ds=nodes: ds)
+        nodes = pin("nodes", _build_nodes)  # branch materializes skip on resume
         lineage = pin("lineage", lambda ds=lineage: ds)
         errors = pin("errors", lambda ds=errors: ds)
+    else:
+        nodes = _build_nodes()
 
+    if ckpt is not None:
         # persist the metrics table next to the data (A6 rollup surface)
         import os
 

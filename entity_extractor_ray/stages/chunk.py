@@ -162,3 +162,51 @@ def embed_documents(docs_ds, concurrency: int = None, batch_size: int = 1024):
     return docs_ds.map_batches(
         _embed_batch, batch_format="pandas", batch_size=batch_size
     )
+
+
+# ------------------------------------------------------------- vector sink
+
+def write_vector_store(embedded_ds, out_dir: str, id_col: str = "doc_id",
+                       n_shards: int = 16) -> dict:
+    """K3 vector-store sink (the reference's pgvector writer,
+    embedding_service -> vector_repository insert path): hash-sharded
+    partitioned Parquet + a commit-last JSON manifest (dim, rows, shards).
+
+    Shards are directories (shard=<i>/), so a failed load can re-push one
+    shard, a retrieval tier can mmap shards independently, and a 100TB store
+    never concentrates in one file. Returns the manifest dict."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .shuffle import stable_bucket_array
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = stable_bucket_array(batch, [id_col], n_shards)
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
+
+    sharded = embedded_ds.map_batches(add_shard, batch_format="pyarrow")
+    sharded.write_parquet(out_dir, partition_cols=["shard"])
+
+    files = sorted(glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                             recursive=True))
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    dim = None
+    if files:
+        emb_type = pq.read_schema(files[0]).field("embedding").type
+        dim = getattr(emb_type, "list_size", None)
+    manifest = {"rows": rows, "dim": dim, "n_shards": n_shards,
+                "id_col": id_col, "files": len(files)}
+    with open(os.path.join(out_dir, "_MANIFEST"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def read_vector_store(out_dir: str):
+    """Read a write_vector_store output back as a Dataset (hive shard
+    column recovered by the partitioned read)."""
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir)

@@ -242,7 +242,11 @@ def _local_distinct_keys(batch: pa.Table) -> pa.Table:
     )
 
 
-SKEW_KEY_THRESHOLD = 100_000
+# gate unit = partial KEY ROWS (per-batch distinct, so a key appearing in k
+# batches counts k times — a deliberate overestimate). 1M partial rows is
+# the comfort ceiling for shipping one manufacturer into a single union-find
+# task (~100MB pandas block); anything larger goes distributed.
+SKEW_KEY_THRESHOLD = 1_000_000
 
 
 def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
@@ -272,11 +276,27 @@ def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
     # safe to materialize (spills if large); consumed by the count gate and
     # by whichever path(s) run
     partial = partial.materialize()
-    counts = partial.groupby("manufacturer").count()
+
+    # gate counts: per-batch value_counts (dimension-sized rows) summed in a
+    # TINY shuffle — never a groupby over the full key table
+    def _mfr_counts(t: pa.Table) -> pa.Table:
+        vc = t.to_pandas()["manufacturer"].value_counts()
+        return pa.table(
+            {
+                "manufacturer": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        partial.map_batches(_mfr_counts, batch_format="pyarrow")
+        .groupby("manufacturer")
+        .sum("n")
+    )
     hot = [
         r["manufacturer"]
         for r in counts.iter_rows()
-        if r["count()"] > skew_threshold
+        if r["sum(n)"] > skew_threshold
     ]
     if not hot:
         return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
@@ -557,26 +577,35 @@ def _segment_summary_fn(fold_tables):
         bounds = [0] + [i for i in range(1, n) if ent[i] != ent[i - 1]] + [n]
 
         out = {k: [] for k in SEGMENT_SCHEMA_NAMES}
-        for bi in range(len(bounds) - 1):
+        n_runs = len(bounds) - 1
+        for bi in range(n_runs):
             lo, hi = bounds[bi], bounds[bi + 1]
             seg = mt[lo:hi]
             lead = int(init[seg[0]])
             lead_c = 0
-            v = np.arange(n_s, dtype=np.int16)
-            c = np.zeros(n_s, np.int64)
             for m in seg[1:]:
                 lead_c += int(coer[lead, m])
                 lead = int(step[lead, m])
-            for m in seg:
-                c += coer[v, m]
-                v = step[v, m]
+            # transfer vectors are only consulted for NON-FIRST segments of a
+            # block-spanning entity; an entity can span blocks only if its
+            # run touches this batch's edge, so interior runs skip the
+            # vector build (and its list-serialization cost) entirely
+            if bi == 0 or bi == n_runs - 1:
+                v = np.arange(n_s, dtype=np.int16)
+                c = np.zeros(n_s, np.int64)
+                for m in seg:
+                    c += coer[v, m]
+                    v = step[v, m]
+                vec_state, vec_coerced = v.tolist(), c.tolist()
+            else:
+                vec_state, vec_coerced = None, None
             out["entity_id"].append(ent[lo])
             out["min_order"].append(orders[lo])
             out["n_mentions"].append(hi - lo)
             out["lead_state"].append(lead)
             out["lead_coerced"].append(lead_c)
-            out["vec_state"].append(v.tolist())
-            out["vec_coerced"].append(c.tolist())
+            out["vec_state"].append(vec_state)
+            out["vec_coerced"].append(vec_coerced)
         return pa.table(
             {
                 "entity_id": pa.array(out["entity_id"], pa.string()),
@@ -606,25 +635,41 @@ def fold_chemical_states(linked_ds, n_buckets: int = 64):
         _segment_summary_fn(fold_tables), batch_format="pandas"
     )
 
+    status_by_state = np.array([st for st, _ in states], dtype=object)
+    source_by_state = np.array([src for _, src in states], dtype=object)
+
     def compose_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
-        df = df.sort_values(["entity_id", "min_order"], kind="mergesort")
-        ids, statuses, sources, counts, coerced = [], [], [], [], []
-        for entity_id, g in df.groupby("entity_id", sort=False):
-            lead = g["lead_state"].to_numpy()
-            lead_c = g["lead_coerced"].to_numpy()
-            vs = g["vec_state"].to_numpy()
-            vc = g["vec_coerced"].to_numpy()
-            state = int(lead[0])
-            n_coerced = int(lead_c[0])
-            for k in range(1, len(g)):
-                n_coerced += int(vc[k][state])
-                state = int(vs[k][state])
-            status, source = states[state]
-            ids.append(entity_id)
-            statuses.append(status)
-            sources.append(source)
-            counts.append(int(g["n_mentions"].sum()))
-            coerced.append(n_coerced)
+        # FAST PATH: almost every entity fits inside one sorted block, so it
+        # has exactly ONE segment — its answer IS the lead result, decoded
+        # vectorized. Only block-spanning entities need composition.
+        multi_mask = df["entity_id"].duplicated(keep=False).to_numpy()
+        singles = df[~multi_mask]
+        ids = singles["entity_id"].to_numpy().tolist()
+        lead_states = singles["lead_state"].to_numpy()
+        statuses = status_by_state[lead_states].tolist()
+        sources = source_by_state[lead_states].tolist()
+        counts = singles["n_mentions"].to_numpy().tolist()
+        coerced = singles["lead_coerced"].to_numpy().tolist()
+
+        multi = df[multi_mask]
+        if len(multi):
+            multi = multi.sort_values(["entity_id", "min_order"], kind="mergesort")
+            for entity_id, g in multi.groupby("entity_id", sort=False):
+                lead = g["lead_state"].to_numpy()
+                lead_c = g["lead_coerced"].to_numpy()
+                vs = g["vec_state"].to_numpy()
+                vc = g["vec_coerced"].to_numpy()
+                state = int(lead[0])
+                n_coerced = int(lead_c[0])
+                for k in range(1, len(g)):
+                    n_coerced += int(vc[k][state])
+                    state = int(vs[k][state])
+                status, source = states[state]
+                ids.append(entity_id)
+                statuses.append(status)
+                sources.append(source)
+                counts.append(int(g["n_mentions"].sum()))
+                coerced.append(n_coerced)
         return pa.table(
             {
                 "entity_id": pa.array(ids, pa.string()),

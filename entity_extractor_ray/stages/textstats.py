@@ -100,7 +100,14 @@ def exact_fingerprints(batch: pd.DataFrame) -> pd.DataFrame:
 def winnow_fingerprints(batch: pd.DataFrame) -> pa.Table:
     """doc_id, fingerprints(list<int64>), n_fingerprints — winnowing-style
     rolling-hash document fingerprint (functions/textnorm.rolling_fingerprint).
-    Not SQL-expressible; checked rows-only by the driver."""
+
+    NOT SQL-expressible (why no oracle entry): the hash is uint64
+    WRAPAROUND arithmetic — `h * 0x9E3779B97F4A7C15 mod 2^64` multiplies two
+    64-bit values, whose 128-bit intermediate overflows DuckDB's signed
+    HUGEINT (max 2^127 - 1), and DuckDB's UBIGINT ops error on overflow
+    rather than wrapping; there is no mod-2^64 multiply to emulate the
+    xorshift-multiply mix. Checked rows-only by the driver; exact behavior
+    is pinned by unit tests instead."""
     from ..functions.textnorm import rolling_fingerprint
 
     fps = [rolling_fingerprint(t or "") for t in batch["text"]]

@@ -185,6 +185,10 @@ class TestErrors:
         turn("convF", 0, mat("Laminate 2", "Acme Corp"))
         turn("convF", 1, chem("Chem Z", "5555-55-5", 2.0, "PFAS", "MANUAL"))
         turn("convG", 0, "Thanks, let me look into compliance next.")  # non-doc
+        # ingest-invalid rows: null conv_id / null turn_idx (M14 validation)
+        rows.append((None, 0, "user", mat("Ghost 1", "Acme Corp"), "", 0))
+        rows.append(("convH", None, "user",
+                     chem("Chem H", None, 3.0, "PFAS", "OPENAI"), "", 0))
 
         table = pa.table(
             {
@@ -199,7 +203,12 @@ class TestErrors:
         path = str(tmp_path_factory.mktemp("planted") / "turns.parquet")
         pq.write_table(table, path)
 
-        result = build_kg(path, out_dir=None, n_buckets=4, num_join_partitions=2)
+        seen_stages = []
+        result = build_kg(
+            path, out_dir=None, n_buckets=4, num_join_partitions=2,
+            progress=lambda stage, rows_, sec: seen_stages.append(stage),
+        )
+        assert "records" in seen_stages and "edges" in seen_stages
         store = orc.run_oracle(table)
 
         got = sorted(
@@ -212,6 +221,8 @@ class TestErrors:
         assert ("assemble", "convA", "EMPTY_CHEMICALS") in got
         assert ("assemble", "convB", "EMPTY_MATERIAL") in got
         assert ("dedup", "convD", "MATERIAL_ALREADY_INGESTED") in got
+        assert ("ingest", "<null-conv>", "INVALID_ROW") in got
+        assert ("ingest", "convH", "INVALID_ROW") in got
         assert any(s == "status_fold" and r == "IMPOSSIBLE_TRANSITION"
                    for s, _, r in got)
         assert not any(k == "convG" for _, k, _r in got)

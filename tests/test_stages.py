@@ -158,3 +158,32 @@ class TestTextnormKernels:
         assert tn.stable_id("a", "b c") != tn.stable_id("a b", "c")
         # None is canonicalized to "" by design (nullable key parts)
         assert tn.stable_id("x", None) == tn.stable_id("x", "")
+
+
+class TestVectorStore:
+    def test_write_read_roundtrip(self, ray_session, sf_dir, tmp_path):
+        import glob
+        import os
+
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.chunk import (
+            EMBED_DIM,
+            embed_documents,
+            read_vector_store,
+            write_vector_store,
+        )
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        n_docs = docs.count()
+        out = str(tmp_path / "vstore")
+        manifest = write_vector_store(embed_documents(docs), out, n_shards=4)
+        assert manifest["rows"] == n_docs
+        assert manifest["dim"] == EMBED_DIM
+        shard_dirs = glob.glob(os.path.join(out, "shard=*"))
+        assert 1 <= len(shard_dirs) <= 4
+        back = read_vector_store(out)
+        assert back.count() == n_docs
+        row = back.take(1)[0]
+        assert len(row["embedding"]) == EMBED_DIM
