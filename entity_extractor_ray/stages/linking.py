@@ -74,13 +74,14 @@ MAPPING_SCHEMA = pa.schema(
 )
 
 
+from ..functions.textnorm import stable_hash64 as _stable_hash64
+
+
 def probe_hash(tier: str, mfr: str, value: str) -> int:
     """Stable 63-bit probe key. Int keys keep the broadcast lookup index
     ~10x cheaper to build per worker than long composite strings; blake2
     collision odds at 2^63 are negligible for any realistic entity count."""
-    from ..functions.textnorm import stable_hash64
-
-    return stable_hash64(tier + "\x1f" + mfr + "\x1f" + value) >> 1
+    return _stable_hash64(tier + "\x1f" + mfr + "\x1f" + value) >> 1
 
 CHEM_NODE_STATE_SCHEMA = pa.schema(
     [
@@ -133,12 +134,8 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         out["manufacturer"].append(mfr)
 
     # merge per-batch partials: same (mfr, name, cas) key from different
-    # batches folds to global min/max order
-    df = (
-        df.groupby(["manufacturer", "name", "cas"], sort=False)
-        .agg(min_order=("min_order", "min"), max_order=("max_order", "max"))
-        .reset_index()
-    )
+    # batches folds to global min/max order (vectorized lexsort merge)
+    df = _merge_distinct_keys(df)
 
     # FAST PATH: a cluster of size >= 2 requires a shared name or shared
     # non-empty cas within the manufacturer, so keys involved in neither
@@ -149,15 +146,37 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     involved = dup_name | dup_cas
     singles = df[~involved]
     if not singles.empty:
-        s_mfr = singles["manufacturer"].to_numpy()
-        s_name = singles["name"].to_numpy()
-        s_cas = singles["cas"].to_numpy()
-        for i in range(len(s_mfr)):
-            entity_id = stable_id("CHEMICAL", s_mfr[i], s_name[i])
-            emit("NODE", None, entity_id, s_name[i], s_cas[i] or None, s_mfr[i])
-            emit("PROBE", probe_hash("N", s_mfr[i], s_name[i]), entity_id)
-            if s_cas[i]:
-                emit("PROBE", probe_hash("C", s_mfr[i], s_cas[i]), entity_id)
+        # block-emit the singleton majority: one NODE + one N-probe per key,
+        # plus a C-probe when a CAS exists — column lists built wholesale
+        # instead of 6 appends per row
+        s_mfr = singles["manufacturer"].to_numpy().tolist()
+        s_name = singles["name"].to_numpy().tolist()
+        s_cas = singles["cas"].to_numpy().tolist()
+        k = len(s_mfr)
+        ids = [stable_id("CHEMICAL", m, nm) for m, nm in zip(s_mfr, s_name)]
+        out["row_kind"].extend(["NODE"] * k)
+        out["probe_key"].extend([None] * k)
+        out["entity_id"].extend(ids)
+        out["name"].extend(s_name)
+        out["cas"].extend([c or None for c in s_cas])
+        out["manufacturer"].extend(s_mfr)
+        out["row_kind"].extend(["PROBE"] * k)
+        out["probe_key"].extend(
+            [probe_hash("N", m, nm) for m, nm in zip(s_mfr, s_name)]
+        )
+        out["entity_id"].extend(ids)
+        out["name"].extend([None] * k)
+        out["cas"].extend([None] * k)
+        out["manufacturer"].extend([None] * k)
+        with_cas = [i for i in range(k) if s_cas[i]]
+        out["row_kind"].extend(["PROBE"] * len(with_cas))
+        out["probe_key"].extend(
+            [probe_hash("C", s_mfr[i], s_cas[i]) for i in with_cas]
+        )
+        out["entity_id"].extend([ids[i] for i in with_cas])
+        out["name"].extend([None] * len(with_cas))
+        out["cas"].extend([None] * len(with_cas))
+        out["manufacturer"].extend([None] * len(with_cas))
     df = df[involved]
 
     for mfr, g in df.groupby("manufacturer", sort=False):
@@ -221,23 +240,103 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     )
 
 
+def _string_rank(values) -> np.ndarray:
+    """Ordinal rank of each string under byte-lexicographic order (== Python
+    str order for ASCII; non-ASCII raises UnicodeEncodeError for the
+    caller's pandas fallback). One C-speed byte-string argsort."""
+    s = np.asarray(np.asarray(values, dtype=object), dtype="S")
+    order = np.argsort(s)
+    rank = np.empty(len(s), np.int64)
+    rank[order] = np.arange(len(s))
+    return rank
+
+
+def _distinct_minmax(codes: np.ndarray, rank_min: np.ndarray, rank_max: np.ndarray):
+    """Vectorized replacement for a multi-string-column pandas groupby-agg
+    (measured 40+s per 200k rows — pandas object-key groupby with object
+    min/max is the single slowest kernel in the engine). Grouping key =
+    factorized int codes; string ordering = precomputed ordinal ranks, so
+    every sort here is int-only. Returns (min_row_idx, max_row_idx): per
+    distinct code (ascending), the row index holding the min rank_min and
+    the row index holding the max rank_max."""
+    idx = np.lexsort((rank_min, codes))
+    sc = codes[idx]
+    first = np.ones(len(sc), dtype=bool)
+    first[1:] = sc[1:] != sc[:-1]
+    min_row_idx = idx[first]
+
+    idx2 = np.lexsort((rank_max, codes))
+    sc2 = codes[idx2]
+    last = np.ones(len(sc2), dtype=bool)
+    last[:-1] = sc2[1:] != sc2[:-1]
+    max_row_idx = idx2[last]
+    return min_row_idx, max_row_idx
+
+
+def _merge_distinct_keys(df: pd.DataFrame) -> pd.DataFrame:
+    """(manufacturer, name, cas) distinct with min(min_order)/max(max_order)
+    fold over a frame that already has min_order/max_order columns."""
+    n = len(df)
+    if n == 0:
+        return df
+    try:
+        codes = pd.factorize(
+            (df["manufacturer"] + "\x1f" + df["name"] + "\x1f" + df["cas"]).to_numpy()
+        )[0]
+        rank_min = _string_rank(df["min_order"].to_numpy())
+        rank_max = _string_rank(df["max_order"].to_numpy())
+    except (UnicodeEncodeError, SystemError):
+        return (
+            df.groupby(["manufacturer", "name", "cas"], sort=False)
+            .agg(min_order=("min_order", "min"), max_order=("max_order", "max"))
+            .reset_index()
+        )
+    min_idx, max_idx = _distinct_minmax(codes, rank_min, rank_max)
+    cols = [df.columns.get_loc(c) for c in ("manufacturer", "name", "cas")]
+    out = df.iloc[min_idx, cols].copy()
+    out["min_order"] = df["min_order"].to_numpy()[min_idx]
+    out["max_order"] = df["max_order"].to_numpy()[max_idx]
+    return out.reset_index(drop=True)
+
+
 def _local_distinct_keys(batch: pa.Table) -> pa.Table:
     """Map-side combiner: per-batch (manufacturer, name, cas) distinct with
     min/max order fold — hot entities collapse to one row per batch BEFORE
-    the shuffle, so skew never amplifies exchange volume."""
-    df = batch.to_pandas()
-    agg = (
-        df.groupby(["manufacturer", "name", "cas"], sort=False)["order_key"]
-        .agg(["min", "max"])
-        .reset_index()
+    the shuffle, so skew never amplifies exchange volume. Vectorized via
+    byte-array lexsort (see _distinct_minmax)."""
+    comp_arr = pc.binary_join_element_wise(
+        batch.column("manufacturer"), batch.column("name"), batch.column("cas"),
+        "\x1f",
     )
+    order_col = batch.column("order_key")
+    try:
+        codes = pd.factorize(comp_arr.to_numpy(zero_copy_only=False))[0]
+        rank = _string_rank(order_col.to_numpy(zero_copy_only=False))
+    except (UnicodeEncodeError, SystemError):
+        df = batch.to_pandas()
+        agg = (
+            df.groupby(["manufacturer", "name", "cas"], sort=False)["order_key"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "manufacturer": pa.array(agg["manufacturer"], pa.string()),
+                "name": pa.array(agg["name"], pa.string()),
+                "cas": pa.array(agg["cas"], pa.string()),
+                "min_order": pa.array(agg["min"], pa.string()),
+                "max_order": pa.array(agg["max"], pa.string()),
+            }
+        )
+    min_idx, max_idx = _distinct_minmax(codes, rank, rank)
+    min_pa, max_pa = pa.array(min_idx), pa.array(max_idx)
     return pa.table(
         {
-            "manufacturer": pa.array(agg["manufacturer"], pa.string()),
-            "name": pa.array(agg["name"], pa.string()),
-            "cas": pa.array(agg["cas"], pa.string()),
-            "min_order": pa.array(agg["min"], pa.string()),
-            "max_order": pa.array(agg["max"], pa.string()),
+            "manufacturer": batch.column("manufacturer").take(min_pa),
+            "name": batch.column("name").take(min_pa),
+            "cas": batch.column("cas").take(min_pa),
+            "min_order": order_col.take(min_pa),
+            "max_order": order_col.take(max_pa),
         }
     )
 
@@ -376,12 +475,26 @@ def _component_mapping(rows_ds, n_buckets: int = 64):
             out["manufacturer"].append(mfr)
 
         # cross-batch duplicates of one (mfr, name, cas) key merge here, same
-        # as _union_find_bucket's in-bucket pre-merge
-        df = (
-            df.groupby(["comp", "manufacturer", "name", "cas"], sort=False)
-            .agg(min_order=("min_order", "min"), max_order=("max_order", "max"))
-            .reset_index()
-        )
+        # as _union_find_bucket's in-bucket pre-merge (vectorized lexsort)
+        try:
+            codes = pd.factorize(
+                (
+                    df["comp"].astype(str) + "\x1f" + df["manufacturer"]
+                    + "\x1f" + df["name"] + "\x1f" + df["cas"]
+                ).to_numpy()
+            )[0]
+            rank_min = _string_rank(df["min_order"].to_numpy())
+            rank_max = _string_rank(df["max_order"].to_numpy())
+            min_idx, max_idx = _distinct_minmax(codes, rank_min, rank_max)
+            maxs = df["max_order"].to_numpy()[max_idx]
+            df = df.iloc[min_idx][["comp", "manufacturer", "name", "cas", "min_order"]].copy()
+            df["max_order"] = maxs
+        except (UnicodeEncodeError, SystemError):
+            df = (
+                df.groupby(["comp", "manufacturer", "name", "cas"], sort=False)
+                .agg(min_order=("min_order", "min"), max_order=("max_order", "max"))
+                .reset_index()
+            )
         for _, g in df.groupby("comp", sort=False):
             names = g["name"].to_numpy()
             cass = g["cas"].to_numpy()
