@@ -345,6 +345,81 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def events_sliding(sf_dir: str, window_hours: int = 3):
+    """SLIDING-window aggregate over the event stream (the windowed-streaming
+    surface beyond tumbling events_hourly / session events_sessionize): per
+    (event_type, hour-with-events), the event count over the window of the
+    current + preceding (window_hours-1) hours.
+
+    Scale shape: ONE tumbling pre-aggregate (the only pass over the raw
+    stream) shrinks the data to (type x hour) partials; the sliding sum then
+    runs per type over that dimension-sized series — prefix sums +
+    searchsorted, never a self-join of raw events."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"event_type": t.column("event_type"), "hour": hour})
+
+    # map-side combine: per-batch (type, hour) partial counts pre-shrink the
+    # shuffle (same pattern as the linking distinct combiner)
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "hour"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "hour": pa.array(g["hour"]),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+
+    win_us = np.int64(window_hours) * 3_600_000_000
+
+    def sliding_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        out_type, out_hour, out_n = [], [], []
+        for etype, g in df.groupby("event_type", sort=False):
+            g = g.groupby("hour", sort=True)["n"].sum().reset_index()
+            hours = g["hour"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            ns = g["n"].to_numpy()
+            csum = np.concatenate([[0], np.cumsum(ns)])
+            # window (hour - window + 1h epsilon... inclusive of hours >
+            # hour - window): left index of first in-window hour
+            left = np.searchsorted(hours, hours - win_us, side="right")
+            n_window = csum[np.arange(1, len(ns) + 1)] - csum[left]
+            out_type.extend([etype] * len(ns))
+            out_hour.extend(g["hour"].tolist())
+            out_n.extend(n_window.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_type, pa.string()),
+                "hour": pa.array(out_hour, pa.timestamp("us")),
+                "n_window": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(partial, ["event_type"], sliding_bucket, 16)
+
+
+EVENTS_SLIDING_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.hour, CAST(sum(b.n) AS BIGINT) AS n_window
+FROM h a
+JOIN h b ON b.event_type = a.event_type
+        AND b.hour > a.hour - INTERVAL 3 HOUR AND b.hour <= a.hour
+GROUP BY 1, 2
+"""
+
+
 def events_user_stats(sf_dir: str):
     """Per-user event rollup (A6-style metrics): n_events, n_types, last_ts —
     one bucketed grouped apply (all three aggregates in a single shuffle)."""
@@ -594,6 +669,7 @@ def relational_queries():
         "events_user_stats": events_user_stats,
         "keyword_search_documents": keyword_search_documents,
         "events_sessionize": events_sessionize,
+        "events_sliding": events_sliding,
         "like_scan_parts": like_scan_parts,
         "regex_extract_documents": regex_extract_documents,
         "concat_by_lang": concat_by_lang,
@@ -614,6 +690,7 @@ def relational_oracle_sql():
         "events_user_stats": EVENTS_USER_SQL,
         "keyword_search_documents": keyword_search_sql(),
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_sliding": EVENTS_SLIDING_SQL,
         "like_scan_parts": LIKE_SCAN_SQL,
         "regex_extract_documents": REGEX_EXTRACT_SQL,
         "concat_by_lang": CONCAT_BY_LANG_SQL,

@@ -173,3 +173,178 @@ def lang_id_sql() -> str:
 
 def exact_fingerprints_sql() -> str:
     return "SELECT doc_id, md5(COALESCE(text, '')) AS fingerprint FROM documents"
+
+
+# ------------------------------------------------------- tf-idf / BM25
+
+_VOCAB_RE = re.compile(r"[a-z0-9]+")
+
+
+def vocab_stats(docs_ds, min_df: int = 2):
+    """Corpus vocabulary statistics: (term, df, idf) for terms appearing in
+    >= min_df documents; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style), floor-truncated to 6 dp for SQL hash parity.
+
+    Scale shape: per-batch distinct (doc, term) collapses to term->partial-df
+    BEFORE the one term-keyed shuffle (map-side combine); N comes from
+    parquet metadata (count is metadata-only on unfiltered reads)."""
+    from ray.data.aggregate import Sum
+
+    n_docs = docs_ds.count()
+
+    def partial_df(batch: pd.DataFrame) -> pa.Table:
+        counts: dict = {}
+        for text in batch["text"]:
+            for term in set(_VOCAB_RE.findall((text or "").lower())):
+                counts[term] = counts.get(term, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "partial": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df_table = (
+        docs_ds.map_batches(partial_df, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="df"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        keep = pc2.greater_equal(t.column("df"), min_df)
+        t = t.filter(keep)
+        df = t.column("df").to_numpy()
+        idf = np.floor((np.log((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1e6) / 1e6
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "df": t.column("df"),
+                "idf": pa.array(idf, pa.float64()),
+            }
+        )
+
+    return df_table.map_batches(finalize, batch_format="pyarrow")
+
+
+def vocab_stats_sql(min_df: int = 2) -> str:
+    return f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS term
+      FROM documents
+    ), d AS (
+      SELECT term, count(*) AS df FROM t GROUP BY 1
+    )
+    SELECT term, df,
+           floor((ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0) * 1000000) / 1000000 AS idf
+    FROM d WHERE df >= {min_df}
+    """
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs_ds, query: str, k1: float = BM25_K1, b: float = BM25_B):
+    """BM25 relevance of every document against ``query`` (docs with score
+    > 0 only; score floor-truncated to 6 dp). Classic Robertson idf with
+    +1 smoothing: idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: ONE stats pass (doc length + per-query-term tf columns,
+    materialized — doc-dimension-sized), ONE tiny aggregate for global
+    df/avgdl, then a broadcast-constant scoring map. The query side is a
+    handful of terms — never a corpus-sized join."""
+    from ray.data.aggregate import Count, Sum
+
+    terms = sorted(set(_VOCAB_RE.findall(query.lower())))
+    if not terms:
+        raise ValueError("query has no indexable terms")
+    tf_cols = [f"tf_{i}" for i in range(len(terms))]
+
+    def stats(batch: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+
+        dls, tfs = [], [[] for _ in terms]
+        for text in batch["text"]:
+            ws = _VOCAB_RE.findall((text or "").lower())
+            dls.append(len(ws))
+            c = Counter(ws)
+            for i, term in enumerate(terms):
+                tfs[i].append(c.get(term, 0))
+        cols = {"doc_id": pa.array(batch["doc_id"].tolist(), pa.int64()),
+                "dl": pa.array(dls, pa.int64())}
+        for i, col in enumerate(tf_cols):
+            cols[col] = pa.array(tfs[i], pa.int64())
+        return pa.table(cols)
+
+    stat_ds = docs_ds.map_batches(stats, batch_format="pandas").materialize()
+
+    def indicators(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        cols = {"dl": t.column("dl")}
+        for col in tf_cols:
+            cols["has_" + col] = pc2.cast(
+                pc2.greater(t.column(col), 0), pa.int64()
+            )
+        return pa.table(cols)
+
+    aggs = [Sum("dl", alias_name="total_dl"), Count(alias_name="n")]
+    aggs += [Sum("has_" + col, alias_name="df_" + col) for col in tf_cols]
+    g = stat_ds.map_batches(indicators, batch_format="pyarrow").aggregate(*aggs)
+    n_docs = g["n"]
+    avgdl = g["total_dl"] / n_docs
+    idf = {
+        col: float(np.log(1.0 + (n_docs - g["df_" + col] + 0.5) / (g["df_" + col] + 0.5)))
+        for col in tf_cols
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        s = np.zeros(len(dl))
+        for col in tf_cols:
+            tf = t.column(col).to_numpy().astype(np.float64)
+            s += idf[col] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        keep = s > 0
+        s = np.floor(s[keep] * 1e6) / 1e6
+        return pa.table(
+            {
+                "doc_id": pa.array(t.column("doc_id").to_numpy()[keep], pa.int64()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    return stat_ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_scores_sql(query: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    terms = sorted(set(_VOCAB_RE.findall(query.lower())))
+    tf_exprs = ",\n             ".join(
+        f"CAST(length(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"(ln(1.0 + ((SELECT count(*) FROM s) - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * ({k1} + 1.0)"
+        f" / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+             {tf_exprs}
+      FROM w
+    ), g AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}" for i in range(len(terms)))}
+      FROM s
+    )
+    SELECT doc_id, floor(({score_terms}) * 1000000) / 1000000 AS score
+    FROM s, g
+    WHERE ({score_terms}) > 0
+    """
