@@ -196,39 +196,47 @@ def lookup_join(
     sides, shuffle fact-sized ones."""
     right_key = right_key or key
 
-    # Probe the right side with ONE bounded execution: limit() + take.
-    # (count()/schema()/to_pandas() would each re-execute a lazy chain.)
     import pyarrow as pa2
-
-    probe_tables = [
-        b for b in right.limit(broadcast_limit + 1).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        )
-    ]
-    right_tbl = (
-        pa2.concat_tables(probe_tables).combine_chunks() if probe_tables else None
-    )
-    if right_tbl is not None and right_tbl.num_rows > broadcast_limit:
-        return bucket_hash_join(left, right, key, right_key, how, n_buckets, suffix)
-    if right_tbl is not None and right_tbl.num_rows > 0:
-        import pyarrow.compute as pc
-
-        n_distinct = pc.count_distinct(right_tbl.column(right_key)).as_py()
-        if n_distinct != right_tbl.num_rows:
-            # non-unique right keys: the broadcast index would mis-probe;
-            # the bucket join's pandas merge handles multiplicity correctly
-            return bucket_hash_join(left, right, key, right_key, how, n_buckets, suffix)
-
     import ray
 
-    if right_tbl is None:
+    # Execute the right side ONCE into object-store blocks; only the KEY
+    # column ever reaches the driver (for the size + uniqueness probe). The
+    # earlier design pulled the WHOLE right table through the driver before
+    # re-putting it — a serial, driver-bound term that inflated every join-
+    # bearing stage under load and did not scale with CPUs.
+    _init_remote()
+    refs = right.to_arrow_refs()
+    probed = ray.get([_project_key_col.remote(r, right_key) for r in refs]) if refs else []
+    key_tbls = [kt for kt, _ in probed if kt is not None]
+    # schema only from blocks that actually carry rows: Ray passes zero-row
+    # blocks through fused filter+project with their PRE-projection schema
+    schemas = [s for kt, s in probed if kt is not None]
+    n_rows = sum(t.num_rows for t in key_tbls)
+    import ray.data as rd
+
+    # refs-backed dataset: lets the bucket-join fallback reuse the already-
+    # executed blocks instead of re-running the right-side plan
+    right_mat = rd.from_arrow_refs(refs) if refs else right
+    if n_rows > broadcast_limit:
+        return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
+    if n_rows > 0:
+        import pyarrow.compute as pc
+
+        keys_concat = pa2.concat_tables(key_tbls).column(right_key)
+        if pc.count_distinct(keys_concat).as_py() != n_rows:
+            # non-unique right keys: the broadcast index would mis-probe;
+            # the bucket join's pandas merge handles multiplicity correctly
+            return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
+
+    if schemas:
+        right_schema = schemas[0]
+    else:
         # zero-row right side: recover its schema so the join still emits
         # the right-hand columns (as nulls for "left", empty for "inner")
         rs = right.schema()
-        right_tbl = rs.to_arrow() if hasattr(rs, "to_arrow") else pa.schema(
+        right_schema = rs.to_arrow() if hasattr(rs, "to_arrow") else pa.schema(
             list(zip(rs.names, rs.types))
         )
-        right_tbl = right_tbl.empty_table()
     # clash detection without executing the left side; unknown schema (lazy
     # chain, fetch declined) => assume disjoint names (true for all engine
     # call sites) and skip suffixing
@@ -236,19 +244,21 @@ def lookup_join(
     l_names = set(l_schema.names) if l_schema is not None else set()
     rename = {
         n: (key if n == right_key else (n + suffix if n in l_names else n))
-        for n in right_tbl.schema.names
+        for n in right_schema.names
     }
-    right_tbl = right_tbl.rename_columns([rename[n] for n in right_tbl.schema.names])
-    # broadcast as ARROW (zero-copy from the object store); each WORKER
-    # builds the keyed lookup index ONCE and reuses it across batches via a
+    renamed_names = [rename[n] for n in right_schema.names]
+    # broadcast as block REFS (zero driver copy; on one node the worker's
+    # ray.get is a local zero-copy plasma read); each WORKER builds the
+    # keyed lookup index ONCE and reuses it across batches via a
     # per-process cache — per-batch probe cost is O(batch), not O(right)
-    # (pa.Table.join / a fresh pandas merge would re-hash the whole right
-    # side for every batch, which is what killed 8->32 scaling)
-    right_ref = ray.put(right_tbl)
-    r_names = [n for n in right_tbl.schema.names if n != key]
+    empty_tbl = pa.schema(
+        list(zip(renamed_names, [right_schema.field(n).type for n in right_schema.names]))
+    ).empty_table()
+    refs_tuple = tuple(refs)
+    r_names = [n for n in renamed_names if n != key]
 
     def probe(t: pa.Table) -> pa.Table:
-        index, r_cols = _broadcast_index(right_ref, key)
+        index, r_cols = _broadcast_index(refs_tuple, key, renamed_names, empty_tbl)
         keys = t.column(key).to_numpy(zero_copy_only=False)
         pos = index.get_indexer(keys)
         if how == "inner":
@@ -272,19 +282,47 @@ def lookup_join(
     return left.map_batches(probe, batch_format="pyarrow")
 
 
+def _project_key_col_impl(tbl, k: str):
+    """(key column, block schema) — None key for the zero-column empty
+    blocks Ray emits from empty map_groups buckets."""
+    if tbl.num_rows == 0 or k not in tbl.schema.names:
+        return None, (tbl.schema if tbl.num_columns else None)
+    return tbl.select([k]).combine_chunks(), tbl.schema
+
+
+_project_key_col = None  # ray.remote wrapper, built on first join (lazy ray import)
+
+
+def _init_remote():
+    global _project_key_col
+    if _project_key_col is None:
+        import ray
+
+        _project_key_col = ray.remote(num_cpus=0.25)(_project_key_col_impl)
+
+
 _BROADCAST_INDEX_CACHE: dict = {}
 
 
-def _broadcast_index(ref, key: str):
-    """Per-worker-process cache: object ref -> (pandas Index over the key,
-    Arrow table of the non-key columns). The Arrow payload stays zero-copy;
-    only the key hash index is built per worker (once)."""
+def _broadcast_index(refs, key: str, renamed_names, empty_tbl):
+    """Per-worker-process cache: block-ref tuple -> (pandas Index over the
+    key, Arrow table of the non-key columns). Blocks are fetched zero-copy
+    from the local plasma store, concatenated and renamed PER WORKER — the
+    driver never holds the right side. Only the key hash index costs
+    per-worker build time (once)."""
+    import pyarrow as pa2
     import ray
 
-    cache_key = ref.hex()
+    cache_key = tuple(r.hex() for r in refs)
     got = _BROADCAST_INDEX_CACHE.get(cache_key)
     if got is None:
-        tbl = ray.get(ref)
+        # drop Ray's zero-row (possibly zero-column) filler blocks before
+        # concat — their empty schemas would fail the concat
+        tbls = [t for t in ray.get(list(refs)) if t.num_rows > 0]
+        if tbls:
+            tbl = pa2.concat_tables(tbls).combine_chunks().rename_columns(renamed_names)
+        else:
+            tbl = empty_tbl
         index = pd.Index(tbl.column(key).to_numpy(zero_copy_only=False))
         r_cols = tbl.drop_columns([key]) if hasattr(tbl, "drop_columns") else tbl.remove_column(
             tbl.schema.get_field_index(key)
