@@ -207,16 +207,18 @@ def lookup_join(
     _init_remote()
     refs = right.to_arrow_refs()
     probed = ray.get([_project_key_col.remote(r, right_key) for r in refs]) if refs else []
-    key_tbls = [kt for kt, _ in probed if kt is not None]
+    key_tbls = [kt for kt, _, _ in probed if kt is not None]
     # schema only from blocks that actually carry rows: Ray passes zero-row
     # blocks through fused filter+project with their PRE-projection schema
-    schemas = [s for kt, s in probed if kt is not None]
+    schemas = [s for kt, s, _ in probed if kt is not None]
+    all_arrow = all(a for _, _, a in probed)
     n_rows = sum(t.num_rows for t in key_tbls)
     import ray.data as rd
 
     # refs-backed dataset: lets the bucket-join fallback reuse the already-
-    # executed blocks instead of re-running the right-side plan
-    right_mat = rd.from_arrow_refs(refs) if refs else right
+    # executed blocks instead of re-running the right-side plan (arrow
+    # blocks only — pandas blocks re-run the original plan)
+    right_mat = rd.from_arrow_refs(refs) if (refs and all_arrow) else right
     if n_rows > broadcast_limit:
         return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
     if n_rows > 0:
@@ -282,12 +284,26 @@ def lookup_join(
     return left.map_batches(probe, batch_format="pyarrow")
 
 
+def _as_arrow_block(tbl):
+    """Blocks from to_arrow_refs arrive in their native format — a pandas
+    DataFrame when the producing map returned pandas. Normalize via Ray's
+    own accessor so schemas match what the rest of the plan would see."""
+    if isinstance(tbl, pa.Table):
+        return tbl
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(tbl).to_arrow()
+
+
 def _project_key_col_impl(tbl, k: str):
-    """(key column, block schema) — None key for the zero-column empty
-    blocks Ray emits from empty map_groups buckets."""
+    """(key column, block schema, was_arrow) — None key for the zero-column
+    empty blocks Ray emits from empty map_groups buckets; was_arrow tells
+    the driver whether from_arrow_refs may reuse the raw refs."""
+    was_arrow = isinstance(tbl, pa.Table)
+    tbl = _as_arrow_block(tbl)
     if tbl.num_rows == 0 or k not in tbl.schema.names:
-        return None, (tbl.schema if tbl.num_columns else None)
-    return tbl.select([k]).combine_chunks(), tbl.schema
+        return None, (tbl.schema if tbl.num_columns else None), was_arrow
+    return tbl.select([k]).combine_chunks(), tbl.schema, was_arrow
 
 
 _project_key_col = None  # ray.remote wrapper, built on first join (lazy ray import)
@@ -318,7 +334,10 @@ def _broadcast_index(refs, key: str, renamed_names, empty_tbl):
     if got is None:
         # drop Ray's zero-row (possibly zero-column) filler blocks before
         # concat — their empty schemas would fail the concat
-        tbls = [t for t in ray.get(list(refs)) if t.num_rows > 0]
+        tbls = [
+            t for t in (_as_arrow_block(b) for b in ray.get(list(refs)))
+            if t.num_rows > 0
+        ]
         if tbls:
             tbl = pa2.concat_tables(tbls).combine_chunks().rename_columns(renamed_names)
         else:
