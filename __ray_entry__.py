@@ -163,6 +163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_traversal"] = _traversal
 
+    def _traversal_rev(sf):
+        from entity_extractor_ray.stages.graph import materials_of_chemical
+
+        kg = _kg(sf)
+        return materials_of_chemical(kg.nodes, kg.edges)
+
+    q["kg_traversal_reverse"] = _traversal_rev
+
     def _mentions(sf):
         import ray.data as rd
 

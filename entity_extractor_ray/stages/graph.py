@@ -471,3 +471,42 @@ def chemicals_of_material(nodes_ds, edges_ds, num_partitions: int = 8):
         )
 
     return j.map_batches(finalize, batch_format="pyarrow")
+
+
+def materials_of_chemical(nodes_ds, edges_ds, num_partitions: int = 8):
+    """The reverse J5 traversal (get_materials_of_a_chemical,
+    global_node_repository.py:197-219): every chemical with the materials
+    that contain it and the material's rolled-up status."""
+    contains = edges_ds.filter(expr="pred == 'CONTAINS'").select_columns(
+        ["src", "dst", "weight"]
+    )
+    chems = (
+        nodes_ds.filter(expr="node_type == 'CHEMICAL'")
+        .select_columns(["entity_id", "name"])
+        .rename_columns({"name": "chemical_name"})
+    )
+    mats = (
+        nodes_ds.filter(expr="node_type == 'MATERIAL'")
+        .select_columns(["entity_id", "name", "pfas_status"])
+        .rename_columns({"name": "material_name"})
+    )
+    from .shuffle import lookup_join
+
+    j = lookup_join(contains, chems, key="dst", right_key="entity_id",
+                    n_buckets=num_partitions)
+    j = lookup_join(j, mats, key="src", right_key="entity_id",
+                    n_buckets=num_partitions)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chemical_id": t.column("dst"),
+                "chemical_name": t.column("chemical_name"),
+                "material_id": t.column("src"),
+                "material_name": t.column("material_name"),
+                "material_pfas_status": t.column("pfas_status"),
+                "weight": t.column("weight"),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")

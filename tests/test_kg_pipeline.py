@@ -112,6 +112,24 @@ class TestTraversal:
         }
         assert want and got == want
 
+    def test_materials_of_chemical_matches_oracle(self, kg, oracle_store):
+        from entity_extractor_ray.stages.graph import materials_of_chemical
+
+        got = {
+            (r["chemical_id"], r["chemical_name"], r["material_id"],
+             r["material_name"], r["material_pfas_status"], r["weight"])
+            for r in materials_of_chemical(kg.nodes, kg.edges).take_all()
+        }
+        mats = {m["entity_id"]: m for m in oracle_store.materials.values()}
+        chems = {c["entity_id"]: c for c in oracle_store.chem_nodes}
+        want = {
+            (dst, chems[dst]["name"], src, mats[src]["name"],
+             mats[src]["pfas_status"], weight)
+            for (src, dst, pred), weight in oracle_store.edges.items()
+            if pred == "CONTAINS"
+        }
+        assert want and got == want
+
 
 class TestOrderingInvariant:
     def test_turn_checksum_stable(self, small_turns, ray_session):
