@@ -120,15 +120,19 @@ def run_once() -> dict:
             "stages": stages,
         }
 
+    from entity_extractor_ray.stages import textstats as ts
+
     query_fns = {
         "q1_pricing_summary": lambda: rel.q1_pricing_summary(SF_DIR),
         "join_revenue_by_nation": lambda: rel.join_revenue_by_nation(SF_DIR),
         "events_hourly": lambda: rel.events_hourly(SF_DIR),
+        "events_sliding": lambda: rel.events_sliding(SF_DIR),
         "topk_orders": lambda: rel.topk_orders(SF_DIR),
         "keyword_search_documents": lambda: rel.keyword_search_documents(SF_DIR),
         "exact_dedup": lambda: dd.exact_dedup(_docs()),
         "minhash_dedup": lambda: dd.minhash_dedup(_docs()),
         "knn_cosine": lambda: sim.knn_cosine(_embs(), query_ids=[0, 1, 2], k=10),
+        "bm25_scores": lambda: ts.bm25_scores(_docs(), "window merge join"),
     }
     queries = {}
     for name, fn in query_fns.items():
