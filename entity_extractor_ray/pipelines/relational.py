@@ -407,6 +407,113 @@ def events_sliding(sf_dir: str, window_hours: int = 3):
     return bucket_group_apply(partial, ["event_type"], sliding_bucket, 16)
 
 
+def events_late(sf_dir: str, lateness_sec: int = 600):
+    """Event-time WATERMARK semantics over the arrival-ordered stream: per
+    user, the watermark is max(event time over previously-ARRIVED events,
+    by event_id) minus the allowed lateness; an event whose own ts falls
+    below the watermark is LATE and is emitted to this side-output instead
+    of silently joining its window (the streaming late-data contract).
+
+    Scale shape: one bucket shuffle on user_id; per user a sort by arrival
+    id + a running-max (vectorized accumulate) — state per key is one
+    timestamp, the canonical watermark implementation."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    late_us = np.int64(lateness_sec) * 1_000_000
+
+    def late_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        out_user, out_id, out_ts, out_wm = [], [], [], []
+        for user, g in df.groupby("user_id", sort=False):
+            g = g.sort_values("event_id", kind="mergesort")
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            if len(ts) < 2:
+                continue
+            prior_max = np.maximum.accumulate(ts)[:-1]  # max over ids < cur
+            wm = prior_max - late_us
+            late = ts[1:] < wm
+            if late.any():
+                ids = g["event_id"].to_numpy()[1:][late]
+                out_user.extend([user] * int(late.sum()))
+                out_id.extend(ids.tolist())
+                out_ts.extend(ts[1:][late].tolist())
+                out_wm.extend(wm[late].tolist())
+        return pa.table(
+            {
+                "user_id": pa.array(out_user, pa.int64()),
+                "event_id": pa.array(out_id, pa.int64()),
+                "ts": pa.array(np.array(out_ts, np.int64), pa.timestamp("us")),
+                "watermark": pa.array(np.array(out_wm, np.int64), pa.timestamp("us")),
+            }
+        )
+
+    return bucket_group_apply(ds, ["user_id"], late_bucket, 16)
+
+
+EVENTS_LATE_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior
+  FROM events
+)
+SELECT user_id, event_id, ts, max_prior - INTERVAL 600 SECOND AS watermark
+FROM w
+WHERE max_prior IS NOT NULL AND ts < max_prior - INTERVAL 600 SECOND
+"""
+
+
+def events_watermark(sf_dir: str, lateness_sec: int = 600):
+    """Per-user watermark summary: final watermark (max event time minus
+    allowed lateness) and the count of LATE arrivals (events whose ts fell
+    below the watermark at their arrival position). The synthetic stream is
+    perfectly in-order, so n_late is 0 there — the late-detection logic is
+    exercised by the planted out-of-order test (tests/test_stages.py),
+    which compares against the SAME SQL on the planted table."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    late_us = np.int64(lateness_sec) * 1_000_000
+
+    def wm_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        users, wms, lates = [], [], []
+        for user, g in df.groupby("user_id", sort=False):
+            g = g.sort_values("event_id", kind="mergesort")
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            n_late = 0
+            if len(ts) > 1:
+                prior_max = np.maximum.accumulate(ts)[:-1]
+                n_late = int((ts[1:] < prior_max - late_us).sum())
+            users.append(user)
+            wms.append(int(ts.max() - late_us))
+            lates.append(n_late)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "watermark": pa.array(np.array(wms, np.int64), pa.timestamp("us")),
+                "n_late": pa.array(lates, pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(ds, ["user_id"], wm_bucket, 16)
+
+
+EVENTS_WATERMARK_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior
+  FROM events
+)
+SELECT user_id,
+       max(ts) - INTERVAL 600 SECOND AS watermark,
+       CAST(sum(CASE WHEN max_prior IS NOT NULL
+                     AND ts < max_prior - INTERVAL 600 SECOND
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY user_id
+"""
+
+
 EVENTS_SLIDING_SQL = """
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
@@ -670,6 +777,7 @@ def relational_queries():
         "keyword_search_documents": keyword_search_documents,
         "events_sessionize": events_sessionize,
         "events_sliding": events_sliding,
+        "events_watermark": events_watermark,
         "like_scan_parts": like_scan_parts,
         "regex_extract_documents": regex_extract_documents,
         "concat_by_lang": concat_by_lang,
@@ -691,6 +799,7 @@ def relational_oracle_sql():
         "keyword_search_documents": keyword_search_sql(),
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_sliding": EVENTS_SLIDING_SQL,
+        "events_watermark": EVENTS_WATERMARK_SQL,
         "like_scan_parts": LIKE_SCAN_SQL,
         "regex_extract_documents": REGEX_EXTRACT_SQL,
         "concat_by_lang": CONCAT_BY_LANG_SQL,
