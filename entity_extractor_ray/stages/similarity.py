@@ -169,7 +169,18 @@ def knn_cosine_ivf(embeddings_ds, query_ids: List[int], k: int = 10,
     only against their n_probe closest lists."""
     import ray
 
-    sample_rows = embeddings_ds.take(2048)
+    # corpus-wide deterministic stratified sample for the centroid fit:
+    # `take(2048)` saw only the FIRST blocks (biased when vectors arrive
+    # clustered); vec_id-modulo picks ~2048 rows spread across every block
+    # in one vectorized filter pass
+    n_total = embeddings_ds.count()
+    stride = max(1, n_total // 2048)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % stride == 0))
+
+    sample_rows = embeddings_ds.map_batches(pick, batch_format="pyarrow").take_all()
     sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     index = IvfIndex(n_lists=n_lists, n_probe=n_probe).fit(sample)
 
