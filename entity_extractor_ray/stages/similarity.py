@@ -139,7 +139,7 @@ class IvfIndex:
     centroid, probe only the closest `n_probe` lists at query time.
     Approximate; the 100TB-shaped ANN path (bucket-local scoring only)."""
 
-    def __init__(self, n_lists: int = 16, n_probe: int = 4, seed: int = 13):
+    def __init__(self, n_lists: int = 16, n_probe: int = 6, seed: int = 13):
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.seed = seed
@@ -164,7 +164,7 @@ class IvfIndex:
 
 
 def knn_cosine_ivf(embeddings_ds, query_ids: List[int], k: int = 10,
-                   n_lists: int = 16, n_probe: int = 4):
+                   n_lists: int = 16, n_probe: int = 6):
     """ANN top-k: assign vectors to IVF lists (one shuffle), score queries
     only against their n_probe closest lists."""
     import ray
