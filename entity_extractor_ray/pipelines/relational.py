@@ -527,6 +527,34 @@ GROUP BY 1, 2
 """
 
 
+def events_asof_click(sf_dir: str):
+    """AS-OF JOIN instance (an operator Ray Data lacks — stages/windows.py):
+    every event annotated with the user's most recent STRICTLY-EARLIER
+    'click' event (LEFT semantics: nulls before the first click). Right-side
+    (user, ts) pairs are unique in this table, so the backward-strict match
+    is deterministic; the DuckDB oracle is a native ASOF LEFT JOIN."""
+    from ..stages.windows import asof_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    left = ds.select_columns(["user_id", "event_id", "ts"])
+    right = ds.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "event_id", "ts"]
+    )
+    return asof_join(
+        left, right, by="user_id", on="ts",
+        right_cols={"event_id": "click_event_id", "ts": "click_ts"},
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT l.user_id, l.event_id, l.ts, r.event_id AS click_event_id, r.ts AS click_ts
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+) r ON l.user_id = r.user_id AND l.ts > r.ts
+"""
+
+
 def events_user_stats(sf_dir: str):
     """Per-user event rollup (A6-style metrics): n_events, n_types, last_ts —
     one bucketed grouped apply (all three aggregates in a single shuffle)."""
@@ -778,6 +806,7 @@ def relational_queries():
         "events_sessionize": events_sessionize,
         "events_sliding": events_sliding,
         "events_watermark": events_watermark,
+        "events_asof_click": events_asof_click,
         "like_scan_parts": like_scan_parts,
         "regex_extract_documents": regex_extract_documents,
         "concat_by_lang": concat_by_lang,
@@ -800,6 +829,7 @@ def relational_oracle_sql():
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_sliding": EVENTS_SLIDING_SQL,
         "events_watermark": EVENTS_WATERMARK_SQL,
+        "events_asof_click": EVENTS_ASOF_SQL,
         "like_scan_parts": LIKE_SCAN_SQL,
         "regex_extract_documents": REGEX_EXTRACT_SQL,
         "concat_by_lang": CONCAT_BY_LANG_SQL,

@@ -69,3 +69,36 @@ class TestWatermark:
         sf_dir, path = _planted_events(tmp_path)
         got = {r["user_id"]: r["n_late"] for r in events_watermark(sf_dir).take_all()}
         assert got == {0: 0, 1: 2, 2: 0}
+
+
+class TestAsofJoin:
+    def test_backward_strict_and_misses(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.windows import asof_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "t": pa.array([10, 20, 30, 5, 7], pa.int64()),
+                "payload": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "t": pa.array([10, 25, 9], pa.int64()),
+                "tag": pa.array(["r10", "r25", "r9"], pa.string()),
+            }
+        )
+        out = asof_join(
+            rd.from_arrow(left), rd.from_arrow(right), by="k", on="t",
+            right_cols={"tag": "asof_tag", "t": "asof_t"}, n_buckets=4,
+        )
+        rows = {(r["k"], r["t"]): (r["asof_tag"], r["asof_t"]) for r in out.take_all()}
+        assert rows[(1, 10)] == (None, None)      # strict: t=10 not < 10
+        assert rows[(1, 20)] == ("r10", 10)
+        assert rows[(1, 30)] == ("r25", 25)
+        assert rows[(2, 5)] == (None, None)       # right exists but later
+        assert rows[(3, 7)] == (None, None)       # key absent on the right
+        assert len(rows) == 5
