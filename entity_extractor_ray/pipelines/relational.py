@@ -555,6 +555,64 @@ ASOF LEFT JOIN (
 """
 
 
+SIZE_BANDS = ((1, 10, "small"), (11, 25, "medium"), (26, 50, "large"))
+
+
+def parts_size_bands(sf_dir: str):
+    """RANGE JOIN instance (stages/windows.py range_join): parts banded by
+    size against a broadcast interval table, then a per-band rollup.
+    Interval side ships once via ray.put; every batch resolves its band
+    with a vectorized searchsorted — no shuffle for the join itself."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.windows import range_join
+
+    parts = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+    bands = pa.table(
+        {
+            "lo": pa.array([b[0] for b in SIZE_BANDS], pa.int64()),
+            "hi": pa.array([b[1] for b in SIZE_BANDS], pa.int64()),
+            "band": pa.array([b[2] for b in SIZE_BANDS], pa.string()),
+        }
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"band": t.column("band"), "cents": _cents(t.column("p_retailprice"))}
+        )
+
+    agg = (
+        range_join(parts, bands, on="p_size")
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n_parts"), Sum("cents", alias_name="c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "n_parts": t.column("n_parts"),
+                "total_price": pc.divide(
+                    pc.cast(t.column("c"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+PARTS_SIZE_BANDS_SQL = """
+WITH bands(lo, hi, band) AS (
+  VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large')
+)
+SELECT band, count(*) AS n_parts,
+       sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM part JOIN bands ON p_size BETWEEN lo AND hi
+GROUP BY band
+"""
+
+
 def events_user_stats(sf_dir: str):
     """Per-user event rollup (A6-style metrics): n_events, n_types, last_ts —
     one bucketed grouped apply (all three aggregates in a single shuffle)."""
@@ -807,6 +865,7 @@ def relational_queries():
         "events_sliding": events_sliding,
         "events_watermark": events_watermark,
         "events_asof_click": events_asof_click,
+        "parts_size_bands": parts_size_bands,
         "like_scan_parts": like_scan_parts,
         "regex_extract_documents": regex_extract_documents,
         "concat_by_lang": concat_by_lang,
@@ -830,6 +889,7 @@ def relational_oracle_sql():
         "events_sliding": EVENTS_SLIDING_SQL,
         "events_watermark": EVENTS_WATERMARK_SQL,
         "events_asof_click": EVENTS_ASOF_SQL,
+        "parts_size_bands": PARTS_SIZE_BANDS_SQL,
         "like_scan_parts": LIKE_SCAN_SQL,
         "regex_extract_documents": REGEX_EXTRACT_SQL,
         "concat_by_lang": CONCAT_BY_LANG_SQL,

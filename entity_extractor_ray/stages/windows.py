@@ -144,3 +144,54 @@ def asof_join(left_ds, right_ds, by: str, on: str,
         return pa.table(cols)
 
     return bucket_group_apply(both, [by], bucket, n_buckets)
+
+
+def range_join(left_ds, intervals: pa.Table, on: str, how: str = "inner"):
+    """Range join against a BROADCAST interval table: each left row matches
+    intervals where lo <= row[on] <= hi. The interval side is
+    dimension-sized (bands, buckets, SLA tiers), so it ships once via
+    ray.put and every batch resolves matches with two vectorized
+    searchsorted calls — never a shuffle, never a per-row loop.
+
+    ``intervals`` columns: lo, hi + any label columns (all copied to the
+    output). Intervals may NOT overlap (validated) — overlapping ranges
+    would need an interval tree; non-overlap covers the banding/bucketing
+    uses this engine needs and keeps the match vectorizable. how="left"
+    keeps unmatched rows with null interval columns."""
+    import ray
+
+    lo = np.asarray(intervals.column("lo").to_pylist(), dtype=np.float64)
+    hi = np.asarray(intervals.column("hi").to_pylist(), dtype=np.float64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    if np.any(hi[:-1] >= lo[1:]) or np.any(hi < lo):
+        raise ValueError("range_join requires non-overlapping, ordered intervals")
+    label_cols = [n for n in intervals.schema.names if n not in ("lo", "hi")]
+    labels = {n: np.asarray(intervals.column(n).to_pylist(), dtype=object)[order]
+              for n in label_cols}
+    label_types = {n: intervals.schema.field(n).type for n in label_cols}
+    ref = ray.put((lo, hi, labels))
+
+    def match(t: pa.Table) -> pa.Table:
+        lo_, hi_, labels_ = ray.get(ref)
+        vals = np.asarray(t.column(on).to_pylist(), dtype=np.float64)
+        idx = np.searchsorted(lo_, vals, side="right") - 1
+        ok = (idx >= 0) & (vals <= hi_[np.clip(idx, 0, None)])
+        if how == "inner":
+            t = t.filter(pa.array(ok))
+            sel = idx[ok]
+            for n in label_cols:
+                t = t.append_column(n, pa.array(labels_[n][sel].tolist(),
+                                                label_types[n]))
+            return t
+        out_cols = {}
+        for n in label_cols:
+            col = np.empty(len(vals), dtype=object)
+            col[:] = None
+            col[ok] = labels_[n][idx[ok]]
+            out_cols[n] = pa.array(col.tolist(), label_types[n])
+        for n in out_cols:
+            t = t.append_column(n, out_cols[n])
+        return t
+
+    return left_ds.map_batches(match, batch_format="pyarrow")

@@ -102,3 +102,34 @@ class TestAsofJoin:
         assert rows[(2, 5)] == (None, None)       # right exists but later
         assert rows[(3, 7)] == (None, None)       # key absent on the right
         assert len(rows) == 5
+
+
+class TestRangeJoin:
+    def test_inner_left_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.windows import range_join
+
+        left = pa.table(
+            {"v": pa.array([1, 5, 10, 11, 99], pa.int64()),
+             "id": pa.array([0, 1, 2, 3, 4], pa.int64())}
+        )
+        bands = pa.table(
+            {"lo": pa.array([1, 11], pa.int64()),
+             "hi": pa.array([10, 20], pa.int64()),
+             "band": pa.array(["a", "b"], pa.string())}
+        )
+        inner = {r["id"]: r["band"]
+                 for r in range_join(rd.from_arrow(left), bands, on="v").take_all()}
+        assert inner == {0: "a", 1: "a", 2: "a", 3: "b"}  # 99 dropped
+        left_out = {r["id"]: r["band"] for r in range_join(
+            rd.from_arrow(left), bands, on="v", how="left").take_all()}
+        assert left_out[4] is None and len(left_out) == 5
+
+        overlapping = pa.table(
+            {"lo": pa.array([1, 5], pa.int64()),
+             "hi": pa.array([10, 20], pa.int64()),
+             "band": pa.array(["a", "b"], pa.string())}
+        )
+        with pytest.raises(ValueError):
+            range_join(rd.from_arrow(left), overlapping, on="v")
