@@ -530,16 +530,33 @@ GROUP BY 1, 2
 def events_asof_click(sf_dir: str):
     """AS-OF JOIN instance (an operator Ray Data lacks — stages/windows.py):
     every event annotated with the user's most recent STRICTLY-EARLIER
-    'click' event (LEFT semantics: nulls before the first click). Right-side
-    (user, ts) pairs are unique in this table, so the backward-strict match
-    is deterministic; the DuckDB oracle is a native ASOF LEFT JOIN."""
+    'click' event (LEFT semantics: nulls before the first click). asof_join
+    ENFORCES unique right-side (user, ts) pairs, so the click side is
+    deduped here first (keep max event_id per (user_id, ts)) — two clicks
+    sharing a timestamp would otherwise be an engine-vs-oracle parity break
+    (DuckDB ASOF picks an arbitrary tie); the DuckDB oracle is a native
+    ASOF LEFT JOIN."""
+    from ..stages.shuffle import bucket_group_apply
     from ..stages.windows import asof_join
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
     left = ds.select_columns(["user_id", "event_id", "ts"])
-    right = ds.filter(expr="event_type == 'click'").select_columns(
+    clicks = ds.filter(expr="event_type == 'click'").select_columns(
         ["user_id", "event_id", "ts"]
     )
+
+    def dedup_ties(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = d.drop_duplicates(["user_id", "ts"], keep="last")
+        return pa.table(
+            {
+                "user_id": pa.array(d["user_id"].to_numpy(), pa.int64()),
+                "event_id": pa.array(d["event_id"].to_numpy(), pa.int64()),
+                "ts": pa.array(d["ts"].astype("datetime64[us]"), pa.timestamp("us")),
+            }
+        )
+
+    right = bucket_group_apply(clicks, ["user_id"], dedup_ties, 16)
     return asof_join(
         left, right, by="user_id", on="ts",
         right_cols={"event_id": "click_event_id", "ts": "click_ts"},

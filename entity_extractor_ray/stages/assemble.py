@@ -41,6 +41,16 @@ CHEMICAL_STRUCT = pa.struct(
         ("tag", pa.string()),
         ("source", pa.string()),
         ("turn_idx", pa.int32()),
+        # position in the A1-deduped chemicals list (dict FIRST-OCCURRENCE
+        # key order). This — not turn_idx — is the reference's processing
+        # order for everything downstream of the record (edge upsert order,
+        # status-fold order, node-creation order): the dict comprehension at
+        # artifact_ingestor_service.py:788-791 keeps first-key order while
+        # its VALUES (incl. turn) come from the last occurrence, so a
+        # conversation mentioning name-variants A, a, A of one CAS entity
+        # processes A (pos 0) before a (pos 1) even though A's turn_idx is
+        # the latest.
+        ("pos", pa.int32()),
     ]
 )
 
@@ -143,7 +153,11 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
         out_turn.append(int(turn_arr[mat_i]))
         out_name.append(combined)
         out_mfr.append(mfr_arr[mat_i])
-        out_chems.append(list(dedup.values()))
+        # dict preserves FIRST-occurrence key order across overwrites, so
+        # enumerate() is the reference's processing order (see CHEMICAL_STRUCT)
+        out_chems.append(
+            [{**chem, "pos": j} for j, chem in enumerate(dedup.values())]
+        )
         out_reason.append(None)
 
     return pa.table(

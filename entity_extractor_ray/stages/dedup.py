@@ -89,6 +89,17 @@ class MinHashSignatures:
 BUCKET_PAIR_CAP = 1000
 
 
+def _cap_ids_unbiased(ids: np.ndarray, cap: int) -> np.ndarray:
+    """Deterministic, id-UNIFORM truncation for oversized LSH buckets: slice
+    in seeded-hash order instead of ascending id order (``ids[:cap]`` would
+    systematically favor early documents — every truncated bucket dropping
+    the same late-id population is a biased sample of the boilerplate
+    cluster). Fibonacci-mix hash, stable across processes."""
+    mix = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    mix ^= mix >> np.uint64(29)
+    return ids[np.argsort(mix, kind="stable")[:cap]]
+
+
 def _pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """One hash bucket of (band_id, band_hash) groups -> candidate pairs
     (id_a < id_b), vectorized triu per group. Pathological buckets (a band
@@ -105,7 +116,7 @@ def _pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         if ids.size > BUCKET_PAIR_CAP:
             n_truncated_buckets += 1
             n_dropped_ids += int(ids.size - BUCKET_PAIR_CAP)
-            ids = ids[:BUCKET_PAIR_CAP]
+            ids = _cap_ids_unbiased(ids, BUCKET_PAIR_CAP)
         iu, ju = np.triu_indices(ids.size, k=1)
         a_parts.append(ids[iu])
         b_parts.append(ids[ju])
@@ -307,9 +318,11 @@ def propagate_min_labels(pairs_ds, n_buckets: int = 32, max_rounds: int = 50):
             schema=LABELS_SCHEMA,
         )
 
+    converged = False
     for _ in range(max_rounds):
         changed = labels.aggregate(Sum("changed", alias_name="n"))["n"]
         if not changed:
+            converged = True
             break
         nbr_labels = labels.select_columns(["node", "label"]).rename_columns(
             {"node": "nbr", "label": "cand"}
@@ -331,6 +344,18 @@ def propagate_min_labels(pairs_ds, n_buckets: int = 32, max_rounds: int = 50):
         labels = bucket_group_apply(
             cand_edges.union(own), ["node"], min_bucket, n_buckets
         ).materialize()
+
+    if not converged:
+        # a component whose diameter exceeds max_rounds would otherwise ship
+        # PARTIALLY-propagated labels — one true component silently split
+        # into inconsistent clusters. Fail loud instead.
+        still = labels.aggregate(Sum("changed", alias_name="n"))["n"]
+        if still:
+            raise RuntimeError(
+                f"propagate_min_labels did not converge after {max_rounds} "
+                f"rounds ({still} labels still changing): a connected "
+                f"component's diameter exceeds max_rounds — raise max_rounds"
+            )
 
     return labels.select_columns(["node", "label"])
 
@@ -611,18 +636,29 @@ EXACT_COSINE_MAX_ROWS = 200_000
 
 
 def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.95,
-                           max_exact_rows: int = EXACT_COSINE_MAX_ROWS):
+                           max_exact_rows: int = EXACT_COSINE_MAX_ROWS,
+                           allow_approx: bool = False):
     """Exact all-pairs cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
     Brute force per batch against the broadcast matrix (numpy matmul) — the
     DECLARED verification-scale method: O(N) driver materialization and
     O(N^2) scoring. A row-count gate stops it from running unbounded: inputs
-    larger than ``max_exact_rows`` are routed to the multi-band LSH variant
-    (embedding_lsh_pairs) automatically, with a logged notice."""
+    larger than ``max_exact_rows`` RAISE by default — an operator named
+    "exact" must not silently return approximate results. Pass
+    ``allow_approx=True`` to route oversized inputs to the multi-band LSH
+    variant (embedding_lsh_pairs) with a logged notice instead."""
     import ray
 
     n_rows = embeddings_ds.count()
     if n_rows > max_exact_rows:
+        if not allow_approx:
+            raise ValueError(
+                f"embedding_cosine_pairs is EXACT (O(N^2) scoring, O(N) "
+                f"driver state) and gated at {max_exact_rows} rows; the "
+                f"input has {n_rows}. Pass allow_approx=True to fall back "
+                f"to embedding_lsh_pairs (approximate), or call "
+                f"embedding_lsh_pairs directly."
+            )
         logger.warning(
             "embedding_cosine_pairs: %d rows exceeds the exact-path gate "
             "(%d); routing to multi-band hyperplane LSH (approximate).",
@@ -753,7 +789,14 @@ def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
             g = g.drop_duplicates("vec_id").sort_values("vec_id")
             if len(g) > bucket_cap:
                 n_truncated += len(g) - bucket_cap
-                g = g.iloc[:bucket_cap]
+                keep = np.sort(
+                    np.argsort(
+                        (g["vec_id"].to_numpy().astype(np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)),
+                        kind="stable",
+                    )[:bucket_cap]
+                )
+                g = g.iloc[keep]
             ids = g["vec_id"].to_numpy()
             mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -265,6 +265,13 @@ class MentionDetector:
                 if "\x00" in g:
                     continue  # separator artifact
                 row = int(np.searchsorted(starts, m.start(1), side="right")) - 1
+                # the FULL match (not just the capture) must lie inside the
+                # capture's row: a row ending in an unterminated quote (e.g.
+                # 'material "Foo') would otherwise close against the
+                # separator's leading '"' — a NUL-free false positive the
+                # per-row path never produces
+                if m.start() < starts[row] or m.end() > starts[row] + lengths[row]:
+                    continue
                 rows_conv.append(conv[row])
                 rows_tidx.append(tidx[row])
                 rows_mention.append(g)

@@ -98,23 +98,29 @@ CHEM_NODE_STATE_SCHEMA = pa.schema(
 )
 
 
-def order_key_array(batch: pa.Table) -> pa.Array:
-    """Sortable string key '<conv_id>|<turn_idx zero-padded>' — the engine's
-    deterministic replacement for the reference's arrival order."""
-    turn = pc.cast(batch.column("turn_idx"), pa.string())
-    padded = pc.utf8_lpad(turn, 8, "0")
+def order_key_array(batch: pa.Table, idx_col: str = "turn_idx") -> pa.Array:
+    """Sortable string key '<conv_id>|<idx zero-padded>' — the engine's
+    deterministic replacement for the reference's arrival order. For chem
+    mention rows pass ``idx_col='pos'``: the reference processes a record's
+    chemicals in A1-dedup dict order (first-occurrence position), NOT in
+    turn order — the two differ when name-variants of one entity recur in a
+    conversation (oracle.py ingest loop; triples.CHEM_MENTION_SCHEMA)."""
+    idx = pc.cast(batch.column(idx_col), pa.string())
+    padded = pc.utf8_lpad(idx, 8, "0")
     return pc.binary_join_element_wise(batch.column("conv_id"), padded, "|")
 
 
 def chem_link_keys(batch: pa.Table) -> pa.Table:
-    """chem mention rows -> (manufacturer, name, cas ["" if null], order_key)."""
+    """chem mention rows -> (manufacturer, name, cas ["" if null], order_key).
+    Order = (conv asc, A1-dedup position within conv): the oracle's node
+    CREATION order, which decides cluster winners and canonical CAS."""
     cas = pc.fill_null(batch.column("cas"), "")
     return pa.table(
         {
             "manufacturer": batch.column("manufacturer"),
             "name": batch.column("name"),
             "cas": cas,
-            "order_key": order_key_array(batch),
+            "order_key": order_key_array(batch, "pos"),
         }
     )
 
@@ -273,12 +279,27 @@ def _distinct_minmax(codes: np.ndarray, rank_min: np.ndarray, rank_max: np.ndarr
     return min_row_idx, max_row_idx
 
 
+def _assert_nonnull_keys(df: pd.DataFrame, cols=("manufacturer", "name", "cas")):
+    """Null group-key guard: pd.factorize maps every NaN to the single
+    sentinel code -1, so ANY null in the concatenated key would silently
+    collapse all null-bearing distinct keys into one merged row. cas is
+    ''-filled upstream (chem_link_keys); name/manufacturer are contract
+    non-null — a future null-bearing caller must fail loud, not mis-merge."""
+    for c in cols:
+        if df[c].isna().any():
+            raise ValueError(
+                f"linking key column {c!r} contains nulls; fill or drop them "
+                f"upstream (null keys collapse under factorize)"
+            )
+
+
 def _merge_distinct_keys(df: pd.DataFrame) -> pd.DataFrame:
     """(manufacturer, name, cas) distinct with min(min_order)/max(max_order)
     fold over a frame that already has min_order/max_order columns."""
     n = len(df)
     if n == 0:
         return df
+    _assert_nonnull_keys(df)
     try:
         codes = pd.factorize(
             (df["manufacturer"] + "\x1f" + df["name"] + "\x1f" + df["cas"]).to_numpy()
@@ -304,6 +325,12 @@ def _local_distinct_keys(batch: pa.Table) -> pa.Table:
     min/max order fold — hot entities collapse to one row per batch BEFORE
     the shuffle, so skew never amplifies exchange volume. Vectorized via
     byte-array lexsort (see _distinct_minmax)."""
+    for c in ("manufacturer", "name", "cas"):
+        if batch.column(c).null_count:
+            raise ValueError(
+                f"linking key column {c!r} contains nulls; fill or drop them "
+                f"upstream (null keys collapse under factorize)"
+            )
     comp_arr = pc.binary_join_element_wise(
         batch.column("manufacturer"), batch.column("name"), batch.column("cas"),
         "\x1f",
@@ -476,6 +503,7 @@ def _component_mapping(rows_ds, n_buckets: int = 64):
 
         # cross-batch duplicates of one (mfr, name, cas) key merge here, same
         # as _union_find_bucket's in-bucket pre-merge (vectorized lexsort)
+        _assert_nonnull_keys(df)
         try:
             codes = pd.factorize(
                 (
@@ -549,7 +577,8 @@ def add_probe_and_material_keys(batch: pa.Table) -> pa.Table:
     t = batch.append_column("probe_key", pa.array(probe, pa.int64()))
     t = t.append_column("material_id", pa.array(mat_ids, pa.string()))
     t = t.append_column("manufacturer_id", pa.array(mfr_ids, pa.string()))
-    return t.append_column("order_key", order_key_array(batch))
+    # processing order for the fold + edge last-wins = (conv, A1 position)
+    return t.append_column("order_key", order_key_array(batch, "pos"))
 
 
 def link_chem_mentions(chem_mentions_ds, mapping_ds, num_partitions: int = 16):

@@ -184,13 +184,17 @@ def lookup_join(
     n_buckets: int = 32,
     suffix: str = "_r",
     broadcast_limit: int = 3_000_000,
+    broadcast_bytes_limit: int = 256 * 1024 * 1024,
 ):
     """Join with automatic strategy choice: when the right side is small
-    enough, BROADCAST it (ray.put once, per-batch index lookup on the left —
-    zero shuffle, the map-side hash join); otherwise fall back to the
-    task-based bucket_hash_join. The broadcast path requires UNIQUE right
-    keys — verified up front (a duplicate-keyed pd.Index only fails later,
-    at get_indexer probe time, with an opaque InvalidIndexError) — and
+    enough — BOTH under ``broadcast_limit`` rows AND under
+    ``broadcast_bytes_limit`` Arrow bytes (a row gate alone would replicate
+    a few-rows-of-huge-documents table multi-GB per worker) — BROADCAST it
+    (block refs once, per-batch index lookup on the left — zero shuffle,
+    the map-side hash join); otherwise fall back to the task-based
+    bucket_hash_join. The broadcast path requires UNIQUE right keys —
+    verified up front (a duplicate-keyed pd.Index only fails later, at
+    get_indexer probe time, with an opaque InvalidIndexError) — and
     non-unique right sides fall back to bucket_hash_join, which handles
     multiplicity. This mirrors the guide's rule: broadcast dimension-sized
     sides, shuffle fact-sized ones."""
@@ -207,19 +211,20 @@ def lookup_join(
     _init_remote()
     refs = right.to_arrow_refs()
     probed = ray.get([_project_key_col.remote(r, right_key) for r in refs]) if refs else []
-    key_tbls = [kt for kt, _, _ in probed if kt is not None]
+    key_tbls = [kt for kt, _, _, _ in probed if kt is not None]
     # schema only from blocks that actually carry rows: Ray passes zero-row
     # blocks through fused filter+project with their PRE-projection schema
-    schemas = [s for kt, s, _ in probed if kt is not None]
-    all_arrow = all(a for _, _, a in probed)
+    schemas = [s for kt, s, _, _ in probed if kt is not None]
+    all_arrow = all(a for _, _, a, _ in probed)
     n_rows = sum(t.num_rows for t in key_tbls)
+    n_bytes = sum(b for _, _, _, b in probed)
     import ray.data as rd
 
     # refs-backed dataset: lets the bucket-join fallback reuse the already-
     # executed blocks instead of re-running the right-side plan (arrow
     # blocks only — pandas blocks re-run the original plan)
     right_mat = rd.from_arrow_refs(refs) if (refs and all_arrow) else right
-    if n_rows > broadcast_limit:
+    if n_rows > broadcast_limit or n_bytes > broadcast_bytes_limit:
         return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
     if n_rows > 0:
         import pyarrow.compute as pc
@@ -296,14 +301,17 @@ def _as_arrow_block(tbl):
 
 
 def _project_key_col_impl(tbl, k: str):
-    """(key column, block schema, was_arrow) — None key for the zero-column
-    empty blocks Ray emits from empty map_groups buckets; was_arrow tells
-    the driver whether from_arrow_refs may reuse the raw refs."""
+    """(key column, block schema, was_arrow, block_nbytes) — None key for the
+    zero-column empty blocks Ray emits from empty map_groups buckets;
+    was_arrow tells the driver whether from_arrow_refs may reuse the raw
+    refs; block_nbytes feeds the broadcast BYTE gate (a row-count gate alone
+    lets a sub-3M-row table of large documents replicate multi-GB per
+    worker)."""
     was_arrow = isinstance(tbl, pa.Table)
     tbl = _as_arrow_block(tbl)
     if tbl.num_rows == 0 or k not in tbl.schema.names:
-        return None, (tbl.schema if tbl.num_columns else None), was_arrow
-    return tbl.select([k]).combine_chunks(), tbl.schema, was_arrow
+        return None, (tbl.schema if tbl.num_columns else None), was_arrow, 0
+    return tbl.select([k]).combine_chunks(), tbl.schema, was_arrow, int(tbl.nbytes)
 
 
 _project_key_col = None  # ray.remote wrapper, built on first join (lazy ray import)
@@ -331,6 +339,11 @@ def _broadcast_index(refs, key: str, renamed_names, empty_tbl):
 
     cache_key = tuple(r.hex() for r in refs)
     got = _BROADCAST_INDEX_CACHE.get(cache_key)
+    if got is not None:
+        # LRU touch: move to the end so interleaved joins evict the OLDEST
+        # index, not an active one
+        _BROADCAST_INDEX_CACHE.pop(cache_key)
+        _BROADCAST_INDEX_CACHE[cache_key] = got
     if got is None:
         # drop Ray's zero-row (possibly zero-column) filler blocks before
         # concat — their empty schemas would fail the concat
@@ -347,7 +360,10 @@ def _broadcast_index(refs, key: str, renamed_names, empty_tbl):
             tbl.schema.get_field_index(key)
         )
         got = (index, r_cols.combine_chunks())
-        if len(_BROADCAST_INDEX_CACHE) >= 4:  # bound worker memory
+        # bound worker memory: 2 entries (the active join + one overlapping
+        # neighbor); entries are <= lookup_join's broadcast_bytes_limit each,
+        # and LRU order (dict insertion + touch-on-hit) evicts the oldest
+        if len(_BROADCAST_INDEX_CACHE) >= 2:
             _BROADCAST_INDEX_CACHE.pop(next(iter(_BROADCAST_INDEX_CACHE)))
         _BROADCAST_INDEX_CACHE[cache_key] = got
     return got

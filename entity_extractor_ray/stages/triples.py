@@ -37,6 +37,10 @@ CHEM_MENTION_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
+        # within-conversation PROCESSING order (A1 dict first-occurrence
+        # position, assemble.CHEMICAL_STRUCT) — the linking/fold/edge order
+        # key; turn_idx stays the LAST occurrence's turn (lineage surface)
+        ("pos", pa.int32()),
         ("manufacturer", pa.string()),
         ("material_name", pa.string()),
         ("name", pa.string()),
@@ -99,6 +103,7 @@ def explode_chem_mentions(batch: pa.Table) -> pa.Table:
         for chem in chem_list:
             out["conv_id"].append(c)
             out["turn_idx"].append(chem["turn_idx"])
+            out["pos"].append(chem["pos"])
             out["manufacturer"].append(f)
             out["material_name"].append(m)
             out["name"].append(chem["name"])

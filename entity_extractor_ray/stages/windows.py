@@ -4,9 +4,10 @@ key-co-locating bucket shuffle + an in-bucket vectorized searchsorted.
 Semantics (backward as-of, strict): for each LEFT row, attach the RIGHT row
 of the same ``by`` group with the greatest ``on`` value strictly below the
 left row's ``on`` (LEFT-join: nulls when no such row). Deterministic
-because right-side (by, on) pairs are required unique — the caller dedups
-(the query surface dedups by keeping max id per (by, on), matching the SQL
-oracle's ASOF tie rule).
+because right-side (by, on) pairs are required unique — ENFORCED: the
+bucket fn raises on duplicates (a tie would make the engine pick one row
+and a SQL ASOF oracle pick an arbitrary other). Callers dedup first; the
+query surface keeps max event_id per (by, on).
 
 Partitioning assumption (documented per the task contract): all rows of one
 ``by`` key co-locate in one bucket task — the same assumption every keyed
@@ -18,7 +19,7 @@ pattern in linking.fold_chemical_states) before resorting to this shape.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import pandas as pd
@@ -95,52 +96,79 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     }
 
     def bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
-        lefts: List[pd.DataFrame] = []
-        rvals: Dict[str, list] = {out: [] for out in right_cols.values()}
-        for _, g in df.groupby(by, sort=False):
-            lmask = (g["__side"] == "L").to_numpy()
-            lg = g[lmask]
-            rg = g[~lmask]
-            if lg.empty:
-                continue
-            lefts.append(lg[left_names])
-            n = len(lg)
-            if rg.empty:
-                for out in right_cols.values():
-                    rvals[out].extend([None] * n)
-                continue
-            r_on = _as_int64(rg[on])
-            order = np.argsort(r_on, kind="stable")
-            r_on_sorted = r_on[order]
-            l_on = _as_int64(lg[on])
-            idx = np.searchsorted(
-                r_on_sorted, l_on, side="left" if strict else "right"
-            ) - 1
-            for src, out in right_cols.items():
-                raw = rg["__r_" + src].to_numpy()
-                if ts_like[src]:
-                    raw = raw.astype("datetime64[us]").astype(np.int64)
-                raw = raw[order]
-                rvals[out].extend(
-                    raw[i] if i >= 0 else None for i in idx
-                )
-        if not lefts:
+        """Fully vectorized in-bucket match: ONE joint lexsort over
+        (by-code, on, side) for all keys at once; each left row's match is
+        'the last right row before me in that order within my group',
+        computed with a cumulative right-count — no per-key loop, no
+        per-row Python gather (the round-2 version looped users and emitted
+        right values through a per-left-row generator)."""
+        lmask = (df["__side"] == "L").to_numpy()
+        lg = df[lmask]
+        if lg.empty:
             empty = {name: pa.array([], typ) for name, typ in out_fields}
             for src, out in right_cols.items():
                 empty[out] = pa.array([], r_field_types["__r_" + src])
             return pa.table(empty)
-        merged = pd.concat(lefts, ignore_index=True)
-        cols = {name: pa.array(merged[name], typ) for name, typ in out_fields}
+        rg = df[~lmask]
+        n_l, n_r = len(lg), len(rg)
+        codes = pd.factorize(df[by], sort=False)[0]
+        lcodes, rcodes = codes[lmask], codes[~lmask]
+        l_on = _as_int64(lg[on])
+
+        if n_r == 0:
+            match = np.full(n_l, -1, np.int64)
+            r_order = np.zeros(0, np.int64)
+        else:
+            r_on = _as_int64(rg[on])
+            r_order = np.lexsort((r_on, rcodes))
+            rc_s, ro_s = rcodes[r_order], r_on[r_order]
+            dup = (rc_s[1:] == rc_s[:-1]) & (ro_s[1:] == ro_s[:-1])
+            if dup.any():
+                raise ValueError(
+                    "asof_join requires unique right-side (by, on) pairs "
+                    f"for a deterministic match; found {int(dup.sum())} "
+                    "duplicates — dedup the right side first"
+                )
+            # combined order: (code, on, side); strict => a left row ties
+            # BEFORE the equal-on right (so the equal right is not counted),
+            # non-strict => after
+            side_rank = np.concatenate(
+                [np.zeros(n_l, np.int8), np.ones(n_r, np.int8)]
+                if strict
+                else [np.ones(n_l, np.int8), np.zeros(n_r, np.int8)]
+            )
+            code_all = np.concatenate([lcodes, rcodes])
+            on_all = np.concatenate([l_on, r_on])
+            order = np.lexsort((side_rank, on_all, code_all))
+            is_right = order >= n_l
+            cum = np.cumsum(is_right)
+            left_pos = np.flatnonzero(~is_right)
+            orig_left = order[left_pos]  # indices into lg's row order
+            cand = cum[left_pos] - 1  # last right anywhere before, in r_order
+            ok = cand >= 0
+            # the candidate must belong to the SAME group — rights of earlier
+            # groups sort before and would otherwise leak across keys
+            ok[ok] = rc_s[cand[ok]] == lcodes[orig_left[ok]]
+            match = np.full(n_l, -1, np.int64)
+            match[orig_left] = np.where(ok, cand, -1)
+
+        miss = match < 0
+        take = np.clip(match, 0, None)
+        cols = {name: pa.array(lg[name], typ) for name, typ in out_fields}
         for src, out in right_cols.items():
             typ = r_field_types["__r_" + src]
-            vals = rvals[out]
+            if n_r == 0:
+                cols[out] = pa.nulls(n_l, typ)
+                continue
+            raw = rg["__r_" + src].to_numpy()
             if ts_like[src]:
-                cols[out] = pa.array(
-                    [None if v is None else int(v) for v in vals],
-                    pa.timestamp("us"),
-                )
+                raw = raw.astype("datetime64[us]").astype(np.int64)
+                vals = raw[r_order][take]
+                cols[out] = pa.array(vals, type=pa.timestamp("us"), mask=miss)
             else:
-                cols[out] = pa.array(vals, typ)
+                vals = raw[r_order][take].astype(object)
+                vals[miss] = None
+                cols[out] = pa.array(vals, typ, from_pandas=True)
         return pa.table(cols)
 
     return bucket_group_apply(both, [by], bucket, n_buckets)

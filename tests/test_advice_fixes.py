@@ -140,3 +140,290 @@ class TestNullSafeTextstatsOracles:
         py_f = ts.exact_fingerprints(docs.copy()).sort_values("doc_id").reset_index(drop=True)
         sql_f = con.execute(ts.exact_fingerprints_sql()).df().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(py_f, sql_f, check_dtype=False)
+
+
+# --------------------------------------------------------------- round 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPropagationConvergenceGuard:
+    def test_long_chain_converges_and_labels_min(self):
+        from entity_extractor_ray.stages.dedup import propagate_min_labels
+
+        # path graph 0-1-2-...-9: one component, min label 0
+        pairs = _ds(pa.table({"id_a": list(range(9)), "id_b": list(range(1, 10))}))
+        labels = propagate_min_labels(pairs, n_buckets=4).to_pandas()
+        assert set(labels["label"]) == {0}
+        assert len(labels) == 10
+
+    def test_nonconvergence_raises_not_silent(self):
+        from entity_extractor_ray.stages.dedup import propagate_min_labels
+
+        # diameter > max_rounds: partially-propagated labels must NOT ship
+        pairs = _ds(pa.table({"id_a": list(range(9)), "id_b": list(range(1, 10))}))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            propagate_min_labels(pairs, n_buckets=4, max_rounds=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLookupJoinByteGate:
+    def test_large_payload_routes_to_bucket_join(self, monkeypatch):
+        """A right side under the ROW gate but over the BYTE gate must take
+        the shuffle join, not replicate multi-MB blobs per worker."""
+        from entity_extractor_ray.stages import shuffle as sh
+
+        called = {}
+        orig = sh.bucket_hash_join
+
+        def spy(*a, **kw):
+            called["hit"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(sh, "bucket_hash_join", spy)
+        left = _ds(pa.table({"k": [1, 2, 3], "lv": ["a", "b", "c"]}))
+        right = _ds(pa.table({"k": [1, 2], "blob": ["x" * 4096, "y" * 4096]}))
+        out = sh.lookup_join(
+            left, right, key="k", how="left", broadcast_bytes_limit=1024
+        ).to_pandas()
+        assert called.get("hit") is True
+        assert len(out) == 3
+        got = out.set_index("k")["blob"].to_dict()
+        assert got[1] == "x" * 4096 and pd.isna(got[3])
+
+    def test_small_payload_still_broadcasts(self, monkeypatch):
+        from entity_extractor_ray.stages import shuffle as sh
+
+        def fail(*a, **kw):
+            raise AssertionError("small right side must broadcast")
+
+        monkeypatch.setattr(sh, "bucket_hash_join", fail)
+        left = _ds(pa.table({"k": [1, 2], "lv": ["a", "b"]}))
+        right = _ds(pa.table({"k": [1], "rv": [10]}))
+        out = sh.lookup_join(left, right, key="k", how="left").to_pandas()
+        assert len(out) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofTieContract:
+    def test_duplicate_right_pairs_raise(self):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.windows import asof_join
+
+        left = rd.from_arrow(pa.table({"k": [1], "t": [20]}))
+        right = rd.from_arrow(
+            pa.table({"k": [1, 1], "t": [10, 10], "tag": ["a", "b"]})
+        )
+        with pytest.raises(Exception, match="unique right-side"):
+            asof_join(left, right, by="k", on="t",
+                      right_cols={"tag": "asof_tag"}, n_buckets=2).take_all()
+
+    def test_events_asof_click_dedups_ties(self, tmp_path):
+        """Two clicks sharing (user_id, ts): the query keeps max event_id —
+        deterministic, instead of an engine-vs-oracle arbitrary-tie break."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_ray.pipelines.relational import events_asof_click
+
+        ts = pd.Timestamp("2024-01-01 00:00:00")
+        events = pa.table(
+            {
+                "user_id": pa.array([7, 7, 7], pa.int64()),
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [ts, ts, ts + pd.Timedelta(minutes=5)], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["click", "click", "view"], pa.string()),
+            }
+        )
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        out = events_asof_click(str(tmp_path)).to_pandas()
+        row = out[out["event_id"] == 3].iloc[0]
+        assert row["click_event_id"] == 2  # max event_id wins the tie
+
+
+class TestLinkingNullKeyGuard:
+    def test_local_distinct_keys_raises_on_null(self):
+        from entity_extractor_ray.stages.linking import _local_distinct_keys
+
+        batch = pa.table(
+            {
+                "manufacturer": pa.array(["m", None], pa.string()),
+                "name": pa.array(["a", "b"], pa.string()),
+                "cas": pa.array(["", ""], pa.string()),
+                "order_key": pa.array(["c|1", "c|2"], pa.string()),
+            }
+        )
+        with pytest.raises(ValueError, match="contains nulls"):
+            _local_distinct_keys(batch)
+
+    def test_merge_distinct_keys_raises_on_null(self):
+        from entity_extractor_ray.stages.linking import _merge_distinct_keys
+
+        df = pd.DataFrame(
+            {
+                "manufacturer": ["m", "m"],
+                "name": ["a", None],
+                "cas": ["", ""],
+                "min_order": ["c|1", "c|2"],
+                "max_order": ["c|1", "c|2"],
+            }
+        )
+        with pytest.raises(ValueError, match="contains nulls"):
+            _merge_distinct_keys(df)
+
+
+class TestMentionBoundary:
+    def test_unterminated_quote_no_false_positive(self):
+        from entity_extractor_ray.stages.extract import MentionDetector
+
+        det = MentionDetector()
+        batch = pa.table(
+            {
+                "conv_id": pa.array(["c1", "c2"], pa.string()),
+                "turn_idx": pa.array([0, 0], pa.int32()),
+                # row 0 ends in an unterminated quote: the corpus join would
+                # close it against the separator's leading '"' — a NUL-free
+                # capture the per-row path never produces
+                "text": pa.array(
+                    ['It contains ingredient "Foo', 'plain filler text'],
+                    pa.string(),
+                ),
+            }
+        )
+        out = det(batch)
+        assert out.num_rows == 0
+
+    def test_corpus_join_equals_per_row(self):
+        from entity_extractor_ray.stages.extract import MentionDetector
+
+        det = MentionDetector()
+        texts = [
+            'We are reviewing material "M1" supplied by "Acme".',
+            'It contains ingredient "PFOA" with CAS 335-67-1 at 1.5% tagged PFAS (source OECD).',
+            'dangling material "Open',
+            'trailing supplied by "',
+        ]
+        batch = pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(len(texts))], pa.string()),
+                "turn_idx": pa.array([0] * len(texts), pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        joined = det(batch).to_pydict()
+        per_row_tables = [det(batch.slice(i, 1)) for i in range(len(texts))]
+        per_row = pa.concat_tables(per_row_tables).to_pydict()
+        key = lambda d: sorted(zip(d["conv_id"], d["label"], d["mention"], d["span_start"], d["span_end"]))
+        assert key(joined) == key(per_row)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactCosineGate:
+    def test_raises_above_gate_by_default(self):
+        from entity_extractor_ray.stages.dedup import embedding_cosine_pairs
+
+        embs = _ds(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float64())),
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="allow_approx"):
+            embedding_cosine_pairs(embs, threshold=0.9, max_exact_rows=2)
+
+    def test_allow_approx_routes_to_lsh(self):
+        from entity_extractor_ray.stages.dedup import embedding_cosine_pairs
+
+        embs = _ds(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]], pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+        out = embedding_cosine_pairs(
+            embs, threshold=0.9, max_exact_rows=2, allow_approx=True
+        ).to_pandas()
+        assert {(0, 1)} == set(zip(out["id_a"], out["id_b"]))
+
+
+class TestUnbiasedBucketCap:
+    def test_cap_keeps_id_uniform_sample(self):
+        import numpy as np
+
+        from entity_extractor_ray.stages.dedup import _cap_ids_unbiased
+
+        ids = np.arange(10_000, dtype=np.int64)
+        kept = _cap_ids_unbiased(ids, 1000)
+        assert len(kept) == 1000 and len(np.unique(kept)) == 1000
+        # an ids[:cap] slice keeps NOTHING above 999; the hash-order slice
+        # must keep a roughly uniform spread across the id range
+        assert (kept >= 5000).sum() > 350
+        # deterministic across calls
+        assert (kept == _cap_ids_unbiased(ids, 1000)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChemProcessingOrder:
+    def test_name_variant_order_matches_oracle(self, tmp_path):
+        """A conversation mentioning name-variants A, a, A of ONE CAS entity:
+        the reference processes the record's chemicals in A1 dict order
+        (first occurrence of each name), not turn order — the edge weight,
+        canonical name and fold order must match the serial oracle exactly
+        (round-3 regression: turn-ordered last-wins picked the wrong
+        weight)."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_ray import oracle as orc
+        from entity_extractor_ray.pipelines.kg_build import build_kg
+
+        turns = pa.table(
+            {
+                "conv_id": pa.array(["c1"] * 5, pa.string()),
+                "turn_idx": pa.array([0, 1, 2, 3, 4], pa.int32()),
+                "text": pa.array(
+                    [
+                        'We are reviewing material "M1" supplied by "V1".',
+                        'It contains ingredient "Solvent X" with CAS 1017-18-7 at 55.7% tagged UNKNOWN (source MANUAL).',
+                        'filler',
+                        'It contains ingredient "solvent x" with CAS 1017-18-7 at 21.6% tagged UNKNOWN (source MANUAL).',
+                        'It contains ingredient "Solvent X" with CAS 1017-18-7 at 29.9% tagged UNKNOWN (source MANUAL).',
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        path = str(tmp_path / "turns")
+        import os
+
+        os.makedirs(path)
+        pq.write_table(turns, os.path.join(path, "part-0.parquet"))
+        res = build_kg(path, out_dir=None, n_buckets=4, num_join_partitions=4)
+        store = orc.run_oracle(turns)
+        eng_edges = {
+            (r["src"], r["dst"], r["pred"], r["weight"]) for r in res.edges.take_all()
+        }
+        orc_edges = {
+            (d["src"], d["dst"], d["pred"], d["weight"])
+            for d in orc.oracle_edges(store)
+        }
+        assert eng_edges == orc_edges
+        # reference dict order: "Solvent X" (pos 0, last value 29.9) then
+        # "solvent x" (pos 1, 21.6) -> the upsert's LAST write is 21.6
+        weights = {w for (_, _, p, w) in eng_edges if p == "CONTAINS"}
+        assert weights == {"21.6"}
+        eng_nodes = {
+            (r["name"], r["cas_number"]) for r in res.nodes.take_all()
+            if r["node_type"] == "CHEMICAL"
+        }
+        orc_nodes = {
+            (d["name"], d["cas_number"]) for d in orc.oracle_nodes(store)
+            if d["node_type"] == "CHEMICAL"
+        }
+        assert eng_nodes == orc_nodes == {("Solvent X", "1017-18-7")}

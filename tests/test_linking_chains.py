@@ -14,7 +14,9 @@ import pytest
 
 
 def _mentions(rows):
-    """rows: (conv_id, turn_idx, manufacturer, name, cas|None)"""
+    """rows: (conv_id, turn_idx, manufacturer, name, cas|None); pos (the A1
+    within-conversation processing order) mirrors turn_idx here — these
+    fixtures plant one mention per turn."""
     import ray.data as rd
 
     return rd.from_arrow(
@@ -22,6 +24,7 @@ def _mentions(rows):
             {
                 "conv_id": pa.array([r[0] for r in rows], pa.string()),
                 "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "pos": pa.array([r[1] for r in rows], pa.int32()),
                 "manufacturer": pa.array([r[2] for r in rows], pa.string()),
                 "name": pa.array([r[3] for r in rows], pa.string()),
                 "cas": pa.array([r[4] for r in rows], pa.string()),

@@ -19,6 +19,7 @@ def _mentions_table(n_hot: int = 400, n_cold: int = 40) -> pa.Table:
     def add(conv, turn, mfr, name, cas):
         rows["conv_id"].append(conv)
         rows["turn_idx"].append(turn)
+        rows["pos"].append(turn)
         rows["manufacturer"].append(mfr)
         rows["material_name"].append("Mat " + conv)
         rows["name"].append(name)
