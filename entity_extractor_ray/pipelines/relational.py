@@ -675,28 +675,35 @@ def keyword_search_documents(sf_dir: str):
     keywords over a word list this is exact-match OR containment."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        words_per_doc = batch["text"].fillna("").str.lower().str.split(" ")
-        matched, unique = [], []
-        for ws in words_per_doc:
-            m = 0
-            uniq = 0
-            for kw in SEARCH_KEYWORDS:
-                hits = sum(1 for w in ws if w == kw or kw in w)
-                m += hits
-                if hits:
-                    uniq += 1
-            matched.append(m)
-            unique.append(uniq)
-        return pd.DataFrame(
+    def f(batch: pa.Table) -> pa.Table:
+        # fully vectorized: explode words ONCE (Arrow list offsets), one
+        # match_substring kernel per keyword over the flat word array, then
+        # per-doc sums via bincount on the parent indices — replaces the
+        # round-2 O(rows x keywords x words) interpreted double loop
+        # (containment subsumes equality, so `w == kw or kw in w` is just
+        # substring match per word)
+        text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        words = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(words).combine_chunks()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        matched = np.zeros(n, np.int64)
+        unique = np.zeros(n, np.int64)
+        for kw in SEARCH_KEYWORDS:
+            hit = pc.match_substring(flat, kw).to_numpy(zero_copy_only=False)
+            if hit.any():
+                cnt = np.bincount(parent[hit], minlength=n)
+                matched += cnt
+                unique += cnt > 0
+        return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "matched_keywords_count": pd.array(matched, dtype="int64"),
-                "unique_matched_keywords_count": pd.array(unique, dtype="int64"),
+                "doc_id": batch.column("doc_id"),
+                "matched_keywords_count": pa.array(matched, pa.int64()),
+                "unique_matched_keywords_count": pa.array(unique, pa.int64()),
             }
         )
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def keyword_search_sql() -> str:

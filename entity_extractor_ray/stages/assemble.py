@@ -101,40 +101,61 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     src_arr = group["source"].to_numpy()
 
     n = len(conv_arr)
-    bounds = [0] + [i for i in range(1, n) if conv_arr[i] != conv_arr[i - 1]] + [n]
+    if n == 0:
+        return RECORD_SCHEMA.empty_table()
+    # conversation runs + first-index-per-kind, fully vectorized (the
+    # round-2 version walked EVERY row in Python — this is the records
+    # stage's hot path); Python survives only in the per-conversation
+    # chemicals dict-dedup (genuinely order-dependent, output-sized)
+    run_starts = np.concatenate(
+        ([0], np.flatnonzero(conv_arr[1:] != conv_arr[:-1]) + 1)
+    )
+    n_runs = len(run_starts)
+    run_of_row = np.zeros(n, np.int64)
+    run_of_row[run_starts[1:]] = 1
+    np.cumsum(run_of_row, out=run_of_row)
 
-    for bi in range(len(bounds) - 1):
-        lo, hi = bounds[bi], bounds[bi + 1]
-        mat_i = prod_i = upc_i = -1
-        chem_idx: List[int] = []
-        for i in range(lo, hi):
-            k = kind_arr[i]
-            if k == "CHEMICAL":
-                chem_idx.append(i)
-            elif k == "MATERIAL":
-                if mat_i < 0:
-                    mat_i = i
-            elif k == "PRODUCT_NO":
-                if prod_i < 0:
-                    prod_i = i
-            elif k == "UPC":
-                if upc_i < 0:
-                    upc_i = i
-        if mat_i < 0 or not chem_idx:
+    def first_idx(kind: str) -> np.ndarray:
+        rows = np.flatnonzero(kind_arr == kind)
+        out = np.full(n_runs, -1, np.int64)
+        if rows.size:
+            runs, firsts = np.unique(run_of_row[rows], return_index=True)
+            out[runs] = rows[firsts]
+        return out
+
+    mat_idx = first_idx("MATERIAL")
+    prod_idx = first_idx("PRODUCT_NO")
+    upc_idx = first_idx("UPC")
+    chem_rows = np.flatnonzero(kind_arr == "CHEMICAL")
+    chem_run = run_of_row[chem_rows]
+    # per-run chem row groups: chem_rows is run-sorted, so one diff+split
+    run_to_chems: Dict[int, np.ndarray] = {}
+    if chem_rows.size:
+        cuts = np.flatnonzero(np.diff(chem_run)) + 1
+        groups = np.split(chem_rows, cuts)
+        group_runs = chem_run[np.concatenate(([0], cuts))]
+        run_to_chems = dict(zip(group_runs.tolist(), groups))
+
+    for r in range(n_runs):
+        lo = int(run_starts[r])
+        mi = int(mat_idx[r])
+        chem_idx = run_to_chems.get(r)
+        if mi < 0 or chem_idx is None:
             # empty-material / empty-chemicals raise -> conv dropped, but
             # AUDITED: an error row replaces the reference's exception
             out_conv.append(conv_arr[lo])
             out_turn.append(int(turn_arr[lo]))
-            out_name.append(None if mat_i < 0 else name_arr[mat_i])
-            out_mfr.append(None if mat_i < 0 else mfr_arr[mat_i])
+            out_name.append(None if mi < 0 else name_arr[mi])
+            out_mfr.append(None if mi < 0 else mfr_arr[mi])
             out_chems.append([])
-            out_reason.append("EMPTY_MATERIAL" if mat_i < 0 else "EMPTY_CHEMICALS")
+            out_reason.append("EMPTY_MATERIAL" if mi < 0 else "EMPTY_CHEMICALS")
             continue
 
+        pi, ui = int(prod_idx[r]), int(upc_idx[r])
         combined = combine_material_name(
-            name_arr[mat_i],
-            name_arr[prod_i] if prod_i >= 0 else None,
-            name_arr[upc_i] if upc_i >= 0 else None,
+            name_arr[mi],
+            name_arr[pi] if pi >= 0 else None,
+            name_arr[ui] if ui >= 0 else None,
         )
 
         # dict-comprehension dedup: first-occurrence key order, last-wins value
@@ -150,9 +171,9 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
                 "turn_idx": int(turn_arr[i]),
             }
         out_conv.append(conv_arr[lo])
-        out_turn.append(int(turn_arr[mat_i]))
+        out_turn.append(int(turn_arr[mi]))
         out_name.append(combined)
-        out_mfr.append(mfr_arr[mat_i])
+        out_mfr.append(mfr_arr[mi])
         # dict preserves FIRST-occurrence key order across overwrites, so
         # enumerate() is the reference's processing order (see CHEMICAL_STRUCT)
         out_chems.append(
@@ -307,11 +328,11 @@ def dedup_records(records_ds, n_buckets: int = 64):
             bucket, sort_keys=[("mat_key", "ascending"), ("order_key", "ascending")]
         )
         sorted_t = bucket.take(order)
-        keys = sorted_t.column("mat_key").to_pylist()
-        n = len(keys)
-        is_dup = pa.array(
-            [i > 0 and keys[i] == keys[i - 1] for i in range(n)], pa.bool_()
-        )
+        keys = sorted_t.column("mat_key").to_numpy(zero_copy_only=False)
+        dup = np.zeros(len(keys), bool)
+        if len(keys) > 1:
+            dup[1:] = keys[1:] == keys[:-1]
+        is_dup = pa.array(dup)
         reason = pc.if_else(
             is_dup,
             pa.scalar("MATERIAL_ALREADY_INGESTED", pa.string()),
