@@ -36,7 +36,6 @@ from ..stages.graph import (
     assemble_nodes,
     dedup_contains_edges,
     dedup_made_by_edges,
-    distinct_manufacturers,
     build_material_identities,
     lineage_rows,
     rollup_status,
@@ -346,20 +345,47 @@ def build_kg(
     triples = clean.map_batches(explode_triples, batch_format="pyarrow")
 
     def _build_nodes():
-        # the nodes inputs are staged, not fused: fusing three
-        # shuffle-bearing branches plus the node-assembly joins into ONE
-        # streaming plan makes every all-to-all run concurrently and
-        # thrashes the single shared memory bus (measured 68s fused vs 16s
-        # staged at 32 CPUs, 2.4M turns). The branches are entity-dimension-
-        # sized, so materializing them (object store, spillable) is bounded
-        # and keeps each shuffle's working set alone on the bus.
-        material_ids = build_material_identities(clean, n_buckets).materialize()
-        material_status = rollup_status(
-            edges, chem_status, n_buckets, num_join_partitions
+        # the nodes inputs are staged, not fused: fusing the shuffle-bearing
+        # branches plus the node-assembly joins into ONE streaming plan
+        # makes every all-to-all share one resource budget and thrashed the
+        # single memory bus (measured 68s fused vs 16s staged at 32 CPUs,
+        # 2.4M turns). The branches are entity-dimension-sized, so
+        # materializing them (object store, spillable) is bounded. Round 3:
+        # the two independent branches materialize CONCURRENTLY (each
+        # driver thread drives its own streaming executor) — sequential
+        # staging serialized work that is individually too small to fill
+        # the machine, making nodes the inverse-scaling stage (31s@8 ->
+        # 42s@32, r2 BASELINE.md). distinct_manufacturers now derives from
+        # the materialized material identities (vendor-dimension input)
+        # instead of a third full-table groupby over records.
+        from concurrent.futures import ThreadPoolExecutor
+
+        # one 3-column projection of chem_status, materialized ONCE and fed
+        # to both consumers (rollup join + chem-node join) — each would
+        # otherwise re-execute the projection at its own to_arrow_refs
+        chem_slim = chem_status.select_columns(
+            ["entity_id", "pfas_status", "pfas_information_source"]
         ).materialize()
-        manufacturers = distinct_manufacturers(clean).materialize()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_ids = ex.submit(
+                lambda: build_material_identities(clean, n_buckets).materialize()
+            )
+            f_status = ex.submit(
+                lambda: rollup_status(
+                    edges, chem_slim, n_buckets, num_join_partitions
+                ).materialize()
+            )
+            ids_all = f_ids.result()
+            material_status = f_status.result()
+        # one shuffle produced BOTH dimension tables (row_kind MAT | MFR)
+        material_ids = ids_all.filter(expr="row_kind == 'MAT'").select_columns(
+            ["material_id", "name", "manufacturer"]
+        )
+        manufacturers = ids_all.filter(expr="row_kind == 'MFR'").select_columns(
+            ["manufacturer"]
+        )
         return assemble_nodes(
-            material_ids, material_status, mapping, chem_status, manufacturers,
+            material_ids, material_status, mapping, chem_slim, manufacturers,
             num_join_partitions,
         )
 

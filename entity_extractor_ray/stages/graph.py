@@ -94,25 +94,38 @@ def material_key_rows(batch: pa.Table) -> pa.Table:
 
 def _material_pick_first(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     """Per material_id keep the display name of the FIRST mention (the
-    deterministic stand-in for the reference's first-created-node-wins)."""
+    deterministic stand-in for the reference's first-created-node-wins) —
+    PLUS one MFR row per distinct manufacturer in the bucket. The bucket
+    key is manufacturer, so manufacturer-distinct is exact per bucket with
+    no cross-bucket duplicates: one shuffle yields both dimension tables
+    (folding away the separate distinct_manufacturers stage — r2's third
+    full-table groupby in the nodes build)."""
     df = df.sort_values("order_key", kind="mergesort")
     firsts = df.drop_duplicates("material_id", keep="first")
+    mat_ids = firsts["material_id"].tolist()
+    mat_names = firsts["name"].tolist()
+    mat_mfrs = firsts["manufacturer"].tolist()
+    mfrs = df["manufacturer"].drop_duplicates().tolist()
+    n_mat, n_mfr = len(mat_ids), len(mfrs)
     return pa.table(
         {
-            "material_id": pa.array(firsts["material_id"].tolist(), pa.string()),
-            "name": pa.array(firsts["name"].tolist(), pa.string()),
-            "manufacturer": pa.array(firsts["manufacturer"].tolist(), pa.string()),
+            "row_kind": pa.array(["MAT"] * n_mat + ["MFR"] * n_mfr, pa.string()),
+            "material_id": pa.array(mat_ids + [None] * n_mfr, pa.string()),
+            "name": pa.array(mat_names + [None] * n_mfr, pa.string()),
+            "manufacturer": pa.array(mat_mfrs + mfrs, pa.string()),
         }
     )
 
 
 def build_material_identities(records_ds, n_buckets: int = 64):
-    """records -> one row per canonical material (material_id, name,
-    manufacturer). ONE bucket shuffle on material_id; the first-mention
-    argmin happens in-bucket (records are already J1-deduped, so per-key
-    multiplicity is the alias-variant count — tiny)."""
+    """records -> one row per canonical material (row_kind MAT: material_id,
+    name, manufacturer) plus one row per distinct manufacturer (row_kind
+    MFR). ONE bucket shuffle keyed on MANUFACTURER — every material's rows
+    still co-locate (material_id embeds the manufacturer), and the key
+    doubles as the exact manufacturer-distinct partition. Per-key
+    multiplicity is the J1-deduped material count per vendor (bounded)."""
     rows = records_ds.map_batches(material_key_rows, batch_format="pyarrow")
-    return bucket_group_apply(rows, ["material_id"], _material_pick_first, n_buckets)
+    return bucket_group_apply(rows, ["manufacturer"], _material_pick_first, n_buckets)
 
 
 # ------------------------------------------------------------------ edges
@@ -396,8 +409,8 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
     return mat_nodes_ds.union(chem_nodes_ds).union(mfr_nodes_ds)
 
 
-def distinct_manufacturers(records_ds):
-    return records_ds.groupby("manufacturer").count().select_columns(["manufacturer"])
+# manufacturer-distinct is folded into build_material_identities (row_kind
+# MFR rows of the same bucket shuffle) — no separate stage.
 
 
 # ------------------------------------------------------------------ lineage

@@ -48,11 +48,19 @@ def input_fingerprint(paths) -> str:
 
 
 class CheckpointManager:
-    """Stage-level checkpoint registry rooted at one output directory."""
+    """Stage-level checkpoint registry rooted at one output directory.
 
-    def __init__(self, root: str, params_fingerprint: str = ""):
+    ``min_rows_per_file`` coalesces write blocks: without it a stage whose
+    plan unions many small blocks (the nodes assembly) commits one tiny
+    Parquet file PER BLOCK — measured 245 files / 11.5s vs 6 files / 7.6s
+    for the same 570k-row table — and every file costs a write task, a
+    driver-side metadata read and a resume-read fragment."""
+
+    def __init__(self, root: str, params_fingerprint: str = "",
+                 min_rows_per_file: int = 65536):
         self.root = root
         self.fingerprint = params_fingerprint
+        self.min_rows_per_file = min_rows_per_file
         os.makedirs(root, exist_ok=True)
         self.stage_metrics = []  # (stage, rows_out, duration_ms, skipped)
 
@@ -97,7 +105,7 @@ class CheckpointManager:
         if os.path.exists(out):
             shutil.rmtree(out)
         ds = build()
-        ds.write_parquet(tmp)
+        ds.write_parquet(tmp, min_rows_per_file=self.min_rows_per_file)
         # an empty stage writes no files (and possibly no directory): commit
         # an explicit zero-row parquet carrying the schema so the rename and
         # the later read_parquet stay uniform
