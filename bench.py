@@ -154,8 +154,18 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same input, two fresh processes; headline KG build only, at 2x the
-    default corpus so compute dominates fixed per-stage costs."""
+    """Same input, fresh subprocess per (cpus, repeat); headline KG build
+    only, at 2x the default corpus so compute dominates fixed per-stage
+    costs.
+
+    The sandbox host shows 20-100% run-to-run wall-clock swings for
+    identical code (BASELINE.md, round-2 repeats), so a single lo/hi pair
+    is not evidence of anything: repeats run INTERLEAVED (lo,hi,lo,hi,...)
+    so slow-host drift hits both levels equally, and the reported
+    efficiency is the median-of-pairs. GRAFT_SCALING_PAIRS sets the repeat
+    count (default 1 for the per-round driver run; use 3+ for a citable
+    number), GRAFT_SCALING_LEVELS picks the two parallelism levels
+    (default "8,32")."""
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -169,19 +179,35 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    # per-stage speedups: compute-bound stages should approach hi/lo while
-    # shuffle-bound stages flatline on one memory bus — the evidence for the
-    # single-box bandwidth ceiling (BASELINE.md scaling section)
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "1"))
+    pairs = []
+    runs_lo, runs_hi = [], []
+    for _ in range(n_pairs):
+        r_lo, r_hi = run(lo), run(hi)
+        runs_lo.append(r_lo)
+        runs_hi.append(r_hi)
+        pairs.append(
+            {
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "eff": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
+            }
+        )
+    effs = sorted(p["eff"] for p in pairs)
+    med_eff = effs[len(effs) // 2]
+    med_pair = next(p for p in pairs if p["eff"] == med_eff)
+    r_lo = runs_lo[pairs.index(med_pair)]
+    r_hi = runs_hi[pairs.index(med_pair)]
+    # per-stage speedups (median pair): compute-bound stages should approach
+    # hi/lo while shuffle-bound stages flatline on one memory bus — the
+    # evidence for the single-box bandwidth ceiling (BASELINE.md scaling)
     lo_stages = {s["stage"]: s["duration_s"] for s in r_lo.get("stages", [])}
     stages = [
         {
             "stage": s["stage"],
-            "sec_8": lo_stages.get(s["stage"]),
-            "sec_32": s["duration_s"],
+            f"sec_{lo}": lo_stages.get(s["stage"]),
+            f"sec_{hi}": s["duration_s"],
             "speedup": round(lo_stages[s["stage"]] / s["duration_s"], 2)
             if lo_stages.get(s["stage"]) and s["duration_s"] else None,
         }
@@ -189,12 +215,14 @@ def run_scaling() -> dict:
     ]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": med_eff,
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "levels": [lo, hi],
+        "pairs": pairs,
+        f"sec_{lo}": med_pair["sec_lo"],
+        f"sec_{hi}": med_pair["sec_hi"],
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "turns": r_hi["turns"],
         "sf": r_hi["sf"],
         "stages": stages,

@@ -200,13 +200,20 @@ def build_kg(
     metrics: List[dict] = []
     last_end = [time.perf_counter()]
 
-    def pin(name, build):
+    # a re-read checkpoint's FILE COUNT caps every downstream scan's
+    # parallelism (Ray's parquet reader never splits a file across read
+    # tasks), so interior stages commit many small files sized to keep
+    # 4x the join partitions in flight; terminal outputs (nothing re-reads
+    # them in-pipeline) keep the large default for cheap commits
+    reread_file_opts = {"min_rows_per_file": 2048, "max_rows_per_file": 8192}
+
+    def pin(name, build, terminal: bool = False):
         """Checkpoint (out_dir mode) or materialize a multi-consumer stage.
         gap_ms = wall time since the previous pin ended — construction-time
         executions (broadcast probes etc.) show up there."""
         t0 = time.perf_counter()
         if ckpt is not None:
-            ds = ckpt.run(name, build)
+            ds = ckpt.run(name, build, **({} if terminal else reread_file_opts))
             rows = ckpt.manifest(name)["rows"]
         else:
             ds = build().materialize()
@@ -394,10 +401,11 @@ def build_kg(
     )
 
     if ckpt is not None:
-        triples = pin("triples", lambda ds=triples: ds)
-        nodes = pin("nodes", _build_nodes)  # branch materializes skip on resume
-        lineage = pin("lineage", lambda ds=lineage: ds)
-        errors = pin("errors", lambda ds=errors: ds)
+        triples = pin("triples", lambda ds=triples: ds, terminal=True)
+        # branch materializes skip on resume
+        nodes = pin("nodes", _build_nodes, terminal=True)
+        lineage = pin("lineage", lambda ds=lineage: ds, terminal=True)
+        errors = pin("errors", lambda ds=errors: ds, terminal=True)
     else:
         nodes = _build_nodes()
 

@@ -196,11 +196,15 @@ def join_revenue_by_nation(sf_dir: str):
     )
 
     def add_nation(t: pa.Table) -> pa.Table:
+        # vectorized dim lookup: nationkey is a dense small-int key, so a
+        # numpy object LUT take replaces the per-row dict probe
         nmap = ray.get(nation_ref)
-        keys = t.column("c_nationkey").to_pylist()
-        names = [nmap[k] for k in keys]
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        lut = np.empty(max(nmap) + 1, dtype=object)
+        for k, v in nmap.items():
+            lut[k] = v
         return pa.table(
-            {"n_name": pa.array(names, pa.string()),
+            {"n_name": pa.array(lut[keys], pa.string()),
              "price_cents": t.column("price_cents")}
         )
 

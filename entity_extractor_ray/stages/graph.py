@@ -416,28 +416,33 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
 # ------------------------------------------------------------------ lineage
 
 def lineage_rows(linked_batch: pa.Table, n_buckets: int = 64) -> pa.Table:
-    """linked chem mentions -> lineage rows for chemical + material entities."""
-    ids = linked_batch.column("entity_id").to_pylist()
-    mat_ids = linked_batch.column("material_id").to_pylist()
-    conv = linked_batch.column("conv_id").to_pylist()
-    turn = linked_batch.column("turn_idx").to_pylist()
+    """linked chem mentions -> lineage rows for chemical + material entities.
+    Zero-copy: the id/conv/turn columns pass through as Arrow arrays (one
+    sub-table per extractor, concatenated) — no to_pylist round-trip."""
     part = stable_bucket_array(linked_batch, ["entity_id"], n_buckets)
     part_mat = stable_bucket_array(linked_batch, ["material_id"], n_buckets)
     n = linked_batch.num_rows
-    return pa.table(
-        {
-            "entity_id": pa.array(ids + mat_ids, pa.string()),
-            "conv_id": pa.array(conv + conv, pa.string()),
-            "turn_idx": pa.array(turn + turn, pa.int32()),
-            "extractor": pa.array(
-                ["chemical_linker"] * n + ["material_linker"] * n, pa.string()
-            ),
-            "partition_id": pa.array(
-                list(part.astype("int32")) + list(part_mat.astype("int32")), pa.int32()
-            ),
-        },
-        schema=LINEAGE_SCHEMA,
-    )
+    conv = linked_batch.column("conv_id")
+    turn = pc.cast(linked_batch.column("turn_idx"), pa.int32())
+
+    def half(id_col, extractor, buckets):
+        return pa.table(
+            {
+                "entity_id": pc.cast(id_col, pa.string()),
+                "conv_id": conv,
+                "turn_idx": turn,
+                "extractor": pa.array([extractor] * n, pa.string()),
+                "partition_id": pa.array(buckets.astype("int32"), pa.int32()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+
+    return pa.concat_tables(
+        [
+            half(linked_batch.column("entity_id"), "chemical_linker", part),
+            half(linked_batch.column("material_id"), "material_linker", part_mat),
+        ]
+    ).combine_chunks()
 
 
 # ------------------------------------------------------------ J5 traversal

@@ -202,7 +202,7 @@ def range_join(left_ds, intervals: pa.Table, on: str, how: str = "inner"):
 
     def match(t: pa.Table) -> pa.Table:
         lo_, hi_, labels_ = ray.get(ref)
-        vals = np.asarray(t.column(on).to_pylist(), dtype=np.float64)
+        vals = t.column(on).to_numpy(zero_copy_only=False).astype(np.float64)
         idx = np.searchsorted(lo_, vals, side="right") - 1
         ok = (idx >= 0) & (vals <= hi_[np.clip(idx, 0, None)])
         if how == "inner":

@@ -54,7 +54,14 @@ class CheckpointManager:
     plan unions many small blocks (the nodes assembly) commits one tiny
     Parquet file PER BLOCK — measured 245 files / 11.5s vs 6 files / 7.6s
     for the same 570k-row table — and every file costs a write task, a
-    driver-side metadata read and a resume-read fragment."""
+    driver-side metadata read and a resume-read fragment.
+
+    File size is a per-stage tunable on ``run``: Ray's parquet reader
+    parallelizes at FILE granularity (a file never splits across read
+    tasks), so a checkpoint that is RE-READ by downstream stages must
+    commit enough files to feed every core — a 240k-row table coalesced to
+    4×65536-row files caps every downstream scan at 4 tasks. Terminal
+    outputs keep the large default (fewer files, cheaper commit)."""
 
     def __init__(self, root: str, params_fingerprint: str = "",
                  min_rows_per_file: int = 65536):
@@ -85,9 +92,13 @@ class CheckpointManager:
         with open(path) as fh:
             return json.load(fh)
 
-    def run(self, name: str, build: Callable[[], "ray.data.Dataset"]):  # noqa: F821
+    def run(self, name: str, build: Callable[[], "ray.data.Dataset"],  # noqa: F821
+            min_rows_per_file: Optional[int] = None,
+            max_rows_per_file: Optional[int] = None):
         """Run (or skip) one stage; returns a Dataset reading the committed
-        Parquet. ``build()`` must return the stage's output Dataset."""
+        Parquet. ``build()`` must return the stage's output Dataset.
+        ``min/max_rows_per_file`` override the manager default for this
+        stage (small files for re-read checkpoints, large for terminals)."""
         import ray.data as rd
 
         out = self.stage_dir(name)
@@ -105,7 +116,14 @@ class CheckpointManager:
         if os.path.exists(out):
             shutil.rmtree(out)
         ds = build()
-        ds.write_parquet(tmp, min_rows_per_file=self.min_rows_per_file)
+        ds.write_parquet(
+            tmp,
+            min_rows_per_file=(
+                self.min_rows_per_file if min_rows_per_file is None
+                else min_rows_per_file
+            ),
+            max_rows_per_file=max_rows_per_file,
+        )
         # an empty stage writes no files (and possibly no directory): commit
         # an explicit zero-row parquet carrying the schema so the rename and
         # the later read_parquet stay uniform
