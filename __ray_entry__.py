@@ -181,6 +181,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["kg_mentions"] = _mentions
+
+    # name-blocked canonicalization (SURVEY §7.1): the linking union-find
+    # with the MinHash-LSH near-dup-name candidate generator ENABLED.
+    # rows-only: LSH banding + transitive closure is not ANSI-SQL
+    # expressible; exactness is pinned by tests/test_name_blocking.py
+    # (planted alias variants) and the default-OFF path stays covered by
+    # the kg_* serial-oracle equality tests.
+    def _kg_mapping_nameblocked(sf):
+        import pyarrow.compute as _pc
+
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.assemble import (
+            assemble_records,
+            dedup_records,
+        )
+        from entity_extractor_ray.stages.extract import extract_records
+        from entity_extractor_ray.stages.linking import build_chemical_mapping
+        from entity_extractor_ray.stages.triples import explode_chem_mentions
+
+        records = dedup_records(
+            assemble_records(
+                rd.read_parquet(_synthetic_corpus(sf)).map_batches(
+                    extract_records, batch_format="pyarrow"
+                ),
+                n_buckets=16,
+            ),
+            n_buckets=16,
+        )
+        clean = records.map_batches(
+            lambda t: t.filter(_pc.is_null(t.column("drop_reason"))),
+            batch_format="pyarrow",
+        )
+        mentions = clean.map_batches(explode_chem_mentions, batch_format="pyarrow")
+        mapping = build_chemical_mapping(mentions, n_buckets=16, name_blocking=True)
+        return mapping.filter(expr="row_kind == 'NODE'").select_columns(
+            ["entity_id", "name", "cas", "manufacturer"]
+        )
+
+    q["kg_mapping_nameblocked"] = _kg_mapping_nameblocked
     return q
 
 

@@ -125,10 +125,62 @@ def chem_link_keys(batch: pa.Table) -> pa.Table:
     )
 
 
-def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+def _name_candidate_pairs(
+    names: List[str],
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    num_bands: int = 8,
+) -> List[tuple]:
+    """Near-duplicate NAME candidate pairs within one manufacturer block
+    (the SURVEY §7.1 name-canonicalization generalization): MinHash-LSH
+    banding over the char-shingle sets of NORMALIZED names (the reference's
+    identity normalization, replace(lower(name),' ','') at
+    global_node_repository.py:139-158), then an exact shingle-Jaccard
+    verification so banding false positives never merge. Returns verified
+    (i, j) index pairs into ``names``. O(n) signatures + per-band buckets —
+    never an all-pairs pass — so a vendor block with many distinct names
+    stays cheap."""
+    from ..functions import textnorm
+
+    n = len(names)
+    if n < 2:
+        return []
+    norm = [normalize_name_key(nm) for nm in names]
+    a, b = textnorm.make_minhash_params(num_perm)
+    sigs = textnorm.minhash_signatures_batch(norm, a, b, shingle_k)
+    bands = textnorm.minhash_band_hashes_batch(sigs, num_bands)
+    cand = set()
+    for bi in range(bands.shape[1]):
+        buckets: Dict[int, List[int]] = {}
+        for i in range(n):
+            buckets.setdefault(int(bands[i, bi]), []).append(i)
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            for x in range(1, len(members)):
+                for y in range(x):
+                    cand.add((members[y], members[x]))
+    shingle_sets = [textnorm.char_shingles(s, shingle_k) for s in norm]
+    return [
+        (i, j)
+        for i, j in cand
+        if textnorm.jaccard(shingle_sets[i], shingle_sets[j]) >= threshold
+    ]
+
+
+def _union_find_bucket(df: pd.DataFrame, bucket_id: int,
+                       name_blocking: bool = False,
+                       name_jaccard: float = 0.7) -> pa.Table:
     """One hash bucket of manufacturers; per manufacturer, union-find over the
     distinct (name, cas) members. df columns: manufacturer, name, cas,
-    min_order, max_order."""
+    min_order, max_order.
+
+    ``name_blocking=True`` additionally unions members whose NORMALIZED
+    names are shingle-Jaccard near-duplicates (LSH-banded candidates, exact
+    verify) — "Acme Chemical Co" / "AcmeChemicalCo." collapse into one
+    canonical node. Default OFF: exact-equality linking matches the
+    reference's SQL identity semantics bit-for-bit."""
     out: Dict[str, List] = {n: [] for n in MAPPING_SCHEMA.names}
 
     def emit(kind, probe, entity, name=None, cas=None, mfr=None):
@@ -146,10 +198,14 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     # FAST PATH: a cluster of size >= 2 requires a shared name or shared
     # non-empty cas within the manufacturer, so keys involved in neither
     # duplication are singleton clusters — emit them without union-find.
+    # With name blocking the premise fails (near-dup names can merge keys
+    # that share NO exact value), so every key routes through union-find.
     dup_name = df.duplicated(["manufacturer", "name"], keep=False)
     cas_nonempty = df["cas"] != ""
     dup_cas = cas_nonempty & df.duplicated(["manufacturer", "cas"], keep=False)
-    involved = dup_name | dup_cas
+    involved = (dup_name | dup_cas) if not name_blocking else pd.Series(
+        True, index=df.index
+    )
     singles = df[~involved]
     if not singles.empty:
         # block-emit the singleton majority: one NODE + one N-probe per key,
@@ -216,6 +272,15 @@ def _union_find_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
                     union(by_cas[cass[i]], i)
                 else:
                     by_cas[cass[i]] = i
+
+        if name_blocking and len(by_name) > 1:
+            # optional candidate generator: near-dup normalized names union
+            # their exact-name representatives (LSH-banded + verified)
+            distinct_names = list(by_name)
+            for i, j in _name_candidate_pairs(
+                distinct_names, threshold=name_jaccard
+            ):
+                union(by_name[distinct_names[i]], by_name[distinct_names[j]])
 
         clusters: Dict[int, List[int]] = {}
         for i in range(n):
@@ -376,7 +441,9 @@ SKEW_KEY_THRESHOLD = 1_000_000
 
 
 def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
-                           skew_threshold: int = SKEW_KEY_THRESHOLD):
+                           skew_threshold: int = SKEW_KEY_THRESHOLD,
+                           name_blocking: bool = False,
+                           name_jaccard: float = 0.7):
     """chem mention rows -> union-find mapping table (MAPPING_SCHEMA).
 
     Shuffle profile: map-side combine to per-batch distinct keys, then ONE
@@ -392,11 +459,28 @@ def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
     min-label propagation + per-component reduce) whose largest task is one
     COMPONENT, not one manufacturer. Both paths emit identical NODE/PROBE
     rows for the same input. Pass ``skew_threshold=None`` to disable the
-    gate (single in-task path)."""
+    gate (single in-task path).
+
+    ``name_blocking=True`` adds MinHash-LSH near-duplicate NAME
+    canonicalization inside each manufacturer block (_name_candidate_pairs):
+    alias variants like "Acme Chemical Co" / "AcmeChemicalCo." collapse to
+    one canonical node. Default OFF — exact-equality linking matches the
+    reference's SQL identity semantics. The distributed hot-key path links
+    exactly (its merge relation is the exact name<->cas bipartite edge
+    list); a hot manufacturer under name_blocking logs a warning."""
+    import functools
+
+    bucket_fn = (
+        functools.partial(
+            _union_find_bucket, name_blocking=True, name_jaccard=name_jaccard
+        )
+        if name_blocking
+        else _union_find_bucket
+    )
     keys = chem_mentions_ds.map_batches(chem_link_keys, batch_format="pyarrow")
     partial = keys.map_batches(_local_distinct_keys, batch_format="pyarrow")
     if skew_threshold is None:
-        return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
+        return bucket_group_apply(partial, ["manufacturer"], bucket_fn, n_buckets)
 
     # distinct-key vocabulary: bounded by entity count, not mention count —
     # safe to materialize (spills if large); consumed by the count gate and
@@ -425,8 +509,16 @@ def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
         if r["sum(n)"] > skew_threshold
     ]
     if not hot:
-        return bucket_group_apply(partial, ["manufacturer"], _union_find_bucket, n_buckets)
+        return bucket_group_apply(partial, ["manufacturer"], bucket_fn, n_buckets)
 
+    if name_blocking:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "name_blocking is not applied to %d oversized manufacturer "
+            "block(s) routed to the distributed component path; those link "
+            "on exact name/CAS equality only", len(hot),
+        )
     hot_set = pa.array(sorted(hot), pa.string())
 
     def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
@@ -435,7 +527,7 @@ def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
 
     cold = partial.map_batches(split, fn_kwargs={"keep_hot": False}, batch_format="pyarrow")
     hot_rows = partial.map_batches(split, fn_kwargs={"keep_hot": True}, batch_format="pyarrow")
-    cold_mapping = bucket_group_apply(cold, ["manufacturer"], _union_find_bucket, n_buckets)
+    cold_mapping = bucket_group_apply(cold, ["manufacturer"], bucket_fn, n_buckets)
     return cold_mapping.union(_component_mapping(hot_rows, n_buckets))
 
 
