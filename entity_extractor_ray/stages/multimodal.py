@@ -186,13 +186,7 @@ class ImageDecodeStub:
         except ImportError:
             self.pil = False
 
-    def _decode(self, payload: bytes, mime: str) -> np.ndarray:
-        if self.strict and not self.pil:
-            raise NotImplementedError(
-                "image decode requires PIL/ffmpeg; not available in this container"
-            )
-        # deterministic fake: moments of the byte distribution
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    def _moments(self, arr: np.ndarray) -> np.ndarray:
         if arr.size == 0:
             return np.zeros(self.FEATURE_DIM, dtype=np.float32)
         return np.array(
@@ -203,6 +197,34 @@ class ImageDecodeStub:
             ],
             dtype=np.float32,
         )
+
+    def _decode(self, payload: bytes, mime: str) -> np.ndarray:
+        if self.pil and mime.startswith("image/"):
+            # the REAL path (taken whenever PIL is installed): decode the
+            # payload, grayscale, and emit pixel moments — same
+            # FEATURE_DIM/FEATURES_SCHEMA as the stub, so the two paths are
+            # interchangeable downstream (payload_md5/sha16/n_bytes are
+            # computed from raw bytes either way and stay decode-independent)
+            import io
+
+            import PIL.Image
+
+            try:
+                img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+                px = np.asarray(img, dtype=np.float32).ravel()
+                return self._moments(px)
+            except Exception:
+                if self.strict:
+                    raise  # a real pipeline fails loud on a corrupt image
+                # undecodable payload (e.g. the synthetic byte corpus):
+                # fall through to the byte-moment fake
+        if self.strict and not self.pil:
+            raise NotImplementedError(
+                "image decode requires PIL/ffmpeg; not available in this container"
+            )
+        # deterministic fake: moments of the byte distribution
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        return self._moments(arr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("item_id").to_pylist()
@@ -245,7 +267,7 @@ def frame_sample(media_ds, every_n: int = 4):
     """Frame-sampling pattern for video-ish payload streams: keep every n-th
     item per mime group (a flat_map-shaped filter, vectorized)."""
     def sample(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("item_id").to_pylist())
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % every_n == 0))
 
     return media_ds.map_batches(sample, batch_format="pyarrow")

@@ -158,3 +158,78 @@ class CheckpointManager:
             {"stage": name, "rows_out": rows, "duration_ms": duration_ms, "skipped": False}
         )
         return rd.read_parquet(out)
+
+
+def status(out_dir: str) -> list:
+    """Manifest inspector — the batch analog of the reference's status/query
+    REST surface (SURVEY §2.6: run-state rows served over
+    /artifact_upload/status, artifact_upload_service.py): one dict per
+    committed stage from the on-disk manifests, no Ray session needed.
+
+    Returns [{stage, rows, files, duration_s, fingerprint}] in commit order
+    (manifest mtime). A stage directory without a manifest (in-flight or
+    died pre-commit) is reported with rows=None so partial runs are visible.
+    Also prints a small fixed-width table when ``print`` resolves truthy —
+    call as a library (``status(dir)``) or
+    ``python -m entity_extractor_ray.state.checkpoint <out_dir>``."""
+    entries = []
+    if not os.path.isdir(out_dir):
+        return entries
+    for name in sorted(os.listdir(out_dir)):
+        stage_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(stage_dir):
+            continue
+        mpath = os.path.join(stage_dir, MANIFEST)
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as fh:
+                    m = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                m = {}
+            entries.append(
+                {
+                    "stage": m.get("stage", name),
+                    "rows": m.get("rows"),
+                    "files": len(m.get("files", [])),
+                    "duration_s": round(m.get("duration_ms", 0.0) / 1000, 2),
+                    "fingerprint": m.get("fingerprint", ""),
+                    "committed": True,
+                    "_mtime": os.path.getmtime(mpath),
+                }
+            )
+        else:
+            n_parts = sum(1 for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+            entries.append(
+                {
+                    "stage": name,
+                    "rows": None,
+                    "files": n_parts,
+                    "duration_s": None,
+                    "fingerprint": None,
+                    "committed": False,
+                    "_mtime": os.path.getmtime(stage_dir),
+                }
+            )
+    entries.sort(key=lambda e: e["_mtime"])
+    for e in entries:
+        del e["_mtime"]
+    return entries
+
+
+def _print_status(out_dir: str) -> None:
+    entries = status(out_dir)
+    if not entries:
+        print(f"no checkpointed stages under {out_dir}")
+        return
+    print(f"{'stage':<20} {'state':<10} {'rows':>12} {'files':>6} {'secs':>8}")
+    for e in entries:
+        state = "done" if e["committed"] else "IN-FLIGHT"
+        rows = "-" if e["rows"] is None else str(e["rows"])
+        secs = "-" if e["duration_s"] is None else f"{e['duration_s']:.2f}"
+        print(f"{e['stage']:<20} {state:<10} {rows:>12} {e['files']:>6} {secs:>8}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    _print_status(sys.argv[1] if len(sys.argv) > 1 else ".")

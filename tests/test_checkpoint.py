@@ -61,3 +61,25 @@ class TestCheckpointManager:
             m = json.load(fh)
         assert m["rows"] == 100
         assert m["files"]
+
+    def test_status_inspector(self, tmp_path):
+        """status(out_dir): the §2.6 status-surface analog — per-stage rows/
+        duration from the on-disk manifests of a (resumed) run, no Ray
+        session, with in-flight (manifest-less) stages flagged."""
+        from entity_extractor_ray.state.checkpoint import status
+
+        ck = self._mk(tmp_path)
+        ck.run("s1", self._build)
+        ck.run("s2", self._build)
+        # resume: a second manager re-runs -> s1/s2 skip, manifests unchanged
+        ck2 = self._mk(tmp_path)
+        ck2.run("s1", self._build)
+
+        # an in-flight stage: directory with parquet but NO manifest
+        os.makedirs(os.path.join(str(tmp_path / "ck"), "s3"))
+        entries = status(str(tmp_path / "ck"))
+        by_stage = {e["stage"]: e for e in entries}
+        assert by_stage["s1"]["committed"] and by_stage["s1"]["rows"] == 100
+        assert by_stage["s2"]["committed"] and by_stage["s2"]["files"] >= 1
+        assert by_stage["s3"]["committed"] is False and by_stage["s3"]["rows"] is None
+        assert status(str(tmp_path / "nonexistent")) == []

@@ -91,6 +91,83 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             stub(synth_media_table(2))
 
+    def test_pil_path_when_available(self, monkeypatch):
+        """When PIL IS importable the decode path must genuinely decode
+        (pixel moments, not byte moments) while the byte-derived columns
+        (payload_md5/sha16/n_bytes) stay identical to the stub path — the
+        container has no PIL, so a minimal fake codec stands in."""
+        import sys
+        import types
+
+        import numpy as np
+
+        class FakeImg:
+            width, height = 4, 4
+
+            def convert(self, mode):
+                return self
+
+            def __array__(self, dtype=None, copy=None):
+                return np.full((4, 4), 7, dtype=dtype or np.float32)
+
+        fake_image_mod = types.ModuleType("PIL.Image")
+        fake_image_mod.open = lambda fh: FakeImg()
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+        table = synth_media_table(6)
+        real = ImageDecodeStub(strict=False)
+        assert real.pil
+        out_real = real(table)
+
+        # stub comparison: force the byte-moment path
+        stub = ImageDecodeStub(strict=False)
+        stub.pil = False
+        out_stub = stub(table)
+
+        # byte-derived columns are decode-independent
+        for col in ("payload_md5", "sha16", "n_bytes"):
+            assert out_real.column(col).to_pylist() == out_stub.column(col).to_pylist()
+        # image rows (mime image/*) got PIXEL moments: constant image 7s
+        feats = out_real.column("features").to_pylist()
+        mimes = out_real.column("mime").to_pylist()
+        img_feats = [f for f, m in zip(feats, mimes) if m.startswith("image/")]
+        assert img_feats and all(f[0] == 7.0 and f[1] == 0.0 for f in img_feats)
+        # audio rows keep byte moments (non-image mime never hits the codec)
+        aud = [f for f, m in zip(feats, mimes) if m == "audio/wav"]
+        aud_stub = [
+            f for f, m in zip(out_stub.column("features").to_pylist(), mimes)
+            if m == "audio/wav"
+        ]
+        assert aud == aud_stub
+
+    def test_pil_corrupt_payload_strict_vs_fallback(self, monkeypatch):
+        import sys
+        import types
+
+        fake_image_mod = types.ModuleType("PIL.Image")
+
+        def _raise(fh):
+            raise OSError("cannot identify image file")
+
+        fake_image_mod.open = _raise
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+        table = synth_media_table(3)
+        strict = ImageDecodeStub(strict=True)
+        strict.pil = True
+        with pytest.raises(OSError):
+            strict(table)
+        lax = ImageDecodeStub(strict=False)
+        lax.pil = True
+        out = lax(table)  # falls back to byte moments
+        assert out.num_rows == 3
+
 
 class TestMentionDetector:
     def test_spans_and_labels(self):
