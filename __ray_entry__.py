@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["chunk_documents"] = lambda sf: _docs(sf).map_batches(
         ck.chunk_text, batch_format="pandas"
     )
+    # the reference's PRIMARY chunking path (SemanticChunker, interquartile
+    # breakpoints — embedding_service.py:36-41). rows-only: breakpoints are
+    # a function of the embedding model, not SQL-expressible; split
+    # semantics pinned by planted-topic tests in tests/test_stages.py
+    q["semantic_chunk_documents"] = lambda sf: ck.semantic_chunk_documents(_docs(sf))
 
     def _embed_docs(sf):
         import pyarrow as pa

@@ -114,16 +114,20 @@ class HashingEmbedder:
                 self._cache[word] = got
         return got
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        text_col = "chunk_text" if "chunk_text" in batch.columns else "text"
-        vecs = np.zeros((len(batch), self.dim), dtype=np.float32)
-        for row, text in enumerate(batch[text_col]):
+    def encode_texts(self, texts) -> np.ndarray:
+        """texts -> L2-normalized (n, dim) float32 matrix."""
+        vecs = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for row, text in enumerate(texts):
             for w in self.word_re.findall((text or "").lower()):
                 slot, sign = self._slot(w)
                 vecs[row, slot] += sign
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        vecs = vecs / norms
+        return vecs / norms
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        text_col = "chunk_text" if "chunk_text" in batch.columns else "text"
+        vecs = self.encode_texts(list(batch[text_col]))
         cols = {}
         for c in batch.columns:
             if c != text_col:
@@ -132,6 +136,99 @@ class HashingEmbedder:
             pa.array(vecs.reshape(-1), pa.float32()), self.dim
         )
         return pa.table(cols)
+
+
+class SemanticChunkerStage:
+    """The reference's PRIMARY chunking path (embedding_service.py:36-41:
+    langchain SemanticChunker, breakpoint_threshold_type='interquartile',
+    amount=1.5 — constants.py:122-123), re-expressed as a warm actor-pool
+    stage:
+
+      1. split each doc into sentences ([.?!] + whitespace);
+      2. embed each sentence WITH its +-1-sentence buffer window (the
+         published SemanticChunker combine step) — one vectorized matrix
+         encode per batch across ALL docs' sentences;
+      3. cosine distance between consecutive windowed embeddings;
+      4. breakpoint where distance > mean + 1.5 * IQR of the doc's
+         distances; chunk = sentences joined between breakpoints.
+
+    The embedder warms once per actor (__init__); fixed-window chunk_text
+    remains the oracle-parity variant (this one's breakpoints depend on the
+    embedding model, so it is rows-only for the driver and pinned by
+    planted-topic unit tests)."""
+
+    def __init__(self, dim: int = EMBED_DIM, seed: int = 17,
+                 iqr_amount: float = 1.5, buffer_size: int = 1):
+        import re
+
+        self.embedder = HashingEmbedder(dim=dim, seed=seed)
+        self.sent_re = re.compile(r"(?<=[.?!])\s+")
+        self.iqr_amount = iqr_amount
+        self.buffer_size = buffer_size
+
+    def _doc_chunks(self, sents: List[str], dists: np.ndarray) -> List[str]:
+        if len(sents) <= 1:
+            return [" ".join(sents)] if sents else []
+        q1, q3 = np.percentile(dists, [25, 75])
+        threshold = dists.mean() + self.iqr_amount * (q3 - q1)
+        breaks = np.flatnonzero(dists > threshold)
+        chunks, lo = [], 0
+        for b in breaks:
+            chunks.append(" ".join(sents[lo : b + 1]))
+            lo = b + 1
+        chunks.append(" ".join(sents[lo:]))
+        return chunks
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        # sentence-split every doc, then ONE matrix encode for the whole
+        # batch's windowed sentences (never per-sentence model calls)
+        all_windows: List[str] = []
+        doc_sents: List[List[str]] = []
+        for text in batch["text"]:
+            sents = [s for s in self.sent_re.split(text or "") if s.strip()]
+            doc_sents.append(sents)
+            b = self.buffer_size
+            all_windows.extend(
+                " ".join(sents[max(0, i - b) : i + b + 1])
+                for i in range(len(sents))
+            )
+        embs = self.embedder.encode_texts(all_windows)
+
+        doc_ids: List[int] = []
+        idxs: List[int] = []
+        texts: List[str] = []
+        pos = 0
+        for doc_id, sents in zip(batch["doc_id"], doc_sents):
+            n = len(sents)
+            e = embs[pos : pos + n]
+            pos += n
+            # embeddings are L2-normalized: cosine distance = 1 - dot
+            dists = 1.0 - np.sum(e[:-1] * e[1:], axis=1) if n > 1 else np.zeros(0)
+            for i, chunk in enumerate(self._doc_chunks(sents, dists)):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                texts.append(chunk)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+                "n_chunk_chars": pa.array([len(t) for t in texts], pa.int64()),
+            },
+            schema=CHUNKS_SCHEMA,
+        )
+
+
+def semantic_chunk_documents(docs_ds, concurrency: int = 2, batch_size: int = 256):
+    """documents -> semantic chunk rows via a fixed actor pool (the model
+    warms per actor; concurrency stays small so the pool never starves the
+    read operators — see the actor-pool deadlock note in SURVEY §7.5)."""
+    return docs_ds.map_batches(
+        SemanticChunkerStage,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 _EMBEDDER_SINGLETON = None

@@ -40,6 +40,64 @@ class TestChunker:
         assert out.column("doc_id").to_pylist() == [2]
 
 
+class TestSemanticChunker:
+    """Semantic chunker (reference primary M15 path: interquartile
+    breakpoints over consecutive-sentence embedding distances)."""
+
+    def _mk(self):
+        from entity_extractor_ray.stages.chunk import SemanticChunkerStage
+
+        return SemanticChunkerStage()
+
+    TOPIC_A = [
+        "The polymer coating contains fluorinated surfactant compounds.",
+        "Fluorinated surfactant ratios control the polymer coating thickness.",
+        "The coating polymer binds the fluorinated surfactant evenly.",
+        "Surfactant and polymer compounds coat the fluorinated layer.",
+        "Polymer surfactant coatings resist fluorinated compound wear.",
+        "The fluorinated polymer surfactant coating cures slowly.",
+    ]
+    TOPIC_B = [
+        "The recipe uses fresh basil and ripe tomato sauce.",
+        "Fresh tomato sauce simmers with basil in the recipe.",
+        "Basil leaves finish the tomato sauce recipe nicely.",
+        "The sauce recipe blends tomato and fresh basil again.",
+        "Ripe tomato and basil make the sauce recipe sing.",
+        "Basil tomato sauce completes the fresh recipe.",
+    ]
+
+    def test_topic_boundary_splits(self):
+        text = " ".join(self.TOPIC_A + self.TOPIC_B)
+        out = self._mk()(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        chunks = out.column("chunk_text").to_pylist()
+        assert len(chunks) >= 2
+        # the topic-A vocabulary never bleeds into the last chunk and vice versa
+        assert "polymer" in chunks[0] and "basil" not in chunks[0]
+        assert "basil" in chunks[-1] and "polymer" not in chunks[-1]
+
+    def test_single_sentence_single_chunk(self):
+        out = self._mk()(pd.DataFrame({"doc_id": [1], "text": ["One sentence only."]}))
+        assert out.num_rows == 1
+        assert out.column("chunk_idx").to_pylist() == [0]
+
+    def test_empty_doc_dropped_and_deterministic(self):
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["", " ".join(self.TOPIC_A + self.TOPIC_B)]}
+        )
+        a = self._mk()(df)
+        b = self._mk()(df)
+        assert set(a.column("doc_id").to_pylist()) == {2}
+        assert a.column("chunk_text").to_pylist() == b.column("chunk_text").to_pylist()
+
+    def test_uniform_doc_one_chunk(self):
+        # no topic shift -> distances cluster tightly; IQR rule yields few or
+        # no breaks, and every sentence survives in order
+        text = " ".join(self.TOPIC_A)
+        out = self._mk()(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        joined = " ".join(out.column("chunk_text").to_pylist())
+        assert joined == text
+
+
 class TestEmbedder:
     def test_deterministic_and_normalized(self):
         emb = HashingEmbedder()
