@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows); rows-only — verified exactly vs the serial oracle in
     # tests/test_kg_pipeline.py
     q["kg_errors"] = lambda sf: _kg(sf).errors
+    # the reference's separate `manufacturer` dimension table (name + the
+    # creating record's geo attributes, models/manufacturer.py:6-18);
+    # rows-only — verified exactly vs the serial oracle in
+    # tests/test_kg_pipeline.py
+    q["kg_manufacturers"] = lambda sf: _kg(sf).manufacturers
 
     # J5 1-hop traversal over the produced graph (chemicals of each material,
     # reference global_node_repository.py:197-219); exact vs the serial

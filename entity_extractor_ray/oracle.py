@@ -39,8 +39,10 @@ from .functions.decision_tables import (
 from .functions.textnorm import stable_id
 from .stages.extract import (
     CHEMICAL_PATTERN,
+    GEO_FIELDS,
     MATERIAL_PATTERN,
     PRODUCT_PATTERN,
+    SUPPLIER_PATTERN,
     UPC_PATTERN,
 )
 
@@ -48,6 +50,7 @@ _MAT_RE = re.compile(MATERIAL_PATTERN)
 _PROD_RE = re.compile(PRODUCT_PATTERN)
 _UPC_RE = re.compile(UPC_PATTERN)
 _CHEM_RE = re.compile(CHEMICAL_PATTERN)
+_SUPPLIER_RE = re.compile(SUPPLIER_PATTERN)
 
 
 class OracleStore:
@@ -75,6 +78,7 @@ def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
     mat_turn = None
     product_no = None
     upc = None
+    geo = None
     chems: List[dict] = []
     for tidx, text in turns:
         if not text:
@@ -83,6 +87,10 @@ def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
             m = _MAT_RE.search(text)
             if m:
                 material, mfr, mat_turn = m.group("material"), m.group("manufacturer"), tidx
+        if geo is None:
+            m = _SUPPLIER_RE.search(text)
+            if m:
+                geo = {f: m.group(f) for f in GEO_FIELDS}
         if product_no is None:
             m = _PROD_RE.search(text)
             if m:
@@ -123,6 +131,7 @@ def extract_record(turns: List[Tuple[int, str]]) -> Optional[dict]:
         "material_name": combine_material_name(material, product_no, upc),
         "manufacturer": mfr,
         "turn_idx": mat_turn,
+        "geo": geo,  # None when the conversation carried no supplier turn
         "chemicals": list(dedup.values()),
     }
 
@@ -137,11 +146,16 @@ def ingest(store: OracleStore, conv_id: str, record: dict) -> None:
         store.errors.append(("dedup", conv_id, "MATERIAL_ALREADY_INGESTED"))
         return
 
-    # J3 manufacturer link-or-create (exact name)
+    # J3 manufacturer link-or-create (exact name). The CREATING record's geo
+    # is kept forever — save_manufacturer never updates an existing row
+    # (artifact_ingestor_service.py:992-1008), so a later record with
+    # different/better geo changes nothing.
     if mfr_name not in store.manufacturers:
+        geo = record.get("geo") or {}
         store.manufacturers[mfr_name] = {
             "entity_id": stable_id("MANUFACTURER", mfr_name),
             "name": mfr_name,
+            **{f: geo.get(f) for f in GEO_FIELDS},
         }
     mfr_id = store.manufacturers[mfr_name]["entity_id"]
 
@@ -274,6 +288,16 @@ def oracle_nodes(store: OracleStore) -> List[dict]:
             "pfas_status": None, "pfas_information_source": "NONE",
         })
     return out
+
+
+def oracle_manufacturers(store: OracleStore) -> List[dict]:
+    """The reference's `manufacturer` table rows (MANUFACTURERS_SCHEMA):
+    entity_id, name, and the creating record's geo attributes."""
+    return [
+        {"entity_id": f["entity_id"], "name": f["name"],
+         **{k: f.get(k) for k in GEO_FIELDS}}
+        for f in store.manufacturers.values()
+    ]
 
 
 def oracle_edges(store: OracleStore) -> List[dict]:

@@ -38,6 +38,7 @@ from ..stages.graph import (
     dedup_made_by_edges,
     build_material_identities,
     lineage_rows,
+    manufacturer_table,
     rollup_status,
 )
 from ..stages.linking import (
@@ -81,6 +82,9 @@ class KGResult:
     # transitions (artifact_ingestor_service.py:1244-1248); the engine keeps
     # the job alive and emits one auditable row per drop/coercion instead
     errors: "ray.data.Dataset" = None  # noqa: F821
+    # the reference's separate `manufacturer` dimension table
+    # (MANUFACTURERS_SCHEMA): name + geo attributes of the CREATING record
+    manufacturers: "ray.data.Dataset" = None  # noqa: F821
 
 
 def _read_turns(turns, columns):
@@ -94,7 +98,9 @@ def _read_turns(turns, columns):
 def _empty_result(metrics) -> KGResult:
     import ray.data as rd
 
-    from ..stages.graph import EDGES_SCHEMA, LINEAGE_SCHEMA, NODES_SCHEMA
+    from ..stages.graph import (
+        EDGES_SCHEMA, LINEAGE_SCHEMA, MANUFACTURERS_SCHEMA, NODES_SCHEMA,
+    )
     from ..stages.triples import TRIPLES_SCHEMA
 
     return KGResult(
@@ -104,6 +110,7 @@ def _empty_result(metrics) -> KGResult:
         lineage=rd.from_arrow(LINEAGE_SCHEMA.empty_table()),
         metrics=metrics,
         errors=rd.from_arrow(ERRORS_SCHEMA.empty_table()),
+        manufacturers=rd.from_arrow(MANUFACTURERS_SCHEMA.empty_table()),
     )
 
 
@@ -384,6 +391,7 @@ def build_kg(
             )
             ids_all = f_ids.result()
             material_status = f_status.result()
+        _ids_holder["ids_all"] = ids_all
         # one shuffle produced BOTH dimension tables (row_kind MAT | MFR)
         material_ids = ids_all.filter(expr="row_kind == 'MAT'").select_columns(
             ["material_id", "name", "manufacturer"]
@@ -396,6 +404,16 @@ def build_kg(
             num_join_partitions,
         )
 
+    _ids_holder: dict = {}
+
+    def _build_manufacturers():
+        # reuses the identity shuffle _build_nodes already ran; recomputes it
+        # only when resume skipped the nodes stage this session
+        ids_all = _ids_holder.get("ids_all")
+        if ids_all is None:
+            ids_all = build_material_identities(clean, n_buckets)
+        return manufacturer_table(ids_all.filter(expr="row_kind == 'MFR'"))
+
     lineage = linked.map_batches(
         lineage_rows, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
     )
@@ -404,10 +422,12 @@ def build_kg(
         triples = pin("triples", lambda ds=triples: ds, terminal=True)
         # branch materializes skip on resume
         nodes = pin("nodes", _build_nodes, terminal=True)
+        manufacturers = pin("manufacturers", _build_manufacturers, terminal=True)
         lineage = pin("lineage", lambda ds=lineage: ds, terminal=True)
         errors = pin("errors", lambda ds=errors: ds, terminal=True)
     else:
         nodes = _build_nodes()
+        manufacturers = _build_manufacturers()
 
     if ckpt is not None:
         # persist the metrics table next to the data (A6 rollup surface)
@@ -434,5 +454,5 @@ def build_kg(
 
     return KGResult(
         triples=triples, nodes=nodes, edges=edges, lineage=lineage,
-        metrics=metrics, errors=errors,
+        metrics=metrics, errors=errors, manufacturers=manufacturers,
     )

@@ -100,6 +100,49 @@ def _mfr_vocab(spec: TurnCorpusSpec):
     return out
 
 
+_GEO_CITIES = ("Brookfield", "Harlow", "Kestrel Bay", "Mirefield", "Ostend Park")
+_GEO_STATES = ("NS", "VT", "QL", "BR")
+_GEO_COUNTRIES = ("Freedonia", "Sylvania", "Arendelle")
+_GEO_REGIONS = ("EMEA", "APAC", "AMER")
+_GEO_STREETS = ("Alder St", "Birch Ave", "Cedar Rd", "Dunmore Ln")
+
+
+def _mfr_geo_vocab(spec: TurnCorpusSpec):
+    """Canonical geo attributes per manufacturer (reference Manufacturer ORM
+    columns, models/manufacturer.py:6-18). A separate RandomState keeps the
+    name stream untouched; ~12% of manufacturers carry no geo at all (their
+    conversations emit no supplier-location turn)."""
+    rng = np.random.RandomState(spec.seed + 203)
+    out = []
+    for _ in range(spec.n_manufacturers):
+        if rng.rand() < 0.12:
+            out.append(None)
+            continue
+        out.append(
+            {
+                "address": f"{int(rng.randint(10, 999))} "
+                f"{_GEO_STREETS[int(rng.randint(0, len(_GEO_STREETS)))]}",
+                "postal_code": f"{int(rng.randint(10000, 99999))}",
+                "city": _GEO_CITIES[int(rng.randint(0, len(_GEO_CITIES)))],
+                "state": _GEO_STATES[int(rng.randint(0, len(_GEO_STATES)))],
+                "country": _GEO_COUNTRIES[int(rng.randint(0, len(_GEO_COUNTRIES)))],
+                "region": _GEO_REGIONS[int(rng.randint(0, len(_GEO_REGIONS)))],
+            }
+        )
+    return out
+
+
+def supplier_geo_text(mfr: str, geo: dict) -> str:
+    """The supplier-location utterance (the grammar SUPPLIER_PATTERN in
+    stages/extract.py parses)."""
+    return (
+        f'Supplier "{mfr}" is based at "{geo["address"]}", '
+        f'postal code "{geo["postal_code"]}", city "{geo["city"]}", '
+        f'state "{geo["state"]}", country "{geo["country"]}", '
+        f'region "{geo["region"]}".'
+    )
+
+
 def _alias_variant(name: str, rng: np.random.RandomState) -> str:
     """Case change or inserted space — collapses under normalize_name_key (M7)."""
     choice = rng.randint(0, 3)
@@ -117,6 +160,7 @@ def generate_turns(spec: TurnCorpusSpec, conv_range: Optional[tuple] = None) -> 
     sharded generation produces byte-identical rows to a single pass."""
     chems = _chem_vocab(spec)
     mfrs = _mfr_vocab(spec)
+    geos = _mfr_geo_vocab(spec)
     n_hot_chem = max(1, len(chems) // 50)
     lo, hi = conv_range if conv_range is not None else (0, spec.n_convs)
 
@@ -131,7 +175,8 @@ def generate_turns(spec: TurnCorpusSpec, conv_range: Optional[tuple] = None) -> 
         rng = np.random.RandomState((spec.seed * 1_000_003 + ci) % (2**31 - 1))
         conv_id = f"conv{ci:06d}"
         is_hot = rng.rand() < spec.hot_fraction
-        mfr = mfrs[0] if is_hot else mfrs[int(rng.randint(0, len(mfrs)))]
+        mfr_idx = 0 if is_hot else int(rng.randint(0, len(mfrs)))
+        mfr = mfrs[mfr_idx]
         mat_prefix = _MAT_PREFIXES[int(rng.randint(0, len(_MAT_PREFIXES)))]
         mat_base_idx = int(rng.randint(0, max(2, spec.n_convs // 3)))
         material = f"{mat_prefix} {mat_base_idx:05d}"
@@ -197,6 +242,24 @@ def generate_turns(spec: TurnCorpusSpec, conv_range: Optional[tuple] = None) -> 
                  FILLER_TEXTS[int(rng.randint(0, len(FILLER_TEXTS)))], "")
             )
 
+        # supplier-location turn (geo attributes, reference Manufacturer ORM):
+        # drawn from its OWN per-conv stream so the pre-existing turn content
+        # above stays byte-identical across corpus versions. ~25% of geo-
+        # bearing convs omit the turn (record then has null geo — if such a
+        # conv CREATES the manufacturer, the node keeps null geo: the
+        # reference never back-fills, artifact_ingestor_service.py:992-1008);
+        # ~15% report a variant street number, exercising first-record-wins.
+        geo = geos[mfr_idx]
+        if geo is not None:
+            grng = np.random.RandomState(
+                (spec.seed * 2_000_003 + ci * 7 + 31) % (2**31 - 1)
+            )
+            if grng.rand() < 0.75:
+                if grng.rand() < 0.15:
+                    geo = dict(geo, address=f"{int(grng.randint(10, 999))} "
+                               + geo["address"].split(" ", 1)[1])
+                turn_texts.append(("assistant", supplier_geo_text(mfr, geo), ""))
+
         for ti, (role, text, tool) in enumerate(turn_texts):
             conv_ids.append(conv_id)
             turn_idxs.append(ti)
@@ -229,7 +292,10 @@ def write_turns(
     skips generation when a _SPEC marker with the same parameters exists."""
     spec = spec or TurnCorpusSpec()
     marker = os.path.join(out_dir, "_SPEC")
-    stamp = f"n_convs={spec.n_convs} seed={spec.seed} files={num_files} shuffle={shuffle}"
+    stamp = (
+        f"n_convs={spec.n_convs} seed={spec.seed} files={num_files} "
+        f"shuffle={shuffle} v=2"  # v2: supplier-location (geo) turns
+    )
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == stamp:

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.decision_tables import combine_material_name
+from .extract import GEO_TYPE
 from .shuffle import stable_bucket_array
 
 CHEMICAL_STRUCT = pa.struct(
@@ -60,6 +61,11 @@ RECORD_SCHEMA = pa.schema(
         ("turn_idx", pa.int32()),  # turn of the material mention
         ("material_name", pa.string()),  # combined with product_no / upc
         ("manufacturer", pa.string()),
+        # manufacturer geo attributes from the FIRST supplier-location turn
+        # (null when the conversation carries none) — consumed by the
+        # manufacturer link-or-create: only the record that CREATES a
+        # manufacturer contributes them (artifact_ingestor_service.py:992-1008)
+        ("geo", GEO_TYPE),
         ("chemicals", pa.list_(CHEMICAL_STRUCT)),
         # errors side-channel: null for surviving records; a reason code
         # (EMPTY_MATERIAL / EMPTY_CHEMICALS / MATERIAL_ALREADY_INGESTED) for
@@ -85,6 +91,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     out_turn: List[int] = []
     out_name: List[str] = []
     out_mfr: List[str] = []
+    out_geo: List = []
     out_chems: List[list] = []
     out_reason: List = []
 
@@ -99,6 +106,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     comp_arr = group["composition"].to_numpy()
     tag_arr = group["tag"].to_numpy()
     src_arr = group["source"].to_numpy()
+    geo_arr = group["geo"].to_numpy()  # dicts (SUPPLIER_GEO rows) or None
 
     n = len(conv_arr)
     if n == 0:
@@ -126,6 +134,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     mat_idx = first_idx("MATERIAL")
     prod_idx = first_idx("PRODUCT_NO")
     upc_idx = first_idx("UPC")
+    geo_idx = first_idx("SUPPLIER_GEO")
     chem_rows = np.flatnonzero(kind_arr == "CHEMICAL")
     chem_run = run_of_row[chem_rows]
     # per-run chem row groups: chem_rows is run-sorted, so one diff+split
@@ -147,6 +156,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
             out_turn.append(int(turn_arr[lo]))
             out_name.append(None if mi < 0 else name_arr[mi])
             out_mfr.append(None if mi < 0 else mfr_arr[mi])
+            out_geo.append(None)
             out_chems.append([])
             out_reason.append("EMPTY_MATERIAL" if mi < 0 else "EMPTY_CHEMICALS")
             continue
@@ -174,6 +184,8 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
         out_turn.append(int(turn_arr[mi]))
         out_name.append(combined)
         out_mfr.append(mfr_arr[mi])
+        gi = int(geo_idx[r])
+        out_geo.append(geo_arr[gi] if gi >= 0 else None)
         # dict preserves FIRST-occurrence key order across overwrites, so
         # enumerate() is the reference's processing order (see CHEMICAL_STRUCT)
         out_chems.append(
@@ -187,6 +199,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
             "turn_idx": pa.array(out_turn, pa.int32()),
             "material_name": pa.array(out_name, pa.string()),
             "manufacturer": pa.array(out_mfr, pa.string()),
+            "geo": pa.array(out_geo, GEO_TYPE),
             "chemicals": pa.array(out_chems, pa.list_(CHEMICAL_STRUCT)),
             "drop_reason": pa.array(out_reason, pa.string()),
         },

@@ -32,6 +32,18 @@ CHEMICAL_PATTERN = (
     r'It contains ingredient "(?P<name>[^"]+)"(?: with CAS (?P<cas>[0-9\-]+))?'
     r" at (?P<pct>[0-9.]+)% tagged (?P<tag>[A-Z_]+) \(source (?P<source>[A-Z]+)\)\."
 )
+# manufacturer geo attributes (reference Manufacturer ORM columns,
+# models/manufacturer.py:6-18, populated from the per-document MSDS analysis
+# at artifact_ingestor_service.py:996-1005)
+SUPPLIER_PATTERN = (
+    r'Supplier "(?P<supplier>[^"]+)" is based at "(?P<address>[^"]+)", '
+    r'postal code "(?P<postal_code>[^"]*)", city "(?P<city>[^"]*)", '
+    r'state "(?P<state>[^"]*)", country "(?P<country>[^"]*)", '
+    r'region "(?P<region>[^"]*)"\.'
+)
+
+GEO_FIELDS = ("address", "postal_code", "city", "state", "country", "region")
+GEO_TYPE = pa.struct([(f, pa.string()) for f in GEO_FIELDS])
 
 MENTIONS_SCHEMA = pa.schema(
     [
@@ -56,6 +68,7 @@ EXTRACTION_SCHEMA = pa.schema(
         ("composition", pa.string()),
         ("tag", pa.string()),
         ("source", pa.string()),
+        ("geo", GEO_TYPE),  # SUPPLIER_GEO rows only; null elsewhere
     ]
 )
 
@@ -107,6 +120,7 @@ class RecordExtractor:
                 "composition": cols.get("composition", pa.nulls(n, pa.string())),
                 "tag": cols.get("tag", pa.nulls(n, pa.string())),
                 "source": cols.get("source", pa.nulls(n, pa.string())),
+                "geo": cols.get("geo", pa.nulls(n, GEO_TYPE)),
             }
             return pa.table(data, schema=EXTRACTION_SCHEMA)
 
@@ -119,6 +133,17 @@ class RecordExtractor:
             batch, PRODUCT_PATTERN, lambda t, f: mk(t, "PRODUCT_NO", name=f["product_no"])
         )
         out += _extract_rows(batch, UPC_PATTERN, lambda t, f: mk(t, "UPC", name=f["upc"]))
+
+        def supplier_builder(t: pa.Table, f) -> pa.Table:
+            arrs = [
+                f[name].combine_chunks()
+                if isinstance(f[name], pa.ChunkedArray) else f[name]
+                for name in GEO_FIELDS
+            ]
+            geo = pa.StructArray.from_arrays(arrs, fields=list(GEO_TYPE))
+            return mk(t, "SUPPLIER_GEO", manufacturer=f["supplier"], geo=geo)
+
+        out += _extract_rows(batch, SUPPLIER_PATTERN, supplier_builder)
 
         def chem_builder(t: pa.Table, f) -> pa.Table:
             # unmatched optional CAS group comes back as "" -> null (M9 strip-to-None)
@@ -178,6 +203,7 @@ class RecordExtractor:
                 "composition": pa.array(rows["composition"], pa.string()),
                 "tag": pa.array(rows["tag"], pa.string()),
                 "source": pa.array(rows["source"], pa.string()),
+                "geo": pa.nulls(n, GEO_TYPE),
             },
             schema=EXTRACTION_SCHEMA,
         )

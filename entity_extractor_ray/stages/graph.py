@@ -51,6 +51,21 @@ NODES_SCHEMA = pa.schema(
     ]
 )
 
+# the reference's separate `manufacturer` table (models/manufacturer.py:6-18)
+# — geo attributes live HERE, not on nodes (GlobalNode carries none)
+MANUFACTURERS_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("name", pa.string()),
+        ("address", pa.string()),
+        ("postal_code", pa.string()),
+        ("city", pa.string()),
+        ("state", pa.string()),
+        ("country", pa.string()),
+        ("region", pa.string()),
+    ]
+)
+
 EDGES_SCHEMA = pa.schema(
     [
         ("src", pa.string()),
@@ -87,6 +102,7 @@ def material_key_rows(batch: pa.Table) -> pa.Table:
             "material_id": pa.array(ids, pa.string()),
             "name": batch.column("material_name"),
             "manufacturer": batch.column("manufacturer"),
+            "geo": batch.column("geo"),
             "order_key": order_key_array(batch),
         }
     )
@@ -100,12 +116,20 @@ def _material_pick_first(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     no cross-bucket duplicates: one shuffle yields both dimension tables
     (folding away the separate distinct_manufacturers stage — r2's third
     full-table groupby in the nodes build)."""
+    from .extract import GEO_TYPE
+
     df = df.sort_values("order_key", kind="mergesort")
     firsts = df.drop_duplicates("material_id", keep="first")
     mat_ids = firsts["material_id"].tolist()
     mat_names = firsts["name"].tolist()
     mat_mfrs = firsts["manufacturer"].tolist()
-    mfrs = df["manufacturer"].drop_duplicates().tolist()
+    # MFR row = the FIRST record per manufacturer (order_key-sorted), whose
+    # geo the created Manufacturer keeps forever — later records never
+    # back-fill (save_manufacturer only creates, never updates:
+    # artifact_ingestor_service.py:992-1008)
+    mfr_firsts = df.drop_duplicates("manufacturer", keep="first")
+    mfrs = mfr_firsts["manufacturer"].tolist()
+    mfr_geos = [g if isinstance(g, dict) else None for g in mfr_firsts["geo"]]
     n_mat, n_mfr = len(mat_ids), len(mfrs)
     return pa.table(
         {
@@ -113,6 +137,7 @@ def _material_pick_first(df: pd.DataFrame, bucket_id: int) -> pa.Table:
             "material_id": pa.array(mat_ids + [None] * n_mfr, pa.string()),
             "name": pa.array(mat_names + [None] * n_mfr, pa.string()),
             "manufacturer": pa.array(mat_mfrs + mfrs, pa.string()),
+            "geo": pa.array([None] * n_mat + mfr_geos, GEO_TYPE),
         }
     )
 
@@ -126,6 +151,33 @@ def build_material_identities(records_ds, n_buckets: int = 64):
     multiplicity is the J1-deduped material count per vendor (bounded)."""
     rows = records_ds.map_batches(material_key_rows, batch_format="pyarrow")
     return bucket_group_apply(rows, ["manufacturer"], _material_pick_first, n_buckets)
+
+
+def manufacturer_table(mfr_rows_ds):
+    """row_kind=MFR identity rows -> the reference's `manufacturer` table
+    (MANUFACTURERS_SCHEMA): stable id from the exact name (link-or-create key,
+    manufacturer_repository.py find_by_name) + the creating record's geo
+    attributes unpacked from the struct (nulls when that record carried
+    none)."""
+    from .extract import GEO_FIELDS
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        names = t.column("manufacturer").to_pylist()
+        ids = [stable_id("MANUFACTURER", f) for f in names]
+        geo = t.column("geo")
+        if isinstance(geo, pa.ChunkedArray):
+            geo = geo.combine_chunks()
+        cols = {
+            "entity_id": pa.array(ids, pa.string()),
+            "name": pa.array(names, pa.string()),
+        }
+        for f in GEO_FIELDS:
+            # struct_field on a null struct row yields null — first-wins nulls
+            # survive as nulls
+            cols[f] = pc.struct_field(geo, f) if len(geo) else pa.nulls(0, pa.string())
+        return pa.table(cols, schema=MANUFACTURERS_SCHEMA)
+
+    return mfr_rows_ds.map_batches(to_rows, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ edges

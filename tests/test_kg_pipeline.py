@@ -82,6 +82,73 @@ class TestEdges:
         )
 
 
+class TestManufacturers:
+    GEO = ("address", "postal_code", "city", "state", "country", "region")
+
+    def test_manufacturer_table_matches_oracle(self, kg, oracle_store):
+        """The separate manufacturer dimension table (reference Manufacturer
+        ORM): exact set equality including the creating record's geo."""
+        got = {
+            (r["entity_id"], r["name"], *(r[f] for f in self.GEO))
+            for r in kg.manufacturers.take_all()
+        }
+        want = {
+            (m["entity_id"], m["name"], *(m[f] for f in self.GEO))
+            for m in orc.oracle_manufacturers(oracle_store)
+        }
+        assert want, "oracle produced no manufacturers"
+        assert any(t[2] is not None for t in want), (
+            "corpus carries no geo at all — supplier turns missing"
+        )
+        assert got == want, (
+            f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+        )
+
+    def test_first_record_wins_geo(self, ray_session, tmp_path_factory):
+        """Planted: two conversations, same manufacturer, different geo —
+        the FIRST (conv order) creates the manufacturer and its geo sticks;
+        a geo-less first conversation pins nulls forever (the reference
+        never back-fills, artifact_ingestor_service.py:992-1008)."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_ray.sources.transcripts import supplier_geo_text
+
+        def conv(cid, mfr, mat, geo):
+            rows = [
+                (cid, 0, f'We are reviewing material "{mat}" supplied by "{mfr}".'),
+                (cid, 1, 'It contains ingredient "Chem X" at 5.0% tagged PFAS (source OECD).'),
+            ]
+            if geo is not None:
+                rows.append((cid, 2, supplier_geo_text(mfr, geo)))
+            return rows
+
+        geo_a = {"address": "1 First St", "postal_code": "11111", "city": "Alpha",
+                 "state": "NS", "country": "Freedonia", "region": "EMEA"}
+        geo_b = {"address": "2 Second St", "postal_code": "22222", "city": "Beta",
+                 "state": "VT", "country": "Sylvania", "region": "APAC"}
+        rows = (
+            conv("conv0", "Acme Corp", "Mat One", geo_a)
+            + conv("conv1", "Acme Corp", "Mat Two", geo_b)  # later: loses
+            + conv("conv2", "NullGeo Inc", "Mat Three", None)  # creates w/o geo
+            + conv("conv3", "NullGeo Inc", "Mat Four", geo_b)  # never back-fills
+        )
+        t = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        d = tmp_path_factory.mktemp("geo_firstwins")
+        pq.write_table(t, str(d / "turns.parquet"))
+        res = build_kg(str(d), n_buckets=4, num_join_partitions=2)
+        by_name = {r["name"]: r for r in res.manufacturers.take_all()}
+        assert by_name["Acme Corp"]["address"] == "1 First St"
+        assert by_name["Acme Corp"]["city"] == "Alpha"
+        assert by_name["NullGeo Inc"]["address"] is None
+        assert by_name["NullGeo Inc"]["country"] is None
+
+
 class TestLineage:
     def test_lineage_references_existing_entities(self, kg):
         node_ids = {r["entity_id"] for r in kg.nodes.take_all()}
