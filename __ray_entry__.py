@@ -126,6 +126,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embed_documents"] = _embed_docs
 
+    # the reference's pgvector RAG side-channel: per document, rank its OWN
+    # chunks by L2 distance to each extraction section's query embedding,
+    # keep top-5 (vector_repository.py:56-67; llm_invoker.py:85-110).
+    # rows-only: rankings are a function of the embedding model, not
+    # SQL-expressible; pinned by brute-force-equality tests in
+    # tests/test_similarity.py
+    def _rag_sections(sf):
+        from entity_extractor_ray.stages.similarity import retrieve_section_context
+
+        chunks = _docs(sf).map_batches(ck.chunk_text, batch_format="pandas")
+        embedded = ck.embed_chunks_with_text(chunks)
+        # analogs of constants.identification_prompt /
+        # chemical_composition_prompt (entity_extractor/constants.py:115-117)
+        sections = {
+            "Material": "material name product number upc manufacturer supplier",
+            "Chemical": "chemical ingredient cas number composition percent tag",
+        }
+        return retrieve_section_context(embedded, sections, k=5)
+
+    q["rag_section_context"] = _rag_sections
+
     # --- multimodal plumbing (stubbed decode; deterministic fake corpus)
     from entity_extractor_ray.stages import multimodal as mm
 

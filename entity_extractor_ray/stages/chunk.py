@@ -241,6 +241,29 @@ def _embed_batch(batch):
     return _EMBEDDER_SINGLETON(batch)
 
 
+def _embed_keep_text_batch(batch: pd.DataFrame) -> pa.Table:
+    """Like _embed_batch but RETAINS the text column (the RAG section-context
+    retrieval needs chunk_text and embedding side by side)."""
+    global _EMBEDDER_SINGLETON
+    if _EMBEDDER_SINGLETON is None:
+        _EMBEDDER_SINGLETON = HashingEmbedder()
+    emb = _EMBEDDER_SINGLETON
+    text_col = "chunk_text" if "chunk_text" in batch.columns else "text"
+    vecs = emb.encode_texts(list(batch[text_col]))
+    cols = {c: pa.array(batch[c].tolist()) for c in batch.columns}
+    cols["embedding"] = pa.array(
+        [v for v in vecs.tolist()], pa.list_(pa.float32())
+    )
+    return pa.table(cols)
+
+
+def embed_chunks_with_text(chunks_ds, batch_size: int = 1024):
+    """chunk rows -> same rows + embedding column, chunk_text retained."""
+    return chunks_ds.map_batches(
+        _embed_keep_text_batch, batch_format="pandas", batch_size=batch_size
+    )
+
+
 def embed_documents(docs_ds, concurrency: int = None, batch_size: int = 1024):
     """documents/chunks -> rows + embedding vector column.
 

@@ -223,3 +223,111 @@ def knn_cosine_ivf(embeddings_ds, query_ids: List[int], k: int = 10,
         for _, _, r in heapq.nsmallest(k, best[qid]):
             rows.append(r)
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "cos_sim"])
+
+
+# ------------------------------------------------------- RAG section context
+
+SECTION_CONTEXT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("section", pa.string()),
+        ("rank", pa.int32()),
+        ("chunk_idx", pa.int64()),
+        ("chunk_text", pa.string()),
+        ("l2_distance", pa.float64()),
+    ]
+)
+
+
+def retrieve_section_context(chunks_ds, section_queries: dict, k: int = 5,
+                             dim: Optional[int] = None, seed: int = 17,
+                             n_buckets: int = 32):
+    """The reference's pgvector RAG side-channel, doc-scoped: for each
+    extraction section, embed the section's query string and rank THAT
+    DOCUMENT'S OWN chunks by L2 distance to it, keeping the top k — the
+    context rows fed to the per-section LLM chain
+    (vector_repository.retrieve_relevant_documents: file_id filter +
+    l2_distance order + limit 5, vector_repository.py:56-67; the section
+    chains at llm_invoker.py:85-110).
+
+    Scale shape: the query matrix is tiny (one row per section) and rides a
+    single ray.put; every chunk block scores vectorized (one matmul) and
+    emits only its LOCAL top-k per (doc, section) — so the one doc-bucket
+    shuffle moves <= k * n_sections rows per doc, never the corpus. Chunk
+    embeddings are L2-normalized (HashingEmbedder), so l2 = sqrt(2 - 2*cos)
+    is exact and monotone with cosine.
+
+    chunks_ds columns: doc_id, chunk_idx, chunk_text, embedding."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .chunk import EMBED_DIM, HashingEmbedder
+    from .shuffle import bucket_group_apply_arrow
+
+    names = sorted(section_queries)
+    embedder = HashingEmbedder(dim=dim or EMBED_DIM, seed=seed)
+    qmat = embedder.encode_texts([section_queries[n] for n in names])
+    ref = ray.put(qmat.astype(np.float64))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)  # (s, dim)
+        if batch.num_rows == 0:
+            return SECTION_CONTEXT_SCHEMA.empty_table().drop_columns(["rank"])
+        docs = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        cidx = np.asarray(batch.column("chunk_idx").to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sims = mat @ q.T  # (n, s); rows are unit vectors
+        l2 = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * sims))
+        out = []
+        for si, section in enumerate(names):
+            d = np.round(l2[:, si], 9)  # rounded: engine-independent ties
+            order = np.lexsort((cidx, d, docs))  # by doc, then dist, then idx
+            od, odist = docs[order], d[order]
+            starts = np.concatenate(([0], np.flatnonzero(od[1:] != od[:-1]) + 1))
+            within = np.arange(len(od)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(od)]))))
+            keep = order[within < k]
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(docs[keep], pa.int64()),
+                        "section": pa.array([section] * len(keep), pa.string()),
+                        "chunk_idx": pa.array(cidx[keep], pa.int64()),
+                        "chunk_text": pc.take(batch.column("chunk_text"), pa.array(keep)),
+                        "l2_distance": pa.array(d[keep], pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    partials = chunks_ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def pick_global(t: pa.Table, bucket_id: int) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("doc_id", "ascending"), ("section", "ascending"),
+                       ("l2_distance", "ascending"), ("chunk_idx", "ascending")],
+        )
+        s = t.take(order)
+        docs = s.column("doc_id").to_numpy()
+        secs = np.asarray(s.column("section").to_pylist())
+        key_change = np.concatenate(
+            ([True], (docs[1:] != docs[:-1]) | (secs[1:] != secs[:-1]))
+        )
+        starts = np.flatnonzero(key_change)
+        grp = np.cumsum(key_change) - 1
+        within = np.arange(len(docs)) - starts[grp]
+        keep = within < k
+        kept = s.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "section": kept.column("section"),
+                "rank": pa.array(within[keep].astype(np.int32), pa.int32()),
+                "chunk_idx": kept.column("chunk_idx"),
+                "chunk_text": kept.column("chunk_text"),
+                "l2_distance": kept.column("l2_distance"),
+            },
+            schema=SECTION_CONTEXT_SCHEMA,
+        )
+
+    return bucket_group_apply_arrow(partials, ["doc_id"], pick_global, n_buckets)

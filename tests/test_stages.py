@@ -322,3 +322,98 @@ class TestVectorStore:
         assert back.count() == n_docs
         row = back.take(1)[0]
         assert len(row["embedding"]) == EMBED_DIM
+
+
+class TestSectionContext:
+    """RAG section-context retrieval (reference pgvector side-channel:
+    per-doc chunk ranking by L2 distance to a section query embedding)."""
+
+    SECTIONS = {
+        "Material": "material name product number manufacturer",
+        "Chemical": "chemical ingredient cas composition percent",
+    }
+
+    def _chunks(self):
+        import itertools
+
+        words = ["material", "chemical", "cas", "polymer", "manufacturer",
+                 "composition", "solvent", "number"]
+        rows = []
+        for doc in range(3):
+            for ci in range(6):
+                picks = list(itertools.islice(
+                    itertools.cycle(words), doc + ci, doc + ci + 4))
+                rows.append((doc, ci, " ".join(picks) + f" item{doc}_{ci}"))
+        return rows
+
+    def test_matches_bruteforce_exactly(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.chunk import (
+            HashingEmbedder, embed_chunks_with_text,
+        )
+        from entity_extractor_ray.stages.similarity import (
+            retrieve_section_context,
+        )
+
+        rows = self._chunks()
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "chunk_idx": pa.array([r[1] for r in rows], pa.int64()),
+                "chunk_text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(4)  # chunks of one doc span blocks
+        out = retrieve_section_context(
+            embed_chunks_with_text(ds), self.SECTIONS, k=3, n_buckets=4
+        ).take_all()
+
+        he = HashingEmbedder()
+        E = he.encode_texts([r[2] for r in rows])
+        names = sorted(self.SECTIONS)
+        Q = he.encode_texts([self.SECTIONS[n] for n in names])
+        sims = E @ Q.T
+        import numpy as np
+
+        l2 = np.round(np.sqrt(np.maximum(0.0, 2.0 - 2.0 * sims)), 9)
+        want = set()
+        for si, section in enumerate(names):
+            for doc in range(3):
+                idx = [i for i, r in enumerate(rows) if r[0] == doc]
+                order = sorted(idx, key=lambda i: (l2[i, si], rows[i][1]))
+                for rank, i in enumerate(order[:3]):
+                    want.add((doc, section, rank, rows[i][1]))
+        got = {(r["doc_id"], r["section"], r["rank"], r["chunk_idx"]) for r in out}
+        assert got == want
+
+    def test_doc_scoped_and_k_capped(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.chunk import embed_chunks_with_text
+        from entity_extractor_ray.stages.similarity import (
+            retrieve_section_context,
+        )
+
+        rows = self._chunks()
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "chunk_idx": pa.array([r[1] for r in rows], pa.int64()),
+                "chunk_text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        out = retrieve_section_context(
+            embed_chunks_with_text(rd.from_arrow(t)), self.SECTIONS, k=5,
+            n_buckets=2,
+        ).take_all()
+        per_key = {}
+        valid = {(r[0], r[1]) for r in rows}
+        for r in out:
+            assert (r["doc_id"], r["chunk_idx"]) in valid
+            per_key.setdefault((r["doc_id"], r["section"]), []).append(r["rank"])
+        for (doc, section), ranks in per_key.items():
+            assert sorted(ranks) == list(range(len(ranks)))
+            assert len(ranks) <= 5
+        # every (doc, section) pair produced rows
+        assert len(per_key) == 3 * 2
