@@ -374,12 +374,30 @@ def build_kg(
         # instead of a third full-table groupby over records.
         from concurrent.futures import ThreadPoolExecutor
 
+        def sub(name, t0):
+            # sub-stage breakdown rows (partition_id -2 marks them as
+            # informational; the stage gauge surface ignores them)
+            now = time.perf_counter()
+            metrics.append(
+                {
+                    "partition_id": -2,
+                    "stage": f"nodes.{name}",
+                    "rows_in": -1,
+                    "rows_out": -1,
+                    "matched_count": -1,
+                    "duration_ms": (now - t0) * 1000,
+                }
+            )
+            return now
+
+        t = time.perf_counter()
         # one 3-column projection of chem_status, materialized ONCE and fed
         # to both consumers (rollup join + chem-node join) — each would
         # otherwise re-execute the projection at its own to_arrow_refs
         chem_slim = chem_status.select_columns(
             ["entity_id", "pfas_status", "pfas_information_source"]
         ).materialize()
+        t = sub("chem_slim", t)
         with ThreadPoolExecutor(max_workers=2) as ex:
             f_ids = ex.submit(
                 lambda: build_material_identities(clean, n_buckets).materialize()
@@ -391,6 +409,7 @@ def build_kg(
             )
             ids_all = f_ids.result()
             material_status = f_status.result()
+        t = sub("branches", t)
         _ids_holder["ids_all"] = ids_all
         # one shuffle produced BOTH dimension tables (row_kind MAT | MFR)
         material_ids = ids_all.filter(expr="row_kind == 'MAT'").select_columns(
