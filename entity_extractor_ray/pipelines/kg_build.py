@@ -241,6 +241,37 @@ def build_kg(
         progress(name, rows, (now - t0))
         return ds
 
+    def pin_sharded(name, src_stage, transform, read_columns=None):
+        """Terminal map-only sink with PER-INPUT-SHARD resume: one output
+        part per upstream checkpoint file (state/checkpoint.run_sharded) —
+        a died terminal write restarts from its finished parts, and the
+        resume key needs no repartition because the upstream files are
+        deterministic."""
+        import glob as _glob
+        import os as _os
+
+        t0 = time.perf_counter()
+        files = sorted(
+            _glob.glob(_os.path.join(out_dir, src_stage, "*.parquet"))
+        )
+        ds = ckpt.run_sharded(name, files, transform, read_columns)
+        rows = ckpt.manifest(name)["rows"]
+        now = time.perf_counter()
+        metrics.append(
+            {
+                "partition_id": -1,
+                "stage": name,
+                "rows_in": -1,
+                "rows_out": rows,
+                "matched_count": -1,
+                "duration_ms": (now - t0) * 1000,
+                "gap_ms": (t0 - last_end[0]) * 1000,
+            }
+        )
+        last_end[0] = now
+        progress(name, rows, (now - t0))
+        return ds
+
     raw_turns = _read_turns(turns, ["conv_id", "turn_idx", "text"])
     # M14 ingest validation: schema cast + key-null split (lazy; fuses into
     # the extract stage)
@@ -438,11 +469,19 @@ def build_kg(
     )
 
     if ckpt is not None:
-        triples = pin("triples", lambda ds=triples: ds, terminal=True)
+        # map-only terminal sinks resume per INPUT SHARD (one part per
+        # upstream checkpoint file, no repartition)
+        triples = pin_sharded(
+            "triples", "records",
+            lambda t: explode_triples(_only_clean(t)),
+        )
         # branch materializes skip on resume
         nodes = pin("nodes", _build_nodes, terminal=True)
         manufacturers = pin("manufacturers", _build_manufacturers, terminal=True)
-        lineage = pin("lineage", lambda ds=lineage: ds, terminal=True)
+        lineage = pin_sharded(
+            "lineage", "linked",
+            lambda t: lineage_rows(t, n_buckets=n_buckets),
+        )
         errors = pin("errors", lambda ds=errors: ds, terminal=True)
     else:
         nodes = _build_nodes()

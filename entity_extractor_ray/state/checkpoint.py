@@ -159,6 +159,91 @@ class CheckpointManager:
         )
         return rd.read_parquet(out)
 
+    def run_sharded(self, name: str, src_files, transform,
+                    read_columns=None):
+        """Per-INPUT-SHARD resumable terminal sink for MAP-ONLY stages.
+
+        ``transform(table) -> table`` is applied to each source Parquet file
+        independently and the result committed as its own
+        ``part-<src-stem>.parquet`` (tmp + rename, atomic). A rerun skips
+        committed parts — a death at 95% of a terminal write restarts from
+        95%, with NO added shuffle (the resume key is the deterministic
+        upstream checkpoint file, not a key-hash repartition; upstream
+        files are already sized for read parallelism).
+
+        Stage-level semantics stay identical to ``run``: a ``_SUCCESS``
+        manifest commits LAST; ``is_done`` short-circuits the whole stage;
+        a stale fingerprint clears all parts first. Only valid for
+        per-row/stateless transforms (each output row derives from one
+        input file) — anything with cross-file state must go through
+        ``run``."""
+        import ray.data as rd
+
+        out = self.stage_dir(name)
+        if self.is_done(name):
+            m = self.manifest(name)
+            self.stage_metrics.append(
+                {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0, "skipped": True}
+            )
+            return rd.read_parquet(out)
+
+        t0 = time.perf_counter()
+        os.makedirs(out, exist_ok=True)
+        fp_path = os.path.join(out, "_FP")
+        stale = True
+        if os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                stale = fh.read() != self.fingerprint
+        if stale:
+            for f in os.listdir(out):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(out, f))
+            with open(fp_path, "w") as fh:
+                fh.write(self.fingerprint)
+
+        def part_name(src: str) -> str:
+            return "part-" + os.path.splitext(os.path.basename(src))[0] + ".parquet"
+
+        todo = [f for f in src_files if not os.path.exists(os.path.join(out, part_name(f)))]
+
+        if todo:
+            def process(batch):
+                import pyarrow as pa
+
+                for src in batch["path"]:
+                    table = pq.read_table(src, columns=read_columns)
+                    result = transform(table)
+                    tmp = os.path.join(out, part_name(src) + f".tmp-{os.getpid()}")
+                    pq.write_table(result, tmp)
+                    os.replace(tmp, os.path.join(out, part_name(src)))
+                return pa.table({"path": pa.array(list(batch["path"]))})
+
+            # one task per source file: embarrassingly parallel, no shuffle
+            rd.from_items([{"path": f} for f in todo]).map_batches(
+                process, batch_size=1, batch_format="pandas"
+            ).materialize()
+
+        rows, files = 0, []
+        for fname in sorted(os.listdir(out)):
+            if fname.endswith(".parquet"):
+                files.append(fname)
+                rows += pq.read_metadata(os.path.join(out, fname)).num_rows
+        duration_ms = (time.perf_counter() - t0) * 1000
+        manifest = {
+            "stage": name,
+            "rows": rows,
+            "files": files,
+            "fingerprint": self.fingerprint,
+            "duration_ms": duration_ms,
+            "sharded": True,
+        }
+        with open(os.path.join(out, MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        self.stage_metrics.append(
+            {"stage": name, "rows_out": rows, "duration_ms": duration_ms, "skipped": False}
+        )
+        return rd.read_parquet(out)
+
 
 def status(out_dir: str) -> list:
     """Manifest inspector — the batch analog of the reference's status/query

@@ -399,3 +399,37 @@ class TestResume:
             (r["src"], r["dst"], r["pred"], r["weight"]) for r in r2.edges.take_all()
         )
         assert edges1 == edges2
+
+    def test_terminal_shard_resume(self, ray_session, small_turns, tmp_path_factory):
+        """The map-only terminal sinks (triples, lineage) commit one part per
+        upstream checkpoint file: deleting some parts plus the manifest must
+        rebuild ONLY the missing parts (survivors keep their mtime) and the
+        re-read output must be identical."""
+        import glob as g
+        import os
+
+        out = str(tmp_path_factory.mktemp("kg_shard") / "out")
+        r1 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        triples1 = sorted(
+            (r["conv_id"], r["subj"], r["pred"], r["obj"])
+            for r in r1.triples.take_all()
+        )
+        tdir = os.path.join(out, "triples")
+        parts = sorted(g.glob(os.path.join(tdir, "part-*.parquet")))
+        n_src = len(g.glob(os.path.join(out, "records", "*.parquet")))
+        assert len(parts) == n_src, "one triples part per records shard"
+
+        os.remove(os.path.join(tdir, "_SUCCESS"))
+        for p in parts[: max(1, len(parts) // 3)]:
+            os.remove(p)
+        kept = {p: os.stat(p).st_mtime_ns
+                for p in parts[max(1, len(parts) // 3):]}
+
+        r2 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        for p, m in kept.items():
+            assert os.stat(p).st_mtime_ns == m, f"finished part rebuilt: {p}"
+        triples2 = sorted(
+            (r["conv_id"], r["subj"], r["pred"], r["obj"])
+            for r in r2.triples.take_all()
+        )
+        assert triples1 == triples2
