@@ -34,8 +34,8 @@ from ..stages.assemble import assemble_records, dedup_records
 from ..stages.extract import RecordExtractor
 from ..stages.graph import (
     assemble_nodes,
-    dedup_contains_edges,
-    dedup_made_by_edges,
+    dedup_edges,
+    dedup_edges_partitioned,
     build_material_identities,
     lineage_rows,
     manufacturer_table,
@@ -214,13 +214,18 @@ def build_kg(
     # them in-pipeline) keep the large default for cheap commits
     reread_file_opts = {"min_rows_per_file": 2048, "max_rows_per_file": 8192}
 
-    def pin(name, build, terminal: bool = False):
+    def pin(name, build, terminal: bool = False, partitioned: bool = False):
         """Checkpoint (out_dir mode) or materialize a multi-consumer stage.
-        gap_ms = wall time since the previous pin ended — construction-time
-        executions (broadcast probes etc.) show up there."""
+        partitioned=True: ``build(stage_dir)`` commits its own per-bucket
+        parts (ckpt.run_partitioned; only valid with out_dir). gap_ms = wall
+        time since the previous pin ended — construction-time executions
+        (broadcast probes etc.) show up there."""
         t0 = time.perf_counter()
         if ckpt is not None:
-            ds = ckpt.run(name, build, **({} if terminal else reread_file_opts))
+            if partitioned:
+                ds = ckpt.run_partitioned(name, build)
+            else:
+                ds = ckpt.run(name, build, **({} if terminal else reread_file_opts))
             rows = ckpt.manifest(name)["rows"]
         else:
             ds = build().materialize()
@@ -349,12 +354,19 @@ def build_kg(
         "linked", lambda: link_chem_mentions(chem_mentions, mapping, num_join_partitions)
     )
     chem_status = pin("chem_status", lambda: fold_chemical_states(linked, n_buckets))
-    edges = pin(
-        "edges",
-        lambda: dedup_contains_edges(linked, n_buckets).union(
-            dedup_made_by_edges(clean)
-        ),
-    )
+    # J4 dedup of BOTH edge families (CONTAINS + MADE_BY) in one bucket
+    # shuffle; with an out_dir the bucket parts commit directly into the
+    # stage dir (per-bucket resume, no second write)
+    if ckpt is not None:
+        edges = pin(
+            "edges",
+            lambda d: dedup_edges_partitioned(
+                linked, clean, d, n_buckets, fingerprint=ckpt.fingerprint
+            ),
+            partitioned=True,
+        )
+    else:
+        edges = pin("edges", lambda: dedup_edges(linked, clean, n_buckets))
 
     def _fold_error_rows(t: pa.Table) -> pa.Table:
         errs = t.filter(pc.greater(t.column("n_coerced"), 0))

@@ -212,15 +212,11 @@ def _edge_pick_last(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     )
 
 
-def dedup_contains_edges(linked_ds, n_buckets: int = 64):
-    """ONE bucket shuffle on (src, dst); last-write-wins picked in-bucket.
-    Per-key multiplicity is bounded by the J1 guard (one surviving
-    conversation per material), so no pre-aggregation is needed."""
-    cand = linked_ds.map_batches(contains_edge_rows, batch_format="pyarrow")
-    return bucket_group_apply(cand, ["src", "dst"], _edge_pick_last, n_buckets)
-
-
 def made_by_edge_rows(records_batch: pa.Table) -> pa.Table:
+    """records -> MADE_BY edge candidates, same 5-column layout as
+    contains_edge_rows so both families union into ONE shuffle. order_key is
+    "" — all duplicates of a MADE_BY key are identical rows, so the J4
+    pick-last degenerates to distinct and needs no real order."""
     from ..functions.decision_tables import normalize_name_key
 
     mat = records_batch.column("material_name").to_pylist()
@@ -234,29 +230,44 @@ def made_by_edge_rows(records_batch: pa.Table) -> pa.Table:
             "dst": pa.array(dst, pa.string()),
             "pred": pa.array(["MADE_BY"] * n, pa.string()),
             "weight": pa.nulls(n, pa.string()),
-        },
-        schema=EDGES_SCHEMA,
+            "order_key": pa.array([""] * n, pa.string()),
+        }
     )
 
 
-def dedup_made_by_edges(records_ds, n_buckets: int = 64):
-    """Distinct (src, dst) MADE_BY edges — one bucket shuffle, in-bucket
-    drop_duplicates (records are J1-deduped, multiplicity ~1)."""
-    cand = records_ds.map_batches(made_by_edge_rows, batch_format="pyarrow")
+def edge_candidates(linked_ds, records_ds):
+    """CONTAINS (from linked chem mentions) ∪ MADE_BY (from records)
+    candidates — one dataset so the J4 dedup pays ONE all-to-all instead of
+    two. The key namespaces are disjoint (dst is a chemical id vs a
+    manufacturer id) and pred is part of the dedup key regardless."""
+    cont = linked_ds.map_batches(contains_edge_rows, batch_format="pyarrow")
+    made = records_ds.map_batches(made_by_edge_rows, batch_format="pyarrow")
+    return cont.union(made)
 
-    def distinct_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
-        d = df.drop_duplicates(["src", "dst"])
-        return pa.table(
-            {
-                "src": pa.array(d["src"].tolist(), pa.string()),
-                "dst": pa.array(d["dst"].tolist(), pa.string()),
-                "pred": pa.array(d["pred"].tolist(), pa.string()),
-                "weight": pa.nulls(len(d), pa.string()),
-            },
-            schema=EDGES_SCHEMA,
-        )
 
-    return bucket_group_apply(cand, ["src", "dst"], distinct_bucket, n_buckets)
+def dedup_edges(linked_ds, records_ds, n_buckets: int = 64):
+    """J4 edge upsert for BOTH edge families in one bucket shuffle on
+    (src, dst); per (src, dst, pred) the last-processed weight wins
+    (artifact_ingestor_service.py:1086-1106). Per-key multiplicity is
+    bounded by the J1 guard, so no pre-aggregation is needed."""
+    return bucket_group_apply(
+        edge_candidates(linked_ds, records_ds), ["src", "dst"],
+        _edge_pick_last, n_buckets,
+    )
+
+
+def dedup_edges_partitioned(linked_ds, records_ds, parts_dir: str,
+                            n_buckets: int = 64, fingerprint: str = ""):
+    """dedup_edges with per-bucket resumable commits: each (src, dst) hash
+    bucket's dedup result lands as its own atomically-renamed part file in
+    ``parts_dir`` (shuffle.bucket_group_apply_partitioned), so a death
+    mid-edges resumes from the finished buckets."""
+    from .shuffle import bucket_group_apply_partitioned
+
+    return bucket_group_apply_partitioned(
+        edge_candidates(linked_ds, records_ds), ["src", "dst"],
+        _edge_pick_last, n_buckets, parts_dir, fingerprint, EDGES_SCHEMA,
+    )
 
 
 # ------------------------------------------------------------------ rollup

@@ -100,6 +100,88 @@ def bucket_group_apply_arrow(
     return bucketed.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
 
 
+def bucket_group_apply_partitioned(
+    ds,
+    key_cols: Sequence[str],
+    bucket_fn: Callable[[pd.DataFrame, int], pa.Table],
+    n_buckets: int,
+    parts_dir: str,
+    fingerprint: str,
+    empty_schema: pa.Schema,
+):
+    """``bucket_group_apply`` with PER-BUCKET resumable commits (the pattern
+    assemble.assemble_records_partitioned introduced, generalized): each
+    bucket task writes its own ``part-<bucket>.parquet`` atomically
+    (tmp + rename) as it completes. A rerun lists committed parts, filters
+    the shuffle input to MISSING buckets only, and rebuilds just those — a
+    stage dying at 95% restarts from 95%. ``fingerprint`` (params + input
+    identity, stored as ``_FP``) guards against stale parts; buckets that
+    received zero rows commit an explicit empty part with ``empty_schema``.
+    Returns a Dataset reading the committed parts. parts_dir must be on
+    storage shared by all workers (single node here; a real cluster points
+    it at shared storage)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    os.makedirs(parts_dir, exist_ok=True)
+    fp_path = os.path.join(parts_dir, "_FP")
+    stale = True
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            stale = fh.read() != fingerprint
+    if stale:
+        for f in _glob.glob(os.path.join(parts_dir, "part-*.parquet")):
+            os.remove(f)
+        with open(fp_path, "w") as fh:
+            fh.write(fingerprint)
+
+    def part_path(b: int) -> str:
+        return os.path.join(parts_dir, f"part-{b:05d}.parquet")
+
+    missing = [b for b in range(n_buckets) if not os.path.exists(part_path(b))]
+    if missing:
+        bucketed = ds.map_batches(
+            _add_bucket,
+            fn_kwargs={"key_cols": list(key_cols), "n_buckets": n_buckets},
+            batch_format="pyarrow",
+        )
+        if len(missing) < n_buckets:
+            mset = pa.array(missing, pa.int64())
+
+            def keep_missing(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t.column(BUCKET_COL), value_set=mset))
+
+            bucketed = bucketed.map_batches(keep_missing, batch_format="pyarrow")
+
+        def apply_and_commit(group: pd.DataFrame) -> pa.Table:
+            b = int(group[BUCKET_COL].iloc[0])
+            table = bucket_fn(group.drop(columns=[BUCKET_COL]), b)
+            tmp = part_path(b) + f".tmp-{os.getpid()}"
+            pq.write_table(table, tmp)
+            os.replace(tmp, part_path(b))  # atomic per-bucket commit
+            return pa.table(
+                {"bucket": pa.array([b], pa.int64()),
+                 "rows": pa.array([table.num_rows], pa.int64())}
+            )
+
+        bucketed.groupby(BUCKET_COL).map_groups(
+            apply_and_commit, batch_format="pandas"
+        ).materialize()
+        # zero-row buckets never reach a group task; commit explicit empty
+        # parts so they read as done, not missing
+        for b in missing:
+            if not os.path.exists(part_path(b)):
+                pq.write_table(empty_schema.empty_table(), part_path(b))
+
+    return rd.read_parquet(
+        sorted(_glob.glob(os.path.join(parts_dir, "part-*.parquet")))
+    )
+
+
 SIDE_COL = "__side"
 
 

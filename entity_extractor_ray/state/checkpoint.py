@@ -159,6 +159,54 @@ class CheckpointManager:
         )
         return rd.read_parquet(out)
 
+    def run_partitioned(self, name: str, build_parts):
+        """Stage whose builder commits per-BUCKET part files directly into
+        the stage directory — resume granularity is the bucket and the parts
+        ARE the stage output (no second copy through ``run``'s write).
+
+        ``build_parts(stage_dir)`` must write ``part-*.parquet`` files
+        atomically, skip already-committed parts, honor its own ``_FP``
+        staleness guard, and return a Dataset reading them — the exact shape
+        ``shuffle.bucket_group_apply_partitioned`` provides. The ``_SUCCESS``
+        manifest still commits LAST, so stage-level ``is_done`` semantics are
+        identical to ``run``."""
+        import ray.data as rd
+
+        out = self.stage_dir(name)
+        if self.is_done(name):
+            m = self.manifest(name)
+            self.stage_metrics.append(
+                {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0, "skipped": True}
+            )
+            return rd.read_parquet(out)
+
+        t0 = time.perf_counter()
+        mpath = os.path.join(out, MANIFEST)
+        if os.path.exists(mpath):
+            os.remove(mpath)  # stale manifest (parameters/input changed)
+        ds = build_parts(out)
+
+        rows, files = 0, []
+        for fname in sorted(os.listdir(out)):
+            if fname.endswith(".parquet"):
+                files.append(fname)
+                rows += pq.read_metadata(os.path.join(out, fname)).num_rows
+        duration_ms = (time.perf_counter() - t0) * 1000
+        manifest = {
+            "stage": name,
+            "rows": rows,
+            "files": files,
+            "fingerprint": self.fingerprint,
+            "duration_ms": duration_ms,
+            "partitioned": True,
+        }
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh)
+        self.stage_metrics.append(
+            {"stage": name, "rows_out": rows, "duration_ms": duration_ms, "skipped": False}
+        )
+        return ds
+
     def run_sharded(self, name: str, src_files, transform,
                     read_columns=None):
         """Per-INPUT-SHARD resumable terminal sink for MAP-ONLY stages.

@@ -433,3 +433,39 @@ class TestResume:
             for r in r2.triples.take_all()
         )
         assert triples1 == triples2
+
+    def test_edges_bucket_resume(self, ray_session, small_turns, tmp_path_factory):
+        """The edges stage commits one part per (src, dst) hash bucket
+        directly into its stage dir: deleting some parts plus the manifest
+        must rebuild ONLY the missing buckets (survivors keep their mtime)
+        and reproduce the identical edge set — both CONTAINS and MADE_BY
+        rows (one fused shuffle serves both families)."""
+        import glob as g
+        import os
+
+        out = str(tmp_path_factory.mktemp("kg_edgeparts") / "out")
+        r1 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        edges1 = sorted(
+            (r["src"], r["dst"], r["pred"], r["weight"])
+            for r in r1.edges.take_all()
+        )
+        preds = {e[2] for e in edges1}
+        assert preds == {"CONTAINS", "MADE_BY"}
+        edir = os.path.join(out, "edges")
+        parts = sorted(g.glob(os.path.join(edir, "part-*.parquet")))
+        assert len(parts) == 8, "one edges part per hash bucket"
+
+        os.remove(os.path.join(edir, "_SUCCESS"))
+        for p in parts[:3]:
+            os.remove(p)
+        kept = {p: os.stat(p).st_mtime_ns for p in parts[3:]}
+
+        r2 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        for p, m in kept.items():
+            assert os.stat(p).st_mtime_ns == m, f"finished part rebuilt: {p}"
+        assert len(g.glob(os.path.join(edir, "part-*.parquet"))) == 8
+        edges2 = sorted(
+            (r["src"], r["dst"], r["pred"], r["weight"])
+            for r in r2.edges.take_all()
+        )
+        assert edges1 == edges2
