@@ -234,68 +234,15 @@ def assemble_records_partitioned(
     restarts from 95%, not 0%. The stateless extract map upstream re-streams
     (it is never cheaper to checkpoint raw map output than to re-run it);
     the committed artifact is the post-shuffle assembly. ``fingerprint``
-    (params + input identity) guards against stale parts. Parts live on a
-    filesystem shared by all workers (single node here; a real cluster
-    points parts_dir at shared storage)."""
-    import glob as _glob
-    import json
-    import os
+    (params + input identity) guards against stale parts. Delegates to the
+    generalized shuffle.bucket_group_apply_partitioned (same bucket hash as
+    add_conv_bucket: stable_bucket_array over conv_id)."""
+    from .shuffle import bucket_group_apply_partitioned
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    os.makedirs(parts_dir, exist_ok=True)
-    fp_path = os.path.join(parts_dir, "_FP")
-    stale = True
-    if os.path.exists(fp_path):
-        with open(fp_path) as fh:
-            stale = fh.read() != fingerprint
-    if stale:
-        for f in _glob.glob(os.path.join(parts_dir, "part-*.parquet")):
-            os.remove(f)
-        with open(fp_path, "w") as fh:
-            fh.write(fingerprint)
-
-    def part_path(b: int) -> str:
-        return os.path.join(parts_dir, f"part-{b:05d}.parquet")
-
-    missing = [b for b in range(n_buckets) if not os.path.exists(part_path(b))]
-    if missing:
-        bucketed = extraction_ds.map_batches(
-            add_conv_bucket, fn_kwargs={"n_buckets": n_buckets},
-            batch_format="pyarrow",
-        )
-        if len(missing) < n_buckets:
-            mset = pa.array(missing, pa.int64())
-
-            def keep_missing(t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t.column("bucket"), value_set=mset))
-
-            bucketed = bucketed.map_batches(keep_missing, batch_format="pyarrow")
-
-        def assemble_and_commit(group: pd.DataFrame) -> pa.Table:
-            b = int(group["bucket"].iloc[0])
-            table = assemble_bucket(group.drop(columns=["bucket"]))
-            tmp = part_path(b) + f".tmp-{os.getpid()}"
-            pq.write_table(table, tmp)
-            os.replace(tmp, part_path(b))  # atomic per-bucket commit
-            return pa.table(
-                {"bucket": pa.array([b], pa.int64()),
-                 "rows": pa.array([table.num_rows], pa.int64())}
-            )
-
-        bucketed.groupby("bucket").map_groups(
-            assemble_and_commit, batch_format="pandas"
-        ).materialize()
-        # buckets that received zero conversations never reach a group task;
-        # commit explicit empty parts so they read as done, not missing
-        for b in missing:
-            if not os.path.exists(part_path(b)):
-                pq.write_table(RECORD_SCHEMA.empty_table(), part_path(b))
-
-    return rd.read_parquet(
-        sorted(_glob.glob(os.path.join(parts_dir, "part-*.parquet")))
+    return bucket_group_apply_partitioned(
+        extraction_ds, ["conv_id"],
+        lambda df, b: assemble_bucket(df),
+        n_buckets, parts_dir, fingerprint, RECORD_SCHEMA,
     )
 
 
