@@ -433,11 +433,87 @@ def _local_distinct_keys(batch: pa.Table) -> pa.Table:
     )
 
 
-# gate unit = partial KEY ROWS (per-batch distinct, so a key appearing in k
-# batches counts k times — a deliberate overestimate). 1M partial rows is
-# the comfort ceiling for shipping one manufacturer into a single union-find
-# task (~100MB pandas block); anything larger goes distributed.
+# gate unit = DISTINCT KEYS per manufacturer. 1M distinct keys is the
+# comfort ceiling for shipping one manufacturer into a single union-find
+# task (~100MB pandas block); anything larger goes distributed. The gate is
+# two-stage: a cheap partial-row count (per-batch distinct, so a key seen in
+# k batches counts k times — a guaranteed OVERcount, measured ~5x on hot
+# keys) nominates candidates, then a merged k-minimum-values sketch refines
+# each candidate to an estimated true distinct count (exact below _KMV_K,
+# ~13% relative error above), so duplicate-heavy-but-small manufacturers are
+# not needlessly routed to the distributed path.
 SKEW_KEY_THRESHOLD = 1_000_000
+
+_KMV_K = 64
+
+
+def _kmv_estimate(hashes: "np.ndarray", k: int = _KMV_K) -> float:
+    """Distinct-count estimate from the k minimum values of a uniform 64-bit
+    hash (the KMV / bottom-k sketch): exact when fewer than k distinct
+    hashes were observed, else (k-1) * 2^64 / h_(k). Merging per-batch
+    bottom-k sets preserves the global bottom-k, so the estimate is
+    shuffle-order independent."""
+    u = np.unique(np.asarray(hashes, dtype=np.uint64))
+    if len(u) < k:
+        return float(len(u))
+    return (k - 1) * (2.0 ** 64) / (float(u[k - 1]) + 1.0)
+
+
+def _refine_hot_manufacturers(partial_ds, candidates, threshold: int,
+                              n_buckets: int = 8, k: int = _KMV_K):
+    """Second gate stage: for candidate manufacturers (partial-row count
+    exceeded ``threshold``), estimate the TRUE distinct (name, cas) key
+    count with a merged bottom-k hash sketch and keep only those whose
+    estimate still exceeds ``threshold``. Cost: one pruned re-scan of the
+    materialized partial table emitting <= k sketch rows per (batch,
+    candidate) + one dimension-sized bucket apply — never a shuffle of the
+    candidate's full key set."""
+    from .shuffle import bucket_group_apply
+
+    cand_set = pa.array(sorted(candidates), pa.string())
+
+    def sketch_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("manufacturer"), value_set=cand_set))
+        if t.num_rows == 0:
+            return pa.table(
+                {"manufacturer": pa.array([], pa.string()),
+                 "h": pa.array([], pa.uint64())}
+            )
+        key = pc.binary_join_element_wise(t.column("name"), t.column("cas"), "\x1f")
+        df = pd.DataFrame(
+            {
+                "manufacturer": t.column("manufacturer").to_numpy(zero_copy_only=False),
+                "h": pd.util.hash_pandas_object(key.to_pandas(), index=False).to_numpy(),
+            }
+        )
+        kept = df.sort_values("h", kind="mergesort").groupby(
+            "manufacturer", sort=False
+        ).head(k)
+        return pa.table(
+            {
+                "manufacturer": pa.array(kept["manufacturer"].to_numpy(), pa.string()),
+                "h": pa.array(kept["h"].to_numpy(), pa.uint64()),
+            }
+        )
+
+    def estimate_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        est = df.groupby("manufacturer", sort=False)["h"].apply(
+            lambda s: _kmv_estimate(s.to_numpy(), k)
+        )
+        return pa.table(
+            {
+                "manufacturer": pa.array(est.index.to_numpy(), pa.string()),
+                "est": pa.array(est.to_numpy(), pa.float64()),
+            }
+        )
+
+    sketches = partial_ds.map_batches(sketch_rows, batch_format="pyarrow")
+    estimates = bucket_group_apply(
+        sketches, ["manufacturer"], estimate_bucket, n_buckets
+    )
+    return [
+        r["manufacturer"] for r in estimates.iter_rows() if r["est"] > threshold
+    ]
 
 
 def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
@@ -503,11 +579,16 @@ def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
         .groupby("manufacturer")
         .sum("n")
     )
-    hot = [
+    candidates = [
         r["manufacturer"]
         for r in counts.iter_rows()
         if r["sum(n)"] > skew_threshold
     ]
+    if not candidates:
+        return bucket_group_apply(partial, ["manufacturer"], bucket_fn, n_buckets)
+    # candidates are nominated by an OVERcount; refine with a bottom-k
+    # distinct sketch so duplicate-heavy small manufacturers stay in-task
+    hot = _refine_hot_manufacturers(partial, candidates, skew_threshold)
     if not hot:
         return bucket_group_apply(partial, ["manufacturer"], bucket_fn, n_buckets)
 

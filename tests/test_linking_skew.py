@@ -100,3 +100,54 @@ class TestSkewSalting:
         # the alias of chem 0 must NOT be its own node (merged via CAS)
         assert "HOT CHEM ALIAS 0000" not in by_name
         assert "Hot Chem 0000" in by_name
+
+
+class TestGateRefinement:
+    """The two-stage skew gate: the partial-row OVERcount only nominates
+    candidates; the bottom-k distinct sketch decides. A duplicate-heavy but
+    small manufacturer must stay on the in-task path."""
+
+    def test_kmv_exact_below_k(self):
+        from entity_extractor_ray.stages.linking import _kmv_estimate
+
+        rng = np.random.RandomState(3)
+        h = rng.randint(0, 2**63, size=40).astype(np.uint64)
+        h = np.concatenate([h, h, h])  # duplicates must not inflate
+        assert _kmv_estimate(h, k=64) == 40.0
+
+    def test_kmv_estimate_above_k(self):
+        from entity_extractor_ray.stages.linking import _kmv_estimate
+
+        rng = np.random.RandomState(4)
+        h = rng.randint(0, 2**64, size=10_000, dtype=np.uint64)
+        est = _kmv_estimate(h, k=64)
+        assert 0.7 * 10_000 < est < 1.3 * 10_000
+
+    def test_duplicate_heavy_candidate_stays_cold(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.linking import _refine_hot_manufacturers
+
+        # DupCo: 100 distinct keys x 30 repeats -> 3000 partial rows (a 6x
+        # overcount at threshold 500); BigCo: 2000 distinct keys
+        rows_m, rows_n, rows_c = [], [], []
+        for rep in range(30):
+            for i in range(100):
+                rows_m.append("DupCo")
+                rows_n.append(f"Chem {i:04d}")
+                rows_c.append(f"{i}-00-0")
+        for i in range(2000):
+            rows_m.append("BigCo")
+            rows_n.append(f"Big Chem {i:05d}")
+            rows_c.append(f"{i}-11-1")
+        partial = rd.from_arrow(
+            pa.table(
+                {
+                    "manufacturer": pa.array(rows_m, pa.string()),
+                    "name": pa.array(rows_n, pa.string()),
+                    "cas": pa.array(rows_c, pa.string()),
+                }
+            )
+        )
+        hot = _refine_hot_manufacturers(partial, ["DupCo", "BigCo"], 500)
+        assert hot == ["BigCo"]
