@@ -280,6 +280,56 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def topk_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k longest documents PER language (desc n_chars,
+    tie-break doc_id asc), with a dense per-group rank column.
+
+    100-TB shape: a map-side combiner keeps only the per-batch top-k per
+    group BEFORE the shuffle, so exchange volume is O(k x groups x batches)
+    regardless of corpus size — the grouped analog of the reference's
+    first-result-wins limit (A9, global_node_repository.py:158), generalized
+    to k results per key."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("lang", sort=False).head(k)
+
+    pre = ds.map_batches(_local_topk, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        top = _local_topk(df).copy()
+        top["rnk"] = top.groupby("lang", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(top["lang"].to_numpy(), pa.string()),
+                "n_chars": pa.array(top["n_chars"].to_numpy(), pa.int64()),
+                "rnk": pa.array(top["rnk"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(pre, ["lang"], bucket_fn, n_buckets=8)
+
+
+TOPK_PER_LANG_SQL = """
+SELECT doc_id, lang, n_chars, rnk FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
 # ------------------------------------------------------------------ distinct / counts (A7)
 
 def count_by_status(sf_dir: str):
@@ -884,6 +934,7 @@ def relational_queries():
         "join_revenue_by_nation": join_revenue_by_nation,
         "provenance_distinct": provenance_distinct,
         "topk_orders": topk_orders,
+        "topk_docs_per_lang": topk_docs_per_lang,
         "count_by_status": count_by_status,
         "distinct_returnflags": distinct_returnflags,
         "events_hourly": events_hourly,
@@ -908,6 +959,7 @@ def relational_oracle_sql():
         "join_revenue_by_nation": JOIN_REVENUE_SQL,
         "provenance_distinct": PROVENANCE_SQL,
         "topk_orders": TOPK_SQL,
+        "topk_docs_per_lang": TOPK_PER_LANG_SQL,
         "count_by_status": COUNT_BY_STATUS_SQL,
         "distinct_returnflags": DISTINCT_RETURNFLAG_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
