@@ -330,6 +330,64 @@ SELECT doc_id, lang, n_chars, rnk FROM (
 """
 
 
+# ------------------------------------------------------------ anti / semi joins
+
+def orders_without_big_items(sf_dir: str):
+    """Distributed ANTI join (the standalone form of the reference's J1
+    MATERIAL_ALREADY_INGESTED guard, artifact_ingestor_service.py:979-989):
+    orders with NO lineitem above the price floor, as one hash-bucket
+    shuffle where the right side ships only per-batch-distinct keys."""
+    from ..stages.shuffle import bucket_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("l_extendedprice"), 90000.0))
+
+    return bucket_hash_join(
+        orders, items.map_batches(big, batch_format="pyarrow"),
+        key="o_orderkey", right_key="l_orderkey", how="anti", n_buckets=16,
+    )
+
+
+ORDERS_WITHOUT_BIG_ITEMS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000
+)
+"""
+
+
+def orders_with_big_items(sf_dir: str):
+    """Distributed SEMI join: orders having at least one lineitem above a
+    price floor — existence probe only, no fact-fact row multiplication."""
+    import ray.data as rd  # noqa: F401
+
+    from ..stages.shuffle import bucket_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("l_extendedprice"), 90000.0))
+
+    return bucket_hash_join(
+        orders, items.map_batches(big, batch_format="pyarrow"),
+        key="o_orderkey", right_key="l_orderkey", how="semi", n_buckets=16,
+    )
+
+
+ORDERS_WITH_BIG_ITEMS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000
+)
+"""
+
+
 # ------------------------------------------------------------------ distinct / counts (A7)
 
 def count_by_status(sf_dir: str):
@@ -935,6 +993,8 @@ def relational_queries():
         "provenance_distinct": provenance_distinct,
         "topk_orders": topk_orders,
         "topk_docs_per_lang": topk_docs_per_lang,
+        "orders_without_big_items": orders_without_big_items,
+        "orders_with_big_items": orders_with_big_items,
         "count_by_status": count_by_status,
         "distinct_returnflags": distinct_returnflags,
         "events_hourly": events_hourly,
@@ -960,6 +1020,8 @@ def relational_oracle_sql():
         "provenance_distinct": PROVENANCE_SQL,
         "topk_orders": TOPK_SQL,
         "topk_docs_per_lang": TOPK_PER_LANG_SQL,
+        "orders_without_big_items": ORDERS_WITHOUT_BIG_ITEMS_SQL,
+        "orders_with_big_items": ORDERS_WITH_BIG_ITEMS_SQL,
         "count_by_status": COUNT_BY_STATUS_SQL,
         "distinct_returnflags": DISTINCT_RETURNFLAG_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,

@@ -203,14 +203,20 @@ def bucket_hash_join(
     caller's responsibility (pre-reduce or salt before joining).
 
     Output columns: all left columns + right columns (right key dropped;
-    name clashes suffixed). ``how``: "inner" or "left".
+    name clashes suffixed). ``how``: "inner" or "left", plus the existence
+    variants "semi" (left rows WITH a right match) and "anti" (left rows
+    WITHOUT one) — those emit LEFT columns only and ship just the right
+    KEY column through the shuffle.
     """
     right_key = right_key or key
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
-    r_names = [n for n in r_schema.names if n != right_key]
+    existence = how in ("semi", "anti")
+    r_names = (
+        [] if existence else [n for n in r_schema.names if n != right_key]
+    )
     r_types = dict(zip(r_schema.names, r_schema.types))
     r_out = {n: (n + suffix if n in l_names else n) for n in r_names}
 
@@ -238,6 +244,19 @@ def bucket_hash_join(
         cols[SIDE_COL] = pa.array(np.ones(t.num_rows, dtype=np.int8))
         return pa.table(cols)
 
+    if existence:
+        # map-side combiner: only DISTINCT right keys matter for existence,
+        # so collapse duplicates per batch before the shuffle (a hot key
+        # ships once per batch, not once per row)
+        import pyarrow.compute as _pc
+
+        def _key_distinct(t: pa.Table) -> pa.Table:
+            return pa.table({right_key: _pc.unique(t.column(right_key))})
+
+        right = right.select_columns([right_key]).map_batches(
+            _key_distinct, batch_format="pyarrow"
+        )
+
     unioned = left.map_batches(widen_left, batch_format="pyarrow").union(
         right.map_batches(widen_right, batch_format="pyarrow")
     )
@@ -247,7 +266,11 @@ def bucket_hash_join(
     def join_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         lhs = df[df[SIDE_COL] == 0][[c for c in l_names]]
         rhs = df[df[SIDE_COL] == 1][[key] + r_out_cols]
-        merged = lhs.merge(rhs, on=key, how=how)
+        if existence:
+            mask = lhs[key].isin(rhs[key].unique())
+            merged = lhs[mask if how == "semi" else ~mask]
+        else:
+            merged = lhs.merge(rhs, on=key, how=how)
         arrays = {
             name: pa.array(merged[name], type=typ, from_pandas=True)
             for name, typ in out_fields
