@@ -360,6 +360,61 @@ WHERE NOT EXISTS (
 """
 
 
+# ------------------------------------------------------------ grouped quantiles
+
+def doc_length_quantiles(sf_dir: str):
+    """EXACT grouped quantiles (median + p90 of document length per
+    language) with bounded state: a map-side (lang, n_chars) histogram
+    pre-reduction collapses the corpus to its per-group VALUE DISTRIBUTION
+    before the shuffle, then each group walks its cumulative histogram —
+    state is O(distinct lengths per group), never O(rows per group), so the
+    operator survives billion-row groups where a collect-and-sort grouped
+    quantile would not. Quantile rule matches DuckDB quantile_disc:
+    sorted[ceil(q*n) - 1]."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def histogram(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        return g
+
+    pre = ds.map_batches(histogram, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        out = {"lang": [], "n_docs": [], "median_chars": [], "p90_chars": []}
+        merged = df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum().reset_index()
+        for lang, g in merged.groupby("lang", sort=False):
+            g = g.sort_values("n_chars", kind="mergesort")
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            vals = g["n_chars"].to_numpy()
+            med = vals[np.searchsorted(cum, int(np.ceil(0.5 * n)))]
+            p90 = vals[np.searchsorted(cum, int(np.ceil(0.9 * n)))]
+            out["lang"].append(lang)
+            out["n_docs"].append(n)
+            out["median_chars"].append(int(med))
+            out["p90_chars"].append(int(p90))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "median_chars": pa.array(out["median_chars"], pa.int64()),
+                "p90_chars": pa.array(out["p90_chars"], pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(pre, ["lang"], bucket_fn, n_buckets=4)
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS median_chars,
+       quantile_disc(n_chars, 0.9) AS p90_chars
+FROM documents GROUP BY lang
+"""
+
+
 def orders_with_big_items(sf_dir: str):
     """Distributed SEMI join: orders having at least one lineitem above a
     price floor — existence probe only, no fact-fact row multiplication."""
@@ -994,6 +1049,7 @@ def relational_queries():
         "topk_orders": topk_orders,
         "topk_docs_per_lang": topk_docs_per_lang,
         "orders_without_big_items": orders_without_big_items,
+        "doc_length_quantiles": doc_length_quantiles,
         "orders_with_big_items": orders_with_big_items,
         "count_by_status": count_by_status,
         "distinct_returnflags": distinct_returnflags,
@@ -1021,6 +1077,7 @@ def relational_oracle_sql():
         "topk_orders": TOPK_SQL,
         "topk_docs_per_lang": TOPK_PER_LANG_SQL,
         "orders_without_big_items": ORDERS_WITHOUT_BIG_ITEMS_SQL,
+        "doc_length_quantiles": DOC_LENGTH_QUANTILES_SQL,
         "orders_with_big_items": ORDERS_WITH_BIG_ITEMS_SQL,
         "count_by_status": COUNT_BY_STATUS_SQL,
         "distinct_returnflags": DISTINCT_RETURNFLAG_SQL,
