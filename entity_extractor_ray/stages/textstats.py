@@ -175,6 +175,43 @@ def exact_fingerprints_sql() -> str:
     return "SELECT doc_id, md5(COALESCE(text, '')) AS fingerprint FROM documents"
 
 
+# ------------------------------------------------------- term redaction
+
+# The shape of a PII scrub stage (emails/phones/ids masked before training):
+# the synthetic corpus carries no PII, so a term list stands in. Both engines
+# run RE2 (pyarrow.compute and DuckDB), so match/replace semantics align
+# exactly — \b word boundaries, non-overlapping leftmost matches.
+REDACT_PATTERN = r"\b(hash|join|merge)\b"
+REDACT_TOKEN = "<OP>"
+
+
+def redact_terms(batch: pa.Table) -> pa.Table:
+    """doc_id, n_redactions, text_redacted — vectorized regex masking
+    (pc.replace_substring_regex + pc.count_substring_regex, zero Python in
+    the row path)."""
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(batch.column("text"), "")
+    n = pc.count_substring_regex(text, REDACT_PATTERN)
+    red = pc.replace_substring_regex(text, REDACT_PATTERN, REDACT_TOKEN)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_redactions": pc.cast(n, pa.int64()),
+            "text_redacted": red,
+        }
+    )
+
+
+def redact_terms_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(COALESCE(text, ''), '{REDACT_PATTERN}')) AS BIGINT) AS n_redactions,
+           regexp_replace(COALESCE(text, ''), '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g') AS text_redacted
+    FROM documents
+    """
+
+
 # ------------------------------------------------------- tf-idf / BM25
 
 _VOCAB_RE = re.compile(r"[a-z0-9]+")
