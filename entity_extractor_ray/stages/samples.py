@@ -1,0 +1,88 @@
+"""Deterministic sampling operators (Bernoulli and stratified per-group).
+
+A 100-TB training-data pipeline samples constantly — eval holdouts, quality
+audits, per-language balancing. Random sampling is useless there unless it
+is DETERMINISTIC (re-runs and resumed runs must pick the same rows) and
+PUSHABLE (a filter, not a shuffle). Both operators key on ``md5(key)``:
+
+  * ``bernoulli_sample_hash`` — keep rows whose md5-hex prefix falls below a
+    threshold. Pure map-side filter: zero shuffle, streams at read speed,
+    and the SAME rows survive on every run and every engine (the DuckDB
+    oracle applies the identical predicate). Lowercase-hex comparison is
+    monotone in the hash value, so a 2-char prefix gives 1/256 granularity.
+  * ``stratified_sample`` — per group, the k rows with the SMALLEST
+    (md5(key), key) — a uniform-without-replacement draw per group whose
+    result is order-independent. Same combiner shape as grouped top-k
+    (relational.topk_docs_per_lang): each batch keeps its local bottom-k
+    per group BEFORE the shuffle, so exchange volume is O(k x groups x
+    batches) regardless of corpus size.
+
+md5 is not the fastest hash, but it is the one both sides of the
+correctness gate share bit-for-bit (hashlib here, ``md5()`` in DuckDB);
+hashing is per-row C work either way. Rows are hashed via a comprehension
+over the key column — O(rows) C-speed digest calls, the same cost profile
+any engine pays for a hash-based sample.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .shuffle import bucket_group_apply
+
+
+def md5_hex_array(values) -> np.ndarray:
+    """Lowercase md5 hexdigest of str(v) for each value (matches DuckDB's
+    ``md5(CAST(v AS VARCHAR))`` for integer/string columns)."""
+    return np.array(
+        [hashlib.md5(str(v).encode()).hexdigest() for v in values], dtype=object
+    )
+
+
+def bernoulli_sample_hash(ds, key_col: str, hex_prefix_lt: str = "1a"):
+    """Deterministic ~(int(hex_prefix_lt,16)/16^len)-rate sample: keep rows
+    where md5(str(key)) starts below ``hex_prefix_lt``. Map-side only."""
+    n = len(hex_prefix_lt)
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        hexes = md5_hex_array(keys)
+        mask = np.array([h[:n] < hex_prefix_lt for h in hexes], dtype=bool)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    group_col: str,
+    key_col: str,
+    k: int,
+    keep_cols: Sequence[str],
+    n_buckets: int = 8,
+):
+    """Per group, the k rows with smallest (md5(str(key)), key). Map-side
+    bottom-k combiner, then one group shuffle finalizes."""
+    keep_cols = list(keep_cols)
+
+    def local_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h=md5_hex_array(df[key_col].to_numpy()))
+        df = df.sort_values([group_col, "__h", key_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    pre = ds.map_batches(local_bottomk, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        top = (
+            df.sort_values([group_col, "__h", key_col], kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return pa.table({c: pa.array(top[c], from_pandas=True) for c in keep_cols})
+
+    return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)

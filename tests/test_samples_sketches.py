@@ -1,0 +1,91 @@
+"""Deterministic sampling + KMV sketch: planted-data behavior tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bernoulli_sample_deterministic_rate():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import bernoulli_sample_hash
+
+    df = pd.DataFrame({"k": np.arange(20000), "v": np.arange(20000) * 2})
+    out1 = bernoulli_sample_hash(rd.from_pandas(df), "k", hex_prefix_lt="1a").to_pandas()
+    out2 = bernoulli_sample_hash(rd.from_pandas(df), "k", hex_prefix_lt="1a").to_pandas()
+    # identical row set across runs
+    assert sorted(out1["k"]) == sorted(out2["k"])
+    # rate ~ 0x1a/256 = 10.16%, binomial 3-sigma band at n=20k is ~±0.7pp
+    rate = len(out1) / len(df)
+    assert 0.08 < rate < 0.125
+    # columns pass through untouched
+    assert (out1["v"] == out1["k"] * 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_per_group_k():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import stratified_sample
+
+    df = pd.DataFrame(
+        {"g": np.repeat(["a", "b", "c"], 300), "k": np.arange(900)}
+    )
+    out = stratified_sample(
+        rd.from_pandas(df), "g", "k", k=25, keep_cols=["g", "k"], n_buckets=4
+    ).to_pandas()
+    sizes = out.groupby("g")["k"].count()
+    assert dict(sizes) == {"a": 25, "b": 25, "c": 25}
+    # deterministic: rerun picks the same rows
+    out2 = stratified_sample(
+        rd.from_pandas(df), "g", "k", k=25, keep_cols=["g", "k"], n_buckets=4
+    ).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, out2.values.tolist())
+    )
+    # a group smaller than k returns all its rows
+    small = pd.DataFrame({"g": ["z"] * 5, "k": range(5)})
+    out3 = stratified_sample(
+        rd.from_pandas(small), "g", "k", k=25, keep_cols=["g", "k"], n_buckets=2
+    ).to_pandas()
+    assert len(out3) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_exact_below_k():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import approx_distinct_by
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], 5000),
+            "u": rng.integers(0, 400, 5000),  # <= 400 distinct per group << k
+        }
+    )
+    out = approx_distinct_by(
+        rd.from_pandas(df), "g", "u", k=4096, out_col="n", n_buckets=4
+    ).to_pandas()
+    exp = df.groupby("g")["u"].nunique()
+    got = dict(zip(out["g"], out["n"]))
+    assert got == dict(exp)
+    assert out["exact"].all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_estimates_above_k():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import approx_distinct_by
+
+    n_true = 20000
+    df = pd.DataFrame({"g": ["hot"] * n_true, "u": np.arange(n_true)})
+    out = approx_distinct_by(
+        rd.from_pandas(df), "g", "u", k=256, out_col="n", n_buckets=2
+    ).to_pandas()
+    assert not out["exact"].iloc[0]
+    est = int(out["n"].iloc[0])
+    # k=256 -> se ~ 1/sqrt(254) ~ 6.3%; allow 4 sigma
+    assert abs(est - n_true) / n_true < 0.25
