@@ -1039,6 +1039,400 @@ FROM documents GROUP BY lang
 
 # ------------------------------------------------------------------ registry
 
+# ------------------------------------------------------------ window functions
+
+def events_lag_lead(sf_dir: str):
+    """SQL window functions over the event stream: per user (ordered by
+    ts, event_id) row_number, previous/next event timestamp, and the exact
+    microsecond gap to the previous event. One bucket shuffle on user_id,
+    vectorized kernels per bucket (stages/windowfns.py)."""
+    from ..stages.windowfns import partitioned_window
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("rn", pa.int64()),
+            ("prev_ts", pa.timestamp("us")),
+            ("next_ts", pa.timestamp("us")),
+        ]
+    )
+    win = partitioned_window(
+        ds,
+        by=["user_id"],
+        order_by=["ts", "event_id"],
+        specs=[
+            ("row_number", None, "rn"),
+            ("lag", "ts", "prev_ts"),
+            ("lead", "ts", "next_ts"),
+        ],
+        out_schema=schema,
+        keep_cols=["event_id", "user_id", "ts"],
+        n_buckets=16,
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        gap_us = pc.cast(pc.subtract(t.column("ts"), t.column("prev_ts")), pa.int64())
+        return t.append_column("gap_us", gap_us)
+
+    return win.map_batches(gap, batch_format="pyarrow")
+
+
+EVENTS_LAG_LEAD_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_us
+FROM events
+"""
+
+
+def orders_running_total(sf_dir: str):
+    """Running (cumulative) spend per customer ordered by order date —
+    SUM OVER (... ROWS UNBOUNDED PRECEDING). Cents-integer discipline for
+    hash parity; the cumsum is a pandas grouped C kernel per bucket."""
+    from ..stages.windowfns import partitioned_window
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "price_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("rn", pa.int64()),
+            ("run_cents", pa.int64()),
+        ]
+    )
+    win = partitioned_window(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[("row_number", None, "rn"), ("running_sum", "price_cents", "run_cents")],
+        out_schema=schema,
+        keep_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+        n_buckets=16,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        spend = pc.divide(pc.cast(t.column("run_cents"), pa.float64()), 100.0)
+        idx = t.schema.get_field_index("run_cents")
+        return t.remove_column(idx).append_column("running_spend", spend)
+
+    return win.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) / 100.0
+         AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def orders_price_rank(sf_dir: str):
+    """RANK / DENSE_RANK per customer by descending order price — the tie
+    semantics that row_number cannot express (equal prices share a rank)."""
+    from ..stages.windowfns import partitioned_window
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("price_rank", pa.int64()),
+            ("price_dense_rank", pa.int64()),
+        ]
+    )
+    return partitioned_window(
+        ds,
+        by=["o_custkey"],
+        order_by=["o_totalprice"],
+        descending=[True],
+        specs=[("rank", None, "price_rank"), ("dense_rank", None, "price_dense_rank")],
+        out_schema=schema,
+        keep_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        n_buckets=16,
+    )
+
+
+ORDERS_PRICE_RANK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT)
+         AS price_rank,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT)
+         AS price_dense_rank
+FROM orders
+"""
+
+
+# ------------------------------------------------------------ full outer join
+
+def cust_orders_outer(sf_dir: str):
+    """FULL OUTER join: high-balance customers vs per-customer open-order
+    counts — rows survive from BOTH unmatched sides (customers with no
+    open orders, open-order customers below the balance floor), key
+    coalesced. Same one-shuffle bucket join as inner/left/semi/anti."""
+    from ..stages.shuffle import bucket_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("c_acctbal"), 9000.0))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def open_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("o_orderstatus"), "O")).select(["o_custkey"])
+
+    n_open = (
+        orders.map_batches(open_only, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "n_open"]), batch_format="pyarrow"
+        )
+    )
+    return bucket_hash_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        n_open,
+        key="c_custkey",
+        right_key="o_custkey",
+        how="outer",
+        n_buckets=8,
+    )
+
+
+CUST_ORDERS_OUTER_SQL = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey, c.c_acctbal, o.n_open
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+FULL OUTER JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_open
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
+"""
+
+
+# ------------------------------------------------------------ rollup lattice
+
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): fine counts + per-type subtotals +
+    grand total, with each COARSER level derived from the already-tiny
+    finer aggregate (types x days rows) — the corpus is scanned exactly
+    once; the rolled-up dimensions are NULL exactly as SQL emits them."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "cents": _cents(t.column("value")),
+            }
+        )
+
+    # the ONE corpus-wide aggregate; materialized because three consumers
+    # derive from it and it is dimension-sized (types x days)
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    sub = fine.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("cents", alias_name="cents")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("value_sum", pa.float64()),
+        ]
+    )
+
+    def shape(t: pa.Table, null_day: bool = False, null_type: bool = False) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "event_type": pa.nulls(n, pa.string()) if null_type else t.column("event_type"),
+                "day": pa.nulls(n, pa.timestamp("us")) if null_day else t.column("day"),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "value_sum": pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0),
+            },
+            schema=out_schema,
+        )
+
+    level0 = fine.map_batches(shape, batch_format="pyarrow")
+    level1 = sub.map_batches(
+        lambda t: shape(t, null_day=True), batch_format="pyarrow"
+    )
+    # grand total: a scalar fold of the tiny per-type table
+    tot = sub.aggregate(Sum("n_events"), Sum("cents"))
+    total_tbl = pa.table(
+        {
+            "event_type": pa.nulls(1, pa.string()),
+            "day": pa.nulls(1, pa.timestamp("us")),
+            "n_events": pa.array([int(tot["sum(n_events)"])], pa.int64()),
+            "value_sum": pa.array([tot["sum(cents)"] / 100.0], pa.float64()),
+        },
+        schema=out_schema,
+    )
+    return level0.union(level1).union(rd.from_arrow(total_tbl))
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+
+# ------------------------------------------------------------ sampling
+
+def sample_documents_hash(sf_dir: str):
+    """Deterministic ~10.2% Bernoulli sample of documents keyed on
+    md5(doc_id) — a pure map-side filter, identical row set on every
+    run/engine (stages/samples.py)."""
+    from ..stages.samples import bernoulli_sample_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return bernoulli_sample_hash(ds, "doc_id", hex_prefix_lt="1a")
+
+
+SAMPLE_DOCS_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic 20-per-language document sample (smallest md5(doc_id)
+    per group) — per-batch bottom-k combiner, one group shuffle."""
+    from ..stages.samples import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", k=20,
+                             keep_cols=["doc_id", "lang"], n_buckets=4)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
+# ------------------------------------------------------------ set operations
+
+def _distinct_status_keys(sf_dir: str, status: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("o_orderstatus"), status))
+        return pa.table({"o_custkey": pc.unique(kept.column("o_custkey"))})
+
+    return orders.map_batches(keys, batch_format="pyarrow")
+
+
+def cust_finished_except_open(sf_dir: str):
+    """SQL EXCEPT as distinct-reduce + ANTI bucket join: customers with a
+    finished order but NO open order. Both sides ship only per-batch
+    DISTINCT keys through the one shuffle."""
+    from ..stages.shuffle import bucket_hash_join
+
+    f_keys = (
+        _distinct_status_keys(sf_dir, "F")
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    return bucket_hash_join(
+        f_keys, _distinct_status_keys(sf_dir, "O"),
+        key="o_custkey", how="anti", n_buckets=8,
+    )
+
+
+CUST_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def cust_finished_intersect_open(sf_dir: str):
+    """SQL INTERSECT as distinct-reduce + SEMI bucket join."""
+    from ..stages.shuffle import bucket_hash_join
+
+    f_keys = (
+        _distinct_status_keys(sf_dir, "F")
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    return bucket_hash_join(
+        f_keys, _distinct_status_keys(sf_dir, "O"),
+        key="o_custkey", how="semi", n_buckets=8,
+    )
+
+
+CUST_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# ------------------------------------------------------------ sketch aggregate
+
+def approx_distinct_users(sf_dir: str):
+    """Distinct users per event type via the mergeable bottom-k (KMV)
+    sketch (stages/sketches.py). EXACT below k=4096 distinct per group —
+    the regime of every test tier, hence the COUNT(DISTINCT) oracle —
+    and a ~1.6%-s.e. estimate (exact=false) beyond, where the exact
+    aggregate's shuffle would ship every distinct value of a hot group."""
+    from ..stages.sketches import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id", k=4096,
+                              out_col="n_users", n_buckets=4)
+
+
+APPROX_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS "exact"
+FROM events GROUP BY event_type
+"""
+
+
 def relational_queries():
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1064,6 +1458,16 @@ def relational_queries():
         "like_scan_parts": like_scan_parts,
         "regex_extract_documents": regex_extract_documents,
         "concat_by_lang": concat_by_lang,
+        "events_lag_lead": events_lag_lead,
+        "orders_running_total": orders_running_total,
+        "orders_price_rank": orders_price_rank,
+        "cust_orders_outer": cust_orders_outer,
+        "events_rollup": events_rollup,
+        "sample_documents_hash": sample_documents_hash,
+        "stratified_sample_docs": stratified_sample_docs,
+        "cust_finished_except_open": cust_finished_except_open,
+        "cust_finished_intersect_open": cust_finished_intersect_open,
+        "approx_distinct_users": approx_distinct_users,
     }
 
 
@@ -1092,4 +1496,14 @@ def relational_oracle_sql():
         "like_scan_parts": LIKE_SCAN_SQL,
         "regex_extract_documents": REGEX_EXTRACT_SQL,
         "concat_by_lang": CONCAT_BY_LANG_SQL,
+        "events_lag_lead": EVENTS_LAG_LEAD_SQL,
+        "orders_running_total": ORDERS_RUNNING_TOTAL_SQL,
+        "orders_price_rank": ORDERS_PRICE_RANK_SQL,
+        "cust_orders_outer": CUST_ORDERS_OUTER_SQL,
+        "events_rollup": EVENTS_ROLLUP_SQL,
+        "sample_documents_hash": SAMPLE_DOCS_SQL,
+        "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+        "cust_finished_except_open": CUST_EXCEPT_SQL,
+        "cust_finished_intersect_open": CUST_INTERSECT_SQL,
+        "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     }

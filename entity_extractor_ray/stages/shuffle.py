@@ -203,10 +203,11 @@ def bucket_hash_join(
     caller's responsibility (pre-reduce or salt before joining).
 
     Output columns: all left columns + right columns (right key dropped;
-    name clashes suffixed). ``how``: "inner" or "left", plus the existence
-    variants "semi" (left rows WITH a right match) and "anti" (left rows
-    WITHOUT one) — those emit LEFT columns only and ship just the right
-    KEY column through the shuffle.
+    name clashes suffixed). ``how``: "inner", "left" or "outer" (FULL
+    OUTER — the key column is coalesced across sides, unmatched columns
+    null), plus the existence variants "semi" (left rows WITH a right
+    match) and "anti" (left rows WITHOUT one) — those emit LEFT columns
+    only and ship just the right KEY column through the shuffle.
     """
     right_key = right_key or key
     l_schema = left.schema()
