@@ -133,6 +133,8 @@ def run_once() -> dict:
         "minhash_dedup": lambda: dd.minhash_dedup(_docs()),
         "knn_cosine": lambda: sim.knn_cosine(_embs(), query_ids=[0, 1, 2], k=10),
         "bm25_scores": lambda: ts.bm25_scores(_docs(), "window merge join"),
+        "events_lag_lead": lambda: rel.events_lag_lead(SF_DIR),
+        "approx_distinct_users": lambda: rel.approx_distinct_users(SF_DIR),
     }
     queries = {}
     for name, fn in query_fns.items():

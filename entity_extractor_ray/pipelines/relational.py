@@ -1411,6 +1411,48 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+# ------------------------------------------------------------ pivot / filtered aggregate
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_types(sf_dir: str):
+    """PIVOT / conditional aggregation: one row per user with a count
+    column per event type + total — the wide per-entity feature shape a
+    training pipeline feeds downstream. Indicator columns are built
+    vectorized per batch; Ray's groupby pre-combines per block, so the
+    shuffle carries one partial row per (user, block), never raw events."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t.column("user_id")}
+        for ty in PIVOT_EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t.column("event_type"), ty), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in PIVOT_EVENT_TYPES]
+    aggs.append(Count(alias_name="n_total"))
+    return (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------ sketch aggregate
 
 def approx_distinct_users(sf_dir: str):
@@ -1468,6 +1510,7 @@ def relational_queries():
         "cust_finished_except_open": cust_finished_except_open,
         "cust_finished_intersect_open": cust_finished_intersect_open,
         "approx_distinct_users": approx_distinct_users,
+        "events_pivot_types": events_pivot_types,
     }
 
 
@@ -1506,4 +1549,5 @@ def relational_oracle_sql():
         "cust_finished_except_open": CUST_EXCEPT_SQL,
         "cust_finished_intersect_open": CUST_INTERSECT_SQL,
         "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
+        "events_pivot_types": EVENTS_PIVOT_SQL,
     }

@@ -185,6 +185,21 @@ def bucket_group_apply_partitioned(
 SIDE_COL = "__side"
 
 
+def _as_pa_type(t) -> pa.DataType:
+    """Ray's Schema.types are Arrow DataTypes for arrow-backed datasets but
+    numpy/python types for pandas-backed ones (from_pandas inputs);
+    normalize so the join's declared output schema is always Arrow."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        dt = np.dtype(t)
+    except TypeError:
+        return pa.string()
+    if dt == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
 def bucket_hash_join(
     left,
     right,
@@ -213,12 +228,12 @@ def bucket_hash_join(
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)
-    l_types = dict(zip(l_schema.names, l_schema.types))
+    l_types = {n: _as_pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
     existence = how in ("semi", "anti")
     r_names = (
         [] if existence else [n for n in r_schema.names if n != right_key]
     )
-    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_types = {n: _as_pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
     r_out = {n: (n + suffix if n in l_names else n) for n in r_names}
 
     out_fields = [(n, l_types[n]) for n in l_names] + [
