@@ -1039,6 +1039,100 @@ FROM documents GROUP BY lang
 
 # ------------------------------------------------------------------ registry
 
+# ------------------------------------------------------------ chained 3-way join
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped chained join: BUILDING-segment customers ⋈ orders
+    before the cutoff ⋈ lineitems shipped after it, top-10 orders by
+    cents-exact revenue. Shape: the customer side collapses to DISTINCT
+    keys and semi-joins orders (one existence shuffle); lineitem revenue
+    is PRE-AGGREGATED per (batch, orderkey) before the order join, so the
+    fact-fact exchange carries partial sums, not raw items; the final
+    groupby runs over order-grain rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_hash_join, lookup_join
+
+    cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_keys(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"c_custkey": pc.unique(kept.column("c_custkey"))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def early(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("o_orderdate"), cutoff))
+
+    open_orders = bucket_hash_join(
+        orders.map_batches(early, batch_format="pyarrow"),
+        cust.map_batches(building_keys, batch_format="pyarrow"),
+        key="o_custkey", right_key="c_custkey", how="semi", n_buckets=8,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def late_revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        ep = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(ep, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        # per-batch partial aggregation: the join and groupby downstream see
+        # one row per (batch, orderkey), never raw lineitems
+        part = pa.table({"l_orderkey": t.column("l_orderkey"), "rev_units": rev})
+        return (
+            part.group_by("l_orderkey").aggregate([("rev_units", "sum")])
+            .rename_columns(["l_orderkey", "rev_units"])
+        )
+
+    joined = lookup_join(
+        li.map_batches(late_revenue, batch_format="pyarrow"),
+        open_orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        key="l_orderkey", right_key="o_orderkey", how="inner",
+    )
+    top = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev_units", alias_name="rev_units"))
+        .sort(["rev_units", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t.column("rev_units"), pa.float64()), 10000.0)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue": rev,
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+Q3_SQL = """
+SELECT l.l_orderkey,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+         l.l_orderkey ASC
+LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ window functions
 
 def events_lag_lead(sf_dir: str):
@@ -1511,6 +1605,7 @@ def relational_queries():
         "cust_finished_intersect_open": cust_finished_intersect_open,
         "approx_distinct_users": approx_distinct_users,
         "events_pivot_types": events_pivot_types,
+        "q3_shipping_priority": q3_shipping_priority,
     }
 
 
@@ -1550,4 +1645,5 @@ def relational_oracle_sql():
         "cust_finished_intersect_open": CUST_INTERSECT_SQL,
         "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
         "events_pivot_types": EVENTS_PIVOT_SQL,
+        "q3_shipping_priority": Q3_SQL,
     }
