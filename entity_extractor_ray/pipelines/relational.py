@@ -1280,6 +1280,50 @@ FROM orders
 """
 
 
+def orders_quartiles(sf_dir: str):
+    """NTILE(4) + first_value/last_value per customer in order-date order —
+    the remaining SQL window shapes (bucketing a partition into equal-size
+    tiles; anchoring each row to its partition's first/last value)."""
+    from ..stages.windowfns import partitioned_window
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("quartile", pa.int64()),
+            ("first_price", pa.float64()),
+            ("last_price", pa.float64()),
+        ]
+    )
+    return partitioned_window(
+        ds,
+        by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[
+            ("ntile", 4, "quartile"),
+            ("first_value", "o_totalprice", "first_price"),
+            ("last_value", "o_totalprice", "last_price"),
+        ],
+        out_schema=schema,
+        keep_cols=["o_orderkey", "o_custkey"],
+        n_buckets=16,
+    )
+
+
+ORDERS_QUARTILES_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 # ------------------------------------------------------------ full outer join
 
 def cust_orders_outer(sf_dir: str):
@@ -1606,6 +1650,7 @@ def relational_queries():
         "approx_distinct_users": approx_distinct_users,
         "events_pivot_types": events_pivot_types,
         "q3_shipping_priority": q3_shipping_priority,
+        "orders_quartiles": orders_quartiles,
     }
 
 
@@ -1646,4 +1691,5 @@ def relational_oracle_sql():
         "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
         "events_pivot_types": EVENTS_PIVOT_SQL,
         "q3_shipping_priority": Q3_SQL,
+        "orders_quartiles": ORDERS_QUARTILES_SQL,
     }

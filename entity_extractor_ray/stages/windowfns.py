@@ -47,7 +47,34 @@ from .shuffle import bucket_group_apply
 #   ("lead", src, out)                next row's src within partition
 #   ("running_sum", src, out)         cumulative sum of src (rows unbounded
 #                                     preceding .. current row)
-WINDOW_KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "running_sum")
+#   ("ntile", n, out)                 SQL NTILE(n): n buckets per partition,
+#                                     sizes differ by <=1, larger first
+#   ("first_value", src, out)         partition's first src in sort order
+#   ("last_value", src, out)          partition's last src (full frame —
+#                                     SQL default-frame last_value is just
+#                                     "current row"; this is the ROWS
+#                                     BETWEEN UNBOUNDED .. UNBOUNDED form)
+WINDOW_KINDS = (
+    "row_number", "rank", "dense_rank", "lag", "lead", "running_sum",
+    "ntile", "first_value", "last_value",
+)
+
+
+def _ntile(rn: np.ndarray, part_id: np.ndarray, part_start: np.ndarray,
+           n_rows: int, n: int) -> np.ndarray:
+    """SQL NTILE: with c rows, the first c%n buckets get c//n+1 rows."""
+    sizes = np.diff(np.append(part_start, n_rows))  # rows per partition
+    c = sizes[part_id].astype(np.int64)
+    small = c // n
+    r = c % n  # number of big buckets
+    big = small + 1
+    pos = rn - 1  # 0-based position within partition
+    in_big = pos < r * big
+    # avoid div-by-zero when small == 0 (c < n): every row is in a big bucket
+    small_safe = np.where(small == 0, 1, small)
+    tile_big = pos // np.where(big == 0, 1, big) + 1
+    tile_small = r + (pos - r * big) // small_safe + 1
+    return np.where(in_big, tile_big, tile_small)
 
 
 def _change_mask(df: pd.DataFrame, cols: Sequence[str], base: np.ndarray | None) -> np.ndarray:
@@ -111,7 +138,8 @@ def partitioned_window(
             dense = dense_global - dense_global[part_change][part_id] + 1
 
         grouped = df.groupby(part_id, sort=False) if any(
-            k in ("lag", "lead", "running_sum") for k, _, _ in specs
+            k in ("lag", "lead", "running_sum", "first_value", "last_value")
+            for k, _, _ in specs
         ) else None
 
         keep_here = keep if keep is not None else [c for c in df.columns]
@@ -133,6 +161,18 @@ def partitioned_window(
                 cols[out] = pa.array(grouped[src].shift(-1), type=typ, from_pandas=True)
             elif kind == "running_sum":
                 cols[out] = pa.array(grouped[src].cumsum(), type=typ, from_pandas=True)
+            elif kind == "ntile":
+                cols[out] = pa.array(
+                    _ntile(rn, part_id, part_start, n, int(src)), pa.int64()
+                )
+            elif kind == "first_value":
+                cols[out] = pa.array(
+                    grouped[src].transform("first"), type=typ, from_pandas=True
+                )
+            elif kind == "last_value":
+                cols[out] = pa.array(
+                    grouped[src].transform("last"), type=typ, from_pandas=True
+                )
         return pa.table(cols, schema=out_schema) if out_schema is not None else pa.table(cols)
 
     return bucket_group_apply(ds, by, bucket_fn, n_buckets=n_buckets)

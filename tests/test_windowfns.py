@@ -70,6 +70,38 @@ def test_partitioned_window_all_kinds():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ntile_and_first_last_value():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.windowfns import partitioned_window
+
+    # c=6, n=4 -> SQL bucket sizes 2,2,1,1 (NOT the even-division 2,1,2,1)
+    df = pd.DataFrame(
+        {"p": ["a"] * 6 + ["b"] * 3, "v": list(range(6)) + [7, 8, 9],
+         "x": [10, 20, 30, 40, 50, 60, 70, 80, 90]}
+    )
+    out = partitioned_window(
+        rd.from_pandas(df),
+        by=["p"],
+        order_by=["v"],
+        specs=[
+            ("ntile", 4, "tile"),
+            ("first_value", "x", "fx"),
+            ("last_value", "x", "lx"),
+        ],
+        keep_cols=["p", "v"],
+        n_buckets=2,
+    ).to_pandas().sort_values(["p", "v"]).reset_index(drop=True)
+
+    a = out[out["p"] == "a"]
+    assert list(a["tile"]) == [1, 1, 2, 2, 3, 4]
+    assert set(a["fx"]) == {10} and set(a["lx"]) == {60}
+    b = out[out["p"] == "b"]
+    assert list(b["tile"]) == [1, 2, 3]  # c < n: one row per leading tile
+    assert set(b["fx"]) == {70} and set(b["lx"]) == {90}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partitioned_window_descending_matches_pandas():
     import ray.data as rd
 
