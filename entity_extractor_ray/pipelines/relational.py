@@ -1324,6 +1324,43 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def orders_price_dist(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per customer by descending price — the
+    normalized-rank windows (both are single-division float64 of integer
+    rank/count terms, so they hash-match SQL exactly)."""
+    from ..stages.windowfns import partitioned_window
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("pct_rank", pa.float64()),
+            ("cume", pa.float64()),
+        ]
+    )
+    return partitioned_window(
+        ds,
+        by=["o_custkey"],
+        order_by=["o_totalprice"],
+        descending=[True],
+        specs=[("percent_rank", None, "pct_rank"), ("cume_dist", None, "cume")],
+        out_schema=schema,
+        keep_cols=["o_orderkey", "o_custkey"],
+        n_buckets=16,
+    )
+
+
+ORDERS_PRICE_DIST_SQL = """
+SELECT o_orderkey, o_custkey,
+       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+         AS cume
+FROM orders
+"""
+
+
 # ------------------------------------------------------------ full outer join
 
 def cust_orders_outer(sf_dir: str):
@@ -1651,6 +1688,7 @@ def relational_queries():
         "events_pivot_types": events_pivot_types,
         "q3_shipping_priority": q3_shipping_priority,
         "orders_quartiles": orders_quartiles,
+        "orders_price_dist": orders_price_dist,
     }
 
 
@@ -1692,4 +1730,5 @@ def relational_oracle_sql():
         "events_pivot_types": EVENTS_PIVOT_SQL,
         "q3_shipping_priority": Q3_SQL,
         "orders_quartiles": ORDERS_QUARTILES_SQL,
+        "orders_price_dist": ORDERS_PRICE_DIST_SQL,
     }

@@ -54,9 +54,11 @@ from .shuffle import bucket_group_apply
 #                                     SQL default-frame last_value is just
 #                                     "current row"; this is the ROWS
 #                                     BETWEEN UNBOUNDED .. UNBOUNDED form)
+#   ("percent_rank", None, out)       (rank-1)/(c-1), 0.0 for c == 1
+#   ("cume_dist", None, out)          rows-with-order-key-<=-current / c
 WINDOW_KINDS = (
     "row_number", "rank", "dense_rank", "lag", "lead", "running_sum",
-    "ntile", "first_value", "last_value",
+    "ntile", "first_value", "last_value", "percent_rank", "cume_dist",
 )
 
 
@@ -129,13 +131,21 @@ def partitioned_window(
         part_start = idx[part_change]
         rn = idx - part_start[part_id] + 1  # 1-based row_number
 
-        need_tie = any(k in ("rank", "dense_rank") for k, _, _ in specs)
+        need_tie = any(
+            k in ("rank", "dense_rank", "percent_rank", "cume_dist")
+            for k, _, _ in specs
+        )
         if need_tie:
             tie_change = _change_mask(df, order_by, part_change)
             tie_id = np.cumsum(tie_change) - 1
             rank = rn[tie_change][tie_id]  # first rn of each tie group
             dense_global = np.cumsum(tie_change)
             dense = dense_global - dense_global[part_change][part_id] + 1
+        if any(k in ("percent_rank", "cume_dist") for k, _, _ in specs):
+            part_sizes = np.diff(np.append(part_start, n))
+            csize = part_sizes[part_id].astype(np.float64)
+            tie_sizes = np.bincount(tie_id)
+            last_rn = rank + tie_sizes[tie_id] - 1  # rn of the tie's last row
 
         grouped = df.groupby(part_id, sort=False) if any(
             k in ("lag", "lead", "running_sum", "first_value", "last_value")
@@ -173,6 +183,11 @@ def partitioned_window(
                 cols[out] = pa.array(
                     grouped[src].transform("last"), type=typ, from_pandas=True
                 )
+            elif kind == "percent_rank":
+                pr = np.where(csize > 1, (rank - 1) / np.maximum(csize - 1, 1), 0.0)
+                cols[out] = pa.array(pr, pa.float64())
+            elif kind == "cume_dist":
+                cols[out] = pa.array(last_rn / csize, pa.float64())
         return pa.table(cols, schema=out_schema) if out_schema is not None else pa.table(cols)
 
     return bucket_group_apply(ds, by, bucket_fn, n_buckets=n_buckets)

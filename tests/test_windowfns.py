@@ -102,6 +102,31 @@ def test_ntile_and_first_last_value():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_percent_rank_cume_dist():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.windowfns import partitioned_window
+
+    # partition a: v = 3,5,5,9 -> ranks 1,2,2,4
+    df = pd.DataFrame(
+        {"p": ["a"] * 4 + ["b"], "v": [3, 5, 5, 9, 7], "id": range(5)}
+    )
+    out = (
+        partitioned_window(
+            rd.from_pandas(df), by=["p"], order_by=["v"],
+            specs=[("percent_rank", None, "pr"), ("cume_dist", None, "cd")],
+            keep_cols=["p", "v", "id"], n_buckets=2,
+        )
+        .to_pandas().sort_values(["p", "v", "id"]).reset_index(drop=True)
+    )
+    a = out[out["p"] == "a"]
+    assert list(a["pr"]) == [0.0, 1 / 3, 1 / 3, 1.0]
+    assert list(a["cd"]) == [0.25, 0.75, 0.75, 1.0]
+    b = out[out["p"] == "b"]  # single-row partition
+    assert list(b["pr"]) == [0.0] and list(b["cd"]) == [1.0]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partitioned_window_descending_matches_pandas():
     import ray.data as rd
 
