@@ -1539,20 +1539,16 @@ def _distinct_status_keys(sf_dir: str, status: str):
 
 
 def cust_finished_except_open(sf_dir: str):
-    """SQL EXCEPT as distinct-reduce + ANTI bucket join: customers with a
-    finished order but NO open order. Both sides ship only per-batch
-    DISTINCT keys through the one shuffle."""
+    """SQL EXCEPT as an ANTI bucket join with in-join left distinctness:
+    customers with a finished order but NO open order. ONE shuffle total —
+    both sides ship per-batch-distinct keys, and the join's own bucket
+    task finishes the left dedup (left_distinct), so no separate
+    groupby exchange is paid."""
     from ..stages.shuffle import bucket_hash_join
 
-    f_keys = (
-        _distinct_status_keys(sf_dir, "F")
-        .groupby("o_custkey")
-        .count()
-        .select_columns(["o_custkey"])
-    )
     return bucket_hash_join(
-        f_keys, _distinct_status_keys(sf_dir, "O"),
-        key="o_custkey", how="anti", n_buckets=8,
+        _distinct_status_keys(sf_dir, "F"), _distinct_status_keys(sf_dir, "O"),
+        key="o_custkey", how="anti", n_buckets=8, left_distinct=True,
     )
 
 
@@ -1564,18 +1560,13 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 
 
 def cust_finished_intersect_open(sf_dir: str):
-    """SQL INTERSECT as distinct-reduce + SEMI bucket join."""
+    """SQL INTERSECT as a SEMI bucket join with in-join left distinctness
+    (one shuffle, same shape as the EXCEPT above)."""
     from ..stages.shuffle import bucket_hash_join
 
-    f_keys = (
-        _distinct_status_keys(sf_dir, "F")
-        .groupby("o_custkey")
-        .count()
-        .select_columns(["o_custkey"])
-    )
     return bucket_hash_join(
-        f_keys, _distinct_status_keys(sf_dir, "O"),
-        key="o_custkey", how="semi", n_buckets=8,
+        _distinct_status_keys(sf_dir, "F"), _distinct_status_keys(sf_dir, "O"),
+        key="o_custkey", how="semi", n_buckets=8, left_distinct=True,
     )
 
 
@@ -1632,14 +1623,17 @@ FROM events GROUP BY user_id
 
 def approx_distinct_users(sf_dir: str):
     """Distinct users per event type via the mergeable bottom-k (KMV)
-    sketch (stages/sketches.py). EXACT below k=4096 distinct per group —
-    the regime of every test tier, hence the COUNT(DISTINCT) oracle —
-    and a ~1.6%-s.e. estimate (exact=false) beyond, where the exact
-    aggregate's shuffle would ship every distinct value of a hot group."""
+    sketch (stages/sketches.py). EXACT below k distinct per group — hence
+    the COUNT(DISTINCT) oracle — and a bounded-error estimate
+    (exact=false) beyond, where the exact aggregate's shuffle would ship
+    every distinct value of a hot group. k=65536 here so every driver
+    tier (sf0.001-sf1, <= ~15k users) sits deep in the exact regime with
+    the estimate path pinned by unit tests; sketch state is still only
+    64k hashes per group."""
     from ..stages.sketches import approx_distinct_by
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return approx_distinct_by(ds, "event_type", "user_id", k=4096,
+    return approx_distinct_by(ds, "event_type", "user_id", k=65536,
                               out_col="n_users", n_buckets=4)
 
 

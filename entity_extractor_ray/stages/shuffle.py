@@ -187,10 +187,19 @@ SIDE_COL = "__side"
 
 def _as_pa_type(t) -> pa.DataType:
     """Ray's Schema.types are Arrow DataTypes for arrow-backed datasets but
-    numpy/python types for pandas-backed ones (from_pandas inputs);
-    normalize so the join's declared output schema is always Arrow."""
+    numpy/python/pandas-extension types for pandas-backed ones
+    (from_pandas inputs); normalize so the join's declared output schema
+    is always Arrow. object dtype is assumed to hold strings — the one
+    ambiguity pandas dtypes can't resolve (bytes/list payloads must come
+    in as Arrow-backed datasets, which preserve exact types)."""
     if isinstance(t, pa.DataType):
         return t
+    if isinstance(t, pd.CategoricalDtype):
+        return _as_pa_type(t.categories.dtype)
+    if isinstance(t, pd.api.extensions.ExtensionDtype):
+        # nullable extension dtypes (Int64, boolean, Float64, ...): let
+        # Arrow derive the type from an empty typed array
+        return pa.array(pd.array([], dtype=t)).type
     try:
         dt = np.dtype(t)
     except TypeError:
@@ -208,6 +217,7 @@ def bucket_hash_join(
     how: str = "inner",
     n_buckets: int = 32,
     suffix: str = "_r",
+    left_distinct: bool = False,
 ):
     """Task-based distributed hash join: tag + union both sides, ONE shuffle
     on the key's hash bucket, pandas merge within each bucket.
@@ -223,6 +233,14 @@ def bucket_hash_join(
     null), plus the existence variants "semi" (left rows WITH a right
     match) and "anti" (left rows WITHOUT one) — those emit LEFT columns
     only and ship just the right KEY column through the shuffle.
+
+    NULL join keys follow SQL: they never match (not even each other) —
+    inner/semi drop them, left/outer/anti keep them unmatched.
+
+    ``left_distinct=True`` dedups the LEFT rows (full-row distinct,
+    per-batch before the shuffle + per-bucket after) inside the join's own
+    exchange — EXCEPT/INTERSECT-style set ops get global distinctness
+    without a separate groupby shuffle.
     """
     right_key = right_key or key
     l_schema = left.schema()
@@ -273,6 +291,14 @@ def bucket_hash_join(
             _key_distinct, batch_format="pyarrow"
         )
 
+    if left_distinct:
+        # map-side combiner: full-row distinct per batch shrinks the
+        # exchange; the per-bucket drop_duplicates below finishes the job
+        # (all copies of a row hash to the same bucket)
+        left = left.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+
     unioned = left.map_batches(widen_left, batch_format="pyarrow").union(
         right.map_batches(widen_right, batch_format="pyarrow")
     )
@@ -282,11 +308,26 @@ def bucket_hash_join(
     def join_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         lhs = df[df[SIDE_COL] == 0][[c for c in l_names]]
         rhs = df[df[SIDE_COL] == 1][[key] + r_out_cols]
+        if left_distinct:
+            lhs = lhs.drop_duplicates()
+        # SQL NULL-key semantics: a null key matches NOTHING (pandas merge
+        # and isin would happily pair NaN with NaN)
+        lnull = lhs[key].isna()
+        rnull_rows = rhs[rhs[key].isna()]
+        rhs = rhs[rhs[key].notna()]
         if existence:
-            mask = lhs[key].isin(rhs[key].unique())
+            # semi: null-key rows have no match; anti: NOT EXISTS holds,
+            # so ~mask keeps them
+            mask = lhs[key].isin(rhs[key].unique()) & ~lnull
             merged = lhs[mask if how == "semi" else ~mask]
         else:
-            merged = lhs.merge(rhs, on=key, how=how)
+            merged = lhs[~lnull].merge(rhs, on=key, how=how)
+            if how in ("left", "outer") and lnull.any():
+                # unmatched-by-definition left rows, null right columns
+                merged = pd.concat([merged, lhs[lnull]], ignore_index=True)
+            if how == "outer" and len(rnull_rows):
+                # FULL OUTER also keeps null-keyed RIGHT rows, left side null
+                merged = pd.concat([merged, rnull_rows], ignore_index=True)
         arrays = {
             name: pa.array(merged[name], type=typ, from_pandas=True)
             for name, typ in out_fields

@@ -72,9 +72,10 @@ def _ntile(rn: np.ndarray, part_id: np.ndarray, part_start: np.ndarray,
     big = small + 1
     pos = rn - 1  # 0-based position within partition
     in_big = pos < r * big
-    # avoid div-by-zero when small == 0 (c < n): every row is in a big bucket
+    # small == 0 (c < n) means every row is in a big bucket; guard the
+    # then-unused small divisor (big = small+1 >= 1 needs no guard)
     small_safe = np.where(small == 0, 1, small)
-    tile_big = pos // np.where(big == 0, 1, big) + 1
+    tile_big = pos // big + 1
     tile_small = r + (pos - r * big) // small_safe + 1
     return np.where(in_big, tile_big, tile_small)
 
