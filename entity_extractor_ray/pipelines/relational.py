@@ -1133,6 +1133,60 @@ LIMIT 10
 """
 
 
+def suppliers_per_region(sf_dir: str):
+    """Two chained dimension joins (supplier ⋈ nation ⋈ region — both
+    right sides are dimension-sized, so both ride lookup_join's broadcast
+    path with zero shuffles) + a cents-exact per-region rollup. Also the
+    coverage query for the two smallest catalog tables."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import lookup_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey"),
+                "bal_cents": _cents(t.column("s_acctbal")),
+            }
+        )
+
+    j1 = lookup_join(
+        sup.map_batches(prep, batch_format="pyarrow"), nat,
+        key="s_nationkey", right_key="n_nationkey",
+    )
+    j2 = lookup_join(j1, reg, key="n_regionkey", right_key="r_regionkey")
+    agg = j2.groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal_cents", alias_name="bal_cents")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t.column("r_name"),
+                "n_suppliers": pc.cast(t.column("n_suppliers"), pa.int64()),
+                "total_acctbal": pc.divide(
+                    pc.cast(t.column("bal_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SUPPLIERS_PER_REGION_SQL = """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       sum(CAST(round(s.s_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 # ------------------------------------------------------------ window functions
 
 def events_lag_lead(sf_dir: str):
@@ -1683,6 +1737,7 @@ def relational_queries():
         "q3_shipping_priority": q3_shipping_priority,
         "orders_quartiles": orders_quartiles,
         "orders_price_dist": orders_price_dist,
+        "suppliers_per_region": suppliers_per_region,
     }
 
 
@@ -1725,4 +1780,5 @@ def relational_oracle_sql():
         "q3_shipping_priority": Q3_SQL,
         "orders_quartiles": ORDERS_QUARTILES_SQL,
         "orders_price_dist": ORDERS_PRICE_DIST_SQL,
+        "suppliers_per_region": SUPPLIERS_PER_REGION_SQL,
     }
