@@ -235,13 +235,36 @@ def made_by_edge_rows(records_batch: pa.Table) -> pa.Table:
     )
 
 
+def _edge_local_last(t: pa.Table) -> pa.Table:
+    """Map-side J4 combiner: within a batch, keep only the max-order_key
+    row per (src, dst, pred) BEFORE the shuffle. Safe because order_key
+    (conv_id|pos) is unique per duplicate set — one linked row per
+    (record, entity) — so the bucket-side pick-last over batch winners
+    selects the same global winner; the exchange then carries one row per
+    (key, batch) instead of one per raw candidate."""
+    df = t.to_pandas()
+    df = df.sort_values("order_key", kind="mergesort")
+    lasts = df.drop_duplicates(["src", "dst", "pred"], keep="last")
+    return pa.table(
+        {
+            c: pa.array(lasts[c], type=pa.string(), from_pandas=True)
+            for c in ("src", "dst", "pred", "weight", "order_key")
+        }
+    )
+
+
 def edge_candidates(linked_ds, records_ds):
     """CONTAINS (from linked chem mentions) ∪ MADE_BY (from records)
     candidates — one dataset so the J4 dedup pays ONE all-to-all instead of
     two. The key namespaces are disjoint (dst is a chemical id vs a
-    manufacturer id) and pred is part of the dedup key regardless."""
-    cont = linked_ds.map_batches(contains_edge_rows, batch_format="pyarrow")
-    made = records_ds.map_batches(made_by_edge_rows, batch_format="pyarrow")
+    manufacturer id) and pred is part of the dedup key regardless. Both
+    families pre-reduce per batch (_edge_local_last) before the union."""
+    cont = linked_ds.map_batches(contains_edge_rows, batch_format="pyarrow").map_batches(
+        _edge_local_last, batch_format="pyarrow"
+    )
+    made = records_ds.map_batches(made_by_edge_rows, batch_format="pyarrow").map_batches(
+        _edge_local_last, batch_format="pyarrow"
+    )
     return cont.union(made)
 
 
