@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # corpus statistics + retrieval scoring (tf-idf vocabulary, BM25)
     q["vocab_stats"] = lambda sf: ts.vocab_stats(_docs(sf), min_df=5)
     q["bm25_scores"] = lambda sf: ts.bm25_scores(_docs(sf), "window merge join")
+    # heavy hitters: Misra-Gries frequent-token sketch (exact below k)
+    from entity_extractor_ray.stages import sketches as sk
+
+    q["top_tokens"] = lambda sf: sk.frequent_tokens(_docs(sf), top_n=20)
 
     # --- dedup family
     q["exact_dedup"] = lambda sf: dd.exact_dedup(_docs(sf))
@@ -272,6 +276,9 @@ def oracle_sql() -> dict[str, str]:
     sql["redact_terms_documents"] = ts.redact_terms_sql()
     sql["vocab_stats"] = ts.vocab_stats_sql(min_df=5)
     sql["bm25_scores"] = ts.bm25_scores_sql("window merge join")
+    from entity_extractor_ray.stages import sketches as sk
+
+    sql["top_tokens"] = sk.frequent_tokens_sql(top_n=20)
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)

@@ -31,12 +31,15 @@ sketch is process- and platform-stable — resumed runs merge cleanly.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from .shuffle import bucket_group_apply
+
+logger = logging.getLogger("entity_extractor_ray.sketches")
 
 MASK63 = (1 << 63) - 1
 
@@ -99,3 +102,77 @@ def approx_distinct_by(
         )
 
     return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
+
+
+# ------------------------------------------------------------ heavy hitters
+
+def frequent_tokens(docs_ds, top_n: int = 20, k: int = 65536):
+    """Corpus-wide most-frequent tokens (heavy hitters) with Misra-Gries
+    map-side state: each batch counts its tokens exactly, and if the batch
+    vocabulary exceeds ``k`` counters it MG-decrements (drop the tail,
+    subtract the (k+1)-th count from the survivors — counts become lower
+    bounds with error <= the LOGGED decrement; nothing is silently
+    approximate). The shuffle then carries at most k rows per batch, one
+    term-keyed exchange sums the partials, and the global top-n is a
+    per-block top-n combine + tiny sort. Below k distinct per batch — every
+    test tier; token vocabularies are Zipfian, so real corpora sit here too
+    for any reasonable k — the result is EXACT, hence the SQL oracle.
+
+    Uses the same [a-z0-9]+ pretokenizer as vocab_stats/BM25 so all corpus
+    statistics agree on what a token is."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .textstats import _VOCAB_RE
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"]:
+            c.update(_VOCAB_RE.findall((text or "").lower()))
+        if len(c) > k:
+            items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            thresh = items[k][1]
+            kept = [(t, n - thresh) for t, n in items[:k] if n > thresh]
+            logger.warning(
+                "frequent_tokens: batch vocab %d > k=%d; MG-decremented by %d "
+                "(partial counts become lower bounds)", len(c), k, thresh,
+            )
+            c = Counter(dict(kept))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    sums = (
+        docs_ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        # per-block combiner: only top_n candidates per block reach the sort
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return t.take(idx[: top_n])
+
+    return (
+        sums.map_batches(local_topn, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def frequent_tokens_sql(top_n: int = 20) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT {top_n}
+    """

@@ -75,6 +75,26 @@ def test_kmv_exact_below_k():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_frequent_tokens_exact_and_mg_regimes():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import frequent_tokens
+
+    # skewed corpus: 'zzz' dominates, long uniform tail
+    docs = ["zzz " * 30 + f"tail{i} tail{i+1}" for i in range(200)]
+    df = pd.DataFrame({"doc_id": range(200), "text": docs})
+
+    exact = frequent_tokens(rd.from_pandas(df), top_n=5, k=65536).to_pandas()
+    assert exact["token"].iloc[0] == "zzz" and exact["n"].iloc[0] == 6000
+
+    # k small enough to force MG decrements: counts become lower bounds,
+    # but the dominant heavy hitter must survive on top
+    approx = frequent_tokens(rd.from_pandas(df), top_n=5, k=16).to_pandas()
+    assert approx["token"].iloc[0] == "zzz"
+    assert approx["n"].iloc[0] <= 6000  # lower bound, never an overcount
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kmv_estimates_above_k():
     import ray.data as rd
 
