@@ -120,6 +120,7 @@ def run_once() -> dict:
             "stages": stages,
         }
 
+    from entity_extractor_ray.stages import sketches as sk
     from entity_extractor_ray.stages import textstats as ts
 
     query_fns = {
@@ -135,6 +136,7 @@ def run_once() -> dict:
         "bm25_scores": lambda: ts.bm25_scores(_docs(), "window merge join"),
         "events_lag_lead": lambda: rel.events_lag_lead(SF_DIR),
         "approx_distinct_users": lambda: rel.approx_distinct_users(SF_DIR),
+        "top_tokens": lambda: sk.frequent_tokens(_docs(), top_n=20),
     }
     queries = {}
     for name, fn in query_fns.items():
