@@ -209,6 +209,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_traversal_reverse"] = _traversal_rev
 
+    # 2-hop co-occurrence analytics over the produced graph (materials
+    # sharing a chemical, skew-capped pair generation); rows-only — the
+    # operator is pinned by brute-force-equality + hot-key-cap tests in
+    # tests/test_comentions.py
+    def _comentions(sf):
+        from entity_extractor_ray.stages.graph import material_comentions
+
+        return material_comentions(_kg(sf).edges)
+
+    q["kg_comentions"] = _comentions
+
     def _mentions(sf):
         import ray.data as rd
 

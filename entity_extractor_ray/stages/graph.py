@@ -614,3 +614,72 @@ def materials_of_chemical(nodes_ds, edges_ds, num_partitions: int = 8):
         )
 
     return j.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ co-mention pairs
+
+COMENTION_PAIR_CAP = 1000
+
+
+def material_comentions(edges_ds, n_buckets: int = 32,
+                        pair_cap: int = COMENTION_PAIR_CAP):
+    """2-hop graph analytics over the produced KG: pairs of materials that
+    share at least one chemical (CONTAINS co-occurrence), with the shared
+    count — the classic derived-edge query a compliance analyst runs on
+    the reference graph (one hop past global_node_repository.py:197-219's
+    chemicals-of-material traversal).
+
+    Shape: ONE chemical-keyed bucket shuffle generates per-chemical
+    material pairs triu-vectorized; a chemical contained by more than
+    ``pair_cap`` materials is truncated to a seeded-hash-UNIFORM sample of
+    the cap with the drop COUNTED and LOGGED (the dedup LSH buckets'
+    policy — hot keys would otherwise go quadratic), then one pair-keyed
+    aggregate sums n_shared. Output: (mat_a, mat_b, n_shared), mat_a <
+    mat_b."""
+    import logging
+
+    logger = logging.getLogger("entity_extractor_ray.graph")
+
+    def contains_only(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("pred"), "CONTAINS"))
+        return kept.select(["src", "dst"])
+
+    slim = edges_ds.map_batches(contains_only, batch_format="pyarrow")
+
+    def pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_parts: List[np.ndarray] = []
+        b_parts: List[np.ndarray] = []
+        n_truncated = 0
+        n_dropped = 0
+        for _, g in df.groupby("dst", sort=False):
+            ids = np.unique(g["src"].to_numpy())
+            if ids.size < 2:
+                continue
+            if ids.size > pair_cap:
+                n_truncated += 1
+                n_dropped += int(ids.size - pair_cap)
+                h = pd.util.hash_pandas_object(
+                    pd.Series(ids), index=False
+                ).to_numpy()
+                ids = np.sort(ids[np.argsort(h, kind="stable")[:pair_cap]])
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_parts.append(ids[iu])
+            b_parts.append(ids[ju])
+        if n_truncated:
+            logger.warning(
+                "material_comentions bucket %d: truncated %d hot chemicals "
+                "(cap=%d), dropped %d material ids from pair generation",
+                bucket_id, n_truncated, pair_cap, n_dropped,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.zeros(0, dtype=object)
+        b = np.concatenate(b_parts) if b_parts else np.zeros(0, dtype=object)
+        return pa.table(
+            {"mat_a": pa.array(a, pa.string()), "mat_b": pa.array(b, pa.string())}
+        )
+
+    pairs = bucket_group_apply(slim, ["dst"], pairs_bucket, n_buckets)
+    counted = pairs.groupby(["mat_a", "mat_b"]).count()
+    return counted.map_batches(
+        lambda t: t.rename_columns(["mat_a", "mat_b", "n_shared"]),
+        batch_format="pyarrow",
+    )
