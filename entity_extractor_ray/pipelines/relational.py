@@ -415,6 +415,59 @@ FROM documents GROUP BY lang
 """
 
 
+def doc_length_quantiles_cont(sf_dir: str):
+    """INTERPOLATED grouped quantiles (quantile_cont semantics: value at
+    fractional rank h=(n-1)q, linear between neighbors) from the same
+    map-side histogram pre-reduction as doc_length_quantiles. The
+    quantiles are DYADIC (0.5, 0.75), so h, its fractional part and the
+    interpolation products are all exact in float64 — bit-identical to
+    DuckDB regardless of either engine's interpolation formula order."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def histogram(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+
+    pre = ds.map_batches(histogram, batch_format="pandas")
+
+    def _cont(vals: np.ndarray, cum: np.ndarray, n: int, q: float) -> float:
+        h = (n - 1) * q
+        lo_i = int(np.floor(h))
+        hi_i = int(np.ceil(h))
+        lo = float(vals[np.searchsorted(cum, lo_i + 1)])
+        hi = float(vals[np.searchsorted(cum, hi_i + 1)])
+        return lo + (hi - lo) * (h - lo_i)
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        out = {"lang": [], "p50_chars": [], "p75_chars": []}
+        merged = df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum().reset_index()
+        for lang, g in merged.groupby("lang", sort=False):
+            g = g.sort_values("n_chars", kind="mergesort")
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            vals = g["n_chars"].to_numpy()
+            out["lang"].append(lang)
+            out["p50_chars"].append(_cont(vals, cum, n, 0.5))
+            out["p75_chars"].append(_cont(vals, cum, n, 0.75))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "p50_chars": pa.array(out["p50_chars"], pa.float64()),
+                "p75_chars": pa.array(out["p75_chars"], pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(pre, ["lang"], bucket_fn, n_buckets=4)
+
+
+DOC_LENGTH_QUANTILES_CONT_SQL = """
+SELECT lang, quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.75) AS p75_chars
+FROM documents GROUP BY lang
+"""
+
+
 def orders_with_big_items(sf_dir: str):
     """Distributed SEMI join: orders having at least one lineitem above a
     price floor — existence probe only, no fact-fact row multiplication."""
@@ -1738,6 +1791,7 @@ def relational_queries():
         "orders_quartiles": orders_quartiles,
         "orders_price_dist": orders_price_dist,
         "suppliers_per_region": suppliers_per_region,
+        "doc_length_quantiles_cont": doc_length_quantiles_cont,
     }
 
 
@@ -1781,4 +1835,5 @@ def relational_oracle_sql():
         "orders_quartiles": ORDERS_QUARTILES_SQL,
         "orders_price_dist": ORDERS_PRICE_DIST_SQL,
         "suppliers_per_region": SUPPLIERS_PER_REGION_SQL,
+        "doc_length_quantiles_cont": DOC_LENGTH_QUANTILES_CONT_SQL,
     }

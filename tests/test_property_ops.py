@@ -75,6 +75,48 @@ def test_bucket_join_modes_match_pandas(data):
 @given(data=st.data())
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_pandas_merge_asof(data):
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.windows import asof_join
+
+    n_l = data.draw(st.integers(1, 30))
+    n_r = data.draw(st.integers(0, 30))
+    seed = data.draw(st.integers(0, 10_000))
+    strict = data.draw(st.booleans())
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "u": rng.integers(0, 4, n_l),
+        "t": rng.integers(0, 50, n_l).astype(np.int64),
+        "lid": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "u": rng.integers(0, 4, n_r),
+        "t": rng.integers(0, 50, n_r).astype(np.int64),
+        "v": rng.integers(100, 200, n_r).astype(np.int64),
+    }).drop_duplicates(["u", "t"])  # the operator's uniqueness contract
+
+    got = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", on="t", right_cols={"v": "v"}, n_buckets=3, strict=strict,
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t", by="u", direction="backward",
+        allow_exact_matches=not strict,
+    ).sort_values("lid").reset_index(drop=True)
+    assert got["v"].fillna(-1).astype(np.int64).tolist() == \
+        exp["v"].fillna(-1).astype(np.int64).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
 def test_window_kernels_match_pandas(data):
     import ray.data as rd
 
