@@ -85,6 +85,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import sketches as sk
 
     q["top_tokens"] = lambda sf: sk.frequent_tokens(_docs(sf), top_n=20)
+    # eval-set decontamination: broadcast snippet scan, map-only (no shuffle)
+    from entity_extractor_ray.stages import decontam as dc
+
+    def _decontam(sf):
+        import ray.data as rd
+
+        return dc.decontaminate(
+            rd.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+            )
+        )
+
+    q["decontaminate_docs"] = _decontam
 
     # --- dedup family
     q["exact_dedup"] = lambda sf: dd.exact_dedup(_docs(sf))
@@ -290,6 +303,9 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import sketches as sk
 
     sql["top_tokens"] = sk.frequent_tokens_sql(top_n=20)
+    from entity_extractor_ray.stages import decontam as dc
+
+    sql["decontaminate_docs"] = dc.decontaminate_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)

@@ -417,3 +417,65 @@ class TestSectionContext:
             assert len(ranks) <= 5
         # every (doc, section) pair produced rows
         assert len(per_key) == 3 * 2
+
+
+class TestDecontaminate:
+    """Planted-contamination tests for the broadcast snippet scan."""
+
+    @staticmethod
+    def _docs(rows):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1] or "") for r in rows], pa.int64()
+                ),
+            }
+        )
+        return rd.from_arrow(t).repartition(3)
+
+    def test_planted_cross_contamination(self, ray_session):
+        from entity_extractor_ray.stages.decontam import decontaminate
+
+        eval_text = "E" * 19 + "the quick brown fox jumps over the lazy dog again and again" + "E" * 60
+        # doc 5 verbatim-contains the eval snippet (chars 20..79 of doc 0)
+        contaminated = "prefix words " + eval_text[19:79] + " suffix words " + "x" * 60
+        clean = "a completely different document with no overlap at all " + "y" * 80
+        rows = [(0, eval_text), (5, contaminated), (7, clean)]
+        out = (
+            decontaminate(self._docs(rows), eval_mod=1, snip_start=20,
+                          snip_len=60, min_chars=120)
+            .to_pandas()
+            .sort_values(["doc_id", "eval_doc_id"])
+            .reset_index(drop=True)
+        )
+        got = set(map(tuple, out[["doc_id", "eval_doc_id", "self_hit"]].itertuples(index=False)))
+        # eval side: docs 0 and 5 and 7 all pass min_chars with eval_mod=1;
+        # expected hits: every doc contains its own snippet (self), plus
+        # doc 5 contains doc 0's snippet (the planted contamination)
+        assert (5, 0, False) in got
+        assert (0, 0, True) in got and (5, 5, True) in got and (7, 7, True) in got
+        assert not any(d == 7 and e != 7 for d, e, _ in got)
+
+    def test_short_docs_excluded_from_eval_side(self, ray_session):
+        from entity_extractor_ray.stages.decontam import decontaminate
+
+        rows = [(0, "tiny"), (1, "z" * 200)]
+        out = decontaminate(
+            self._docs(rows), eval_mod=1, snip_start=20, snip_len=60, min_chars=120
+        ).to_pandas()
+        # doc 0 is below min_chars: never an eval doc
+        assert set(out["eval_doc_id"]) == {1}
+
+    def test_snippet_gate_raises(self, ray_session, monkeypatch):
+        from entity_extractor_ray.stages import decontam
+
+        monkeypatch.setattr(decontam, "MAX_EVAL_SNIPPETS", 1)
+        rows = [(0, "a" * 150), (1, "b" * 150)]
+        with pytest.raises(ValueError, match="Aho-Corasick"):
+            decontam.decontaminate(
+                self._docs(rows), eval_mod=1, snip_start=20, snip_len=60, min_chars=120
+            )
