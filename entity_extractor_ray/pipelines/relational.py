@@ -1186,6 +1186,103 @@ LIMIT 10
 """
 
 
+def q17_small_quantity_revenue(sf_dir: str):
+    """Decorrelated correlated aggregate (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average quantity, rolled up to
+    revenue per brand. The per-row correlated subquery (`l_quantity <
+    0.2 * avg(qty) of the same part`) decorrelates into ONE aggregate pass
+    over the fact table — map-side per-batch partials, one part-keyed Sum
+    — joined back to the same fact; never a per-row re-scan. The predicate
+    is evaluated in integer arithmetic (5*qty*cnt < sum_qty ⟺ qty <
+    0.2*avg) so boundary membership is bit-exact in both engines."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        tt = pa.table({"pk": t.column("l_partkey"), "q": qty})
+        agg = tt.group_by("pk").aggregate([("q", "sum"), ("q", "count")])
+        return pa.table(
+            {
+                "pk": agg.column("pk"),
+                "sq": agg.column("q_sum"),
+                "cnt": pc.cast(agg.column("q_count"), pa.int64()),
+            }
+        )
+
+    stats = (
+        li.map_batches(partial_stats, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    j = lookup_join(
+        li.map_batches(prep, batch_format="pyarrow"), stats,
+        key="l_partkey", right_key="pk",
+    )
+
+    def small_only(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(
+            pc.multiply(t.column("q"), pa.scalar(5, pa.int64())), t.column("cnt")
+        )
+        return t.filter(pc.less(lhs, t.column("sq"))).select(
+            ["l_partkey", "price_cents"]
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    jb = lookup_join(
+        j.map_batches(small_only, batch_format="pyarrow"), part,
+        key="l_partkey", right_key="p_partkey",
+    )
+    agg = jb.groupby("p_brand").aggregate(
+        Sum("price_cents", alias_name="price_cents"),
+        Count(alias_name="n_small"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "n_small": pc.cast(t.column("n_small"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(t.column("price_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q17_SMALL_QUANTITY_SQL = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN pq ON l.l_partkey = pq.pk
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * pq.cnt < pq.sq
+GROUP BY p.p_brand
+"""
+
+
 def suppliers_per_region(sf_dir: str):
     """Two chained dimension joins (supplier ⋈ nation ⋈ region — both
     right sides are dimension-sized, so both ride lookup_join's broadcast
@@ -1595,6 +1692,198 @@ FROM events GROUP BY ROLLUP(event_type, day)
 """
 
 
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): the full grouping-set lattice —
+    ROLLUP's levels plus the per-day subtotal. Same one-scan plan as
+    events_rollup: the fine (type, day) aggregate is computed ONCE and
+    every coarser grouping set is derived from that dimension-sized
+    result, so adding grouping sets costs no extra corpus passes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "cents": _cents(t.column("value")),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    by_type = fine.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("cents", alias_name="cents")
+    )
+    by_day = fine.groupby("day").aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("cents", alias_name="cents")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("value_sum", pa.float64()),
+        ]
+    )
+
+    def shape(t: pa.Table, null_day: bool = False, null_type: bool = False) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "event_type": pa.nulls(n, pa.string()) if null_type else t.column("event_type"),
+                "day": pa.nulls(n, pa.timestamp("us")) if null_day else t.column("day"),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "value_sum": pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0),
+            },
+            schema=out_schema,
+        )
+
+    level0 = fine.map_batches(shape, batch_format="pyarrow")
+    level_type = by_type.map_batches(
+        lambda t: shape(t, null_day=True), batch_format="pyarrow"
+    )
+    level_day = by_day.map_batches(
+        lambda t: shape(t, null_type=True), batch_format="pyarrow"
+    )
+    tot = by_type.aggregate(Sum("n_events"), Sum("cents"))
+    total_tbl = pa.table(
+        {
+            "event_type": pa.nulls(1, pa.string()),
+            "day": pa.nulls(1, pa.timestamp("us")),
+            "n_events": pa.array([int(tot["sum(n_events)"])], pa.int64()),
+            "value_sum": pa.array([tot["sum(cents)"] / 100.0], pa.float64()),
+        },
+        schema=out_schema,
+    )
+    return level0.union(level_type).union(level_day).union(rd.from_arrow(total_tbl))
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS value_sum
+FROM events GROUP BY CUBE(event_type, day)
+"""
+
+
+def lineitem_qty_moments(sf_dir: str):
+    """Grouped variance/stddev via SUFFICIENT STATISTICS (the mergeable
+    moments pattern): per l_returnflag, var_pop and stddev_pop of
+    l_quantity from (n, Σq, Σq²) partials — map-side per-batch moment
+    combine, one tiny group aggregate, one finalize division. Never a
+    second pass for the mean. Quantities are small integers, so all three
+    statistics stay exact in int64 and the final float expression
+    (n·Σq² − (Σq)²) / n² is written identically in the SQL — bit-exact
+    parity without relying on either engine's streaming-variance kernel."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sq": q,
+                "sq2": pc.multiply(q, q),
+            }
+        )
+        agg = tt.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sq2", "sum")]
+        )
+        return agg.rename_columns(["l_returnflag", "n", "sq", "sq2"])
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sq", alias_name="sq"),
+            Sum("sq2", alias_name="sq2"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        sq = t.column("sq").to_numpy().astype(np.float64)
+        sq2 = t.column("sq2").to_numpy().astype(np.float64)
+        var = (n * sq2 - sq * sq) / (n * n)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "var_qty": pa.array(var, pa.float64()),
+                "std_qty": pa.array(np.sqrt(var), pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+LINEITEM_QTY_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_qty,
+       sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_qty
+FROM s
+"""
+
+
+def part_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the wide part attributes (size, retailprice) turned
+    into tall (p_partkey, attr, val) rows — a pure map-only flat reshape
+    (each batch emits 2N rows, no shuffle anywhere), the inverse of
+    events_pivot_types."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t.column("p_partkey")
+        return pa.table(
+            {
+                "p_partkey": pa.concat_arrays(
+                    [keys.combine_chunks(), keys.combine_chunks()]
+                ),
+                "attr": pa.array(["size"] * n + ["retailprice"] * n, pa.string()),
+                "val": pa.concat_arrays(
+                    [
+                        pc.cast(t.column("p_size"), pa.float64()).combine_chunks(),
+                        pc.cast(t.column("p_retailprice"), pa.float64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+PART_UNPIVOT_SQL = """
+SELECT p_partkey, attr, val
+FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+         CAST(p_retailprice AS DOUBLE) AS retailprice
+  FROM part
+) UNPIVOT (val FOR attr IN (size, retailprice))
+"""
+
+
 # ------------------------------------------------------------ sampling
 
 def sample_documents_hash(sf_dir: str):
@@ -1687,6 +1976,64 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 # ------------------------------------------------------------ pivot / filtered aggregate
 
 PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_user_mode(sf_dir: str):
+    """Grouped MODE (argmax-of-count): each user's most frequent event
+    type, ties broken by ascending type name — A9's first-result-wins
+    generalized from "first row" to "highest count". Shape: map-side
+    (user, type) partial counts shrink each batch to its distinct pairs,
+    then ONE user-keyed bucket shuffle sums partials and picks the
+    per-user argmax vectorized — the exchange carries (users × types)
+    rows, never raw events."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "event_type": agg.column("event_type"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        merged = (
+            df.groupby(["user_id", "event_type"], sort=False)["n"].sum().reset_index()
+        )
+        # argmax per user with (count DESC, type ASC) tie-break: sort once,
+        # keep the first row per user
+        merged = merged.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = merged.drop_duplicates("user_id", keep="first")
+        return pa.table(
+            {
+                "user_id": pa.array(top["user_id"].to_numpy(), pa.int64()),
+                "top_type": pa.array(top["event_type"].tolist(), pa.string()),
+                "n": pa.array(top["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+
+
+EVENTS_USER_MODE_SQL = """
+SELECT user_id, event_type AS top_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
 
 
 def events_pivot_types(sf_dir: str):
@@ -1792,6 +2139,11 @@ def relational_queries():
         "orders_price_dist": orders_price_dist,
         "suppliers_per_region": suppliers_per_region,
         "doc_length_quantiles_cont": doc_length_quantiles_cont,
+        "q17_small_quantity": q17_small_quantity_revenue,
+        "events_user_mode": events_user_mode,
+        "events_cube": events_cube,
+        "lineitem_qty_moments": lineitem_qty_moments,
+        "part_unpivot": part_unpivot,
     }
 
 
@@ -1836,4 +2188,9 @@ def relational_oracle_sql():
         "orders_price_dist": ORDERS_PRICE_DIST_SQL,
         "suppliers_per_region": SUPPLIERS_PER_REGION_SQL,
         "doc_length_quantiles_cont": DOC_LENGTH_QUANTILES_CONT_SQL,
+        "q17_small_quantity": Q17_SMALL_QUANTITY_SQL,
+        "events_user_mode": EVENTS_USER_MODE_SQL,
+        "events_cube": EVENTS_CUBE_SQL,
+        "lineitem_qty_moments": LINEITEM_QTY_MOMENTS_SQL,
+        "part_unpivot": PART_UNPIVOT_SQL,
     }
