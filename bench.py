@@ -137,6 +137,7 @@ def run_once() -> dict:
         "events_lag_lead": lambda: rel.events_lag_lead(SF_DIR),
         "approx_distinct_users": lambda: rel.approx_distinct_users(SF_DIR),
         "top_tokens": lambda: sk.frequent_tokens(_docs(), top_n=20),
+        "q17_small_quantity": lambda: rel.q17_small_quantity_revenue(SF_DIR),
     }
     queries = {}
     for name, fn in query_fns.items():

@@ -1978,6 +1978,63 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def orders_left_bigitem_counts(sf_dir: str):
+    """LEFT join coverage: every order with its count of expensive
+    lineitems, zero (not absent) when it has none. The right side is
+    pre-aggregated to order grain before the join — the exchange carries
+    one count row per order, never raw lineitems — and unmatched lefts
+    surface as nulls coalesced to 0."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_extendedprice"), 50000.0))
+        agg = t.group_by("l_orderkey").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "l_orderkey": agg.column("l_orderkey"),
+                "n_big": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("n_big", alias_name="n_big"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    j = bucket_hash_join(
+        orders, counts, key="o_orderkey", right_key="l_orderkey",
+        how="left", n_buckets=16,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "n_big": pc.coalesce(
+                    pc.cast(t.column("n_big"), pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_LEFT_BIGITEM_SQL = """
+SELECT o.o_orderkey, COALESCE(c.n_big, 0) AS n_big
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_big
+  FROM lineitem WHERE l_extendedprice > 50000 GROUP BY l_orderkey
+) c ON o.o_orderkey = c.l_orderkey
+"""
+
+
 def events_user_mode(sf_dir: str):
     """Grouped MODE (argmax-of-count): each user's most frequent event
     type, ties broken by ascending type name — A9's first-result-wins
@@ -2144,6 +2201,7 @@ def relational_queries():
         "events_cube": events_cube,
         "lineitem_qty_moments": lineitem_qty_moments,
         "part_unpivot": part_unpivot,
+        "orders_left_bigitem_counts": orders_left_bigitem_counts,
     }
 
 
@@ -2193,4 +2251,5 @@ def relational_oracle_sql():
         "events_cube": EVENTS_CUBE_SQL,
         "lineitem_qty_moments": LINEITEM_QTY_MOMENTS_SQL,
         "part_unpivot": PART_UNPIVOT_SQL,
+        "orders_left_bigitem_counts": ORDERS_LEFT_BIGITEM_SQL,
     }
