@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import textnorm
+from .similarity import list_column_to_matrix as _list_matrix
 
 logger = logging.getLogger("entity_extractor_ray.dedup")
 
@@ -622,11 +623,13 @@ def simhash_near_pairs(docs_ds, hamming_max: int = HAMMING_MAX, concurrency: int
 # ------------------------------------------------------------------ embeddings
 
 def _normalized_matrix(embeddings_ds):
-    ids, vecs = [], []
+    from .similarity import list_column_to_matrix
+
+    ids, mats = [], []
     for b in embeddings_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         ids.extend(b.column("vec_id").to_pylist())
-        vecs.extend(b.column("embedding").to_pylist())
-    mat = np.asarray(vecs, dtype=np.float64)
+        mats.append(list_column_to_matrix(b.column("embedding")))
+    mat = np.vstack(mats) if mats else np.zeros((0, 0), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return np.asarray(ids), mat / norms
@@ -671,8 +674,8 @@ def embedding_cosine_pairs(embeddings_ds, threshold: float = 0.95,
 
     def score(batch: pa.Table) -> pd.DataFrame:
         all_ids, all_mat = ray.get(ref)
-        q_ids = np.asarray(batch.column("vec_id").to_pylist())
-        q = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        q_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        q = _list_matrix(batch.column("embedding"))
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         sims = (q / qn) @ all_mat.T
@@ -761,8 +764,8 @@ def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
 
     def bucketize(batch: pa.Table) -> pd.DataFrame:
         pl = ray.get(planes_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _list_matrix(batch.column("embedding"))
         n = len(ids)
         # (n, n_bands, bits) sign bits -> (n, n_bands) int keys
         proj = np.einsum("nd,bkd->nbk", mat, pl) > 0

@@ -16,9 +16,30 @@ import pandas as pd
 import pyarrow as pa
 
 
+def list_column_to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix by flattening the Arrow
+    values buffer and reshaping via the offsets — never a Python
+    list-of-lists (to_pylist on a 3072-dim embedding column materializes
+    n×d boxed floats; this path is one buffer view + one astype). Ragged
+    or null-bearing columns fall back to the object path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if col.null_count == 0 and hasattr(col, "offsets"):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        d = int(widths[0])
+        if (widths == d).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(n, d)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 def _to_matrix(batch: pa.Table):
-    ids = np.asarray(batch.column("vec_id").to_pylist())
-    mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = list_column_to_matrix(batch.column("embedding"))
     return ids, mat
 
 
@@ -273,9 +294,9 @@ def retrieve_section_context(chunks_ds, section_queries: dict, k: int = 5,
         q = ray.get(ref)  # (s, dim)
         if batch.num_rows == 0:
             return SECTION_CONTEXT_SCHEMA.empty_table().drop_columns(["rank"])
-        docs = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        cidx = np.asarray(batch.column("chunk_idx").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx = batch.column("chunk_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_column_to_matrix(batch.column("embedding"))
         sims = mat @ q.T  # (n, s); rows are unit vectors
         l2 = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * sims))
         out = []
