@@ -233,6 +233,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_comentions"] = _comentions
 
+    # PageRank over the produced graph — iterative BSP (one edges⋈ranks
+    # join + one dst aggregate per round); rows-only — pinned against a
+    # dense numpy reference on planted graphs in tests/test_pagerank.py
+    def _pagerank(sf):
+        from entity_extractor_ray.stages.graph import pagerank
+
+        return pagerank(_kg(sf).edges)
+
+    q["kg_pagerank"] = _pagerank
+
     def _mentions(sf):
         import ray.data as rd
 

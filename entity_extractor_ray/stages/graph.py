@@ -683,3 +683,138 @@ def material_comentions(edges_ds, n_buckets: int = 32,
         lambda t: t.rename_columns(["mat_a", "mat_b", "n_shared"]),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------------ pagerank
+
+def pagerank(edges_ds, damping: float = 0.85, n_iters: int = 5,
+             n_buckets: int = 16):
+    """PageRank over the produced KG's directed edges (src -> dst) — the
+    iterative bulk-synchronous graph-analytics staple, the third iterative
+    shape in the engine next to min-label propagation (dedup connected
+    components) and the status-rollup fixed point.
+
+    Per iteration (the BSP round):
+      1. contributions: edges ⋈ ranks on src (lookup_join — broadcast when
+         ranks are dimension-sized, bucket shuffle otherwise), each edge
+         carries rank(src)/out_deg(src);
+      2. inflow: ONE dst-keyed aggregate of contributions;
+      3. update: new_rank = (1-d)/N + d*(inflow + dangling_mass/N), where
+         dangling_mass = 1 - Σcontributions (nodes without out-edges leak
+         their rank to everyone — computed as a scalar, never a join).
+
+    Ranks materialize once per round (node-dimension-sized, same policy as
+    rollup_fixed_point); edges stream through every round unchanged, so at
+    scale the same src-partitioning is reused across iterations. Returns
+    (node, rank) with rank rounded to 9 dp for engine-independent output.
+    """
+    from ray.data.aggregate import Sum
+
+    from .shuffle import lookup_join
+
+    slim = edges_ds.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+    ).materialize()
+
+    # node universe = distinct src ∪ dst; out-degree per src — both once
+    def batch_nodes(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [
+                t.column("src").combine_chunks().cast(pa.string()),
+                t.column("dst").combine_chunks().cast(pa.string()),
+            ]
+        )
+        return pa.table({"node": both.unique()})
+
+    nodes = (
+        slim.map_batches(batch_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.string()),
+                                "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        )
+
+    def batch_deg(t: pa.Table) -> pa.Table:
+        agg = t.group_by("src").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "src": agg.column("src"),
+                "out_deg": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    out_deg = (
+        slim.map_batches(batch_deg, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("out_deg", alias_name="out_deg"))
+        .materialize()
+    )
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pa.array(
+                    np.full(t.num_rows, 1.0 / n_nodes), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iters):
+        # rank/out_deg per source node, shipped along each edge
+        src_rate = lookup_join(
+            out_deg, ranks, key="src", right_key="node"
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "rate": pc.divide(
+                        t.column("rank"),
+                        pc.cast(t.column("out_deg"), pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib = lookup_join(slim, src_rate, key="src").map_batches(
+            lambda t: pa.table({"dst": t.column("dst"), "c": t.column("rate")}),
+            batch_format="pyarrow",
+        )
+        inflow = (
+            contrib.groupby("dst").aggregate(Sum("c", alias_name="inflow"))
+            .materialize()
+        )
+        total_contrib = inflow.aggregate(Sum("inflow"))["sum(inflow)"] or 0.0
+        dangling = max(0.0, 1.0 - float(total_contrib)) / n_nodes
+
+        joined = lookup_join(nodes, inflow, key="node", right_key="dst", how="left")
+
+        def update(t: pa.Table, _base=base, _dangling=dangling) -> pa.Table:
+            inf = pc.coalesce(t.column("inflow"), pa.scalar(0.0, pa.float64()))
+            new = pc.add(
+                pa.scalar(_base + damping * _dangling, pa.float64()),
+                pc.multiply(pa.scalar(damping, pa.float64()), inf),
+            )
+            return pa.table({"node": t.column("node"), "rank": new})
+
+        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pc.round(t.column("rank"), ndigits=9),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
