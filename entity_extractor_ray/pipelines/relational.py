@@ -2093,6 +2093,66 @@ SELECT user_id, event_type AS top_type, n FROM (
 """
 
 
+def events_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    info-theoretic behavioral feature a training pipeline derives per
+    entity. Same scale shape as events_user_mode: map-side (user, type)
+    partial counts, ONE user-keyed bucket shuffle, fully vectorized
+    -Σ p·ln(p) inside the bucket. Floor-truncated to 6 dp (half-even vs
+    half-away rounding never agrees; floor does — memory: tf-idf/BM25 ln
+    parity under the same truncation)."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "event_type": agg.column("event_type"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        merged = (
+            df.groupby(["user_id", "event_type"], sort=False)["n"].sum().reset_index()
+        )
+        tot = merged.groupby("user_id", sort=False)["n"].transform("sum").to_numpy()
+        p = merged["n"].to_numpy() / tot
+        merged["plogp"] = p * np.log(p)
+        ent = merged.groupby("user_id", sort=False)["plogp"].sum()
+        vals = np.floor(-ent.to_numpy() * 1e6) / 1e6
+        # -0.0 from single-type users must print as 0.0 in both engines
+        vals = vals + 0.0
+        return pa.table(
+            {
+                "user_id": pa.array(ent.index.to_numpy(), pa.int64()),
+                "entropy": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+
+
+EVENTS_USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       floor(-sum((CAST(c.n AS DOUBLE) / t.tot) * ln(CAST(c.n AS DOUBLE) / t.tot)) * 1e6) / 1e6
+         AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""
+
+
 def events_pivot_types(sf_dir: str):
     """PIVOT / conditional aggregation: one row per user with a count
     column per event type + total — the wide per-entity feature shape a
@@ -2202,6 +2262,7 @@ def relational_queries():
         "lineitem_qty_moments": lineitem_qty_moments,
         "part_unpivot": part_unpivot,
         "orders_left_bigitem_counts": orders_left_bigitem_counts,
+        "events_user_entropy": events_user_entropy,
     }
 
 
@@ -2252,4 +2313,5 @@ def relational_oracle_sql():
         "lineitem_qty_moments": LINEITEM_QTY_MOMENTS_SQL,
         "part_unpivot": PART_UNPIVOT_SQL,
         "orders_left_bigitem_counts": ORDERS_LEFT_BIGITEM_SQL,
+        "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
     }
