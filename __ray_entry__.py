@@ -99,6 +99,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decontaminate_docs"] = _decontam
 
+    # deterministic train/val/test split (map-only md5 assignment) and
+    # sequence packing (concat-and-chunk trainer feed, one lang shuffle)
+    from entity_extractor_ray.stages import samples as smp
+
+    q["split_documents"] = lambda sf: smp.assign_splits(_docs(sf))
+
+    def _pack(sf):
+        import ray.data as rd
+
+        return ts.pack_documents(
+            rd.read_parquet(
+                f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+        )
+
+    q["pack_documents"] = _pack
+
     # --- dedup family
     q["exact_dedup"] = lambda sf: dd.exact_dedup(_docs(sf))
     q["minhash_dedup"] = lambda sf: dd.minhash_dedup(_docs(sf))
@@ -316,6 +333,10 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import decontam as dc
 
     sql["decontaminate_docs"] = dc.decontaminate_sql()
+    from entity_extractor_ray.stages import samples as smp
+
+    sql["split_documents"] = smp.assign_splits_sql()
+    sql["pack_documents"] = ts.pack_documents_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)

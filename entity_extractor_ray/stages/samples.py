@@ -86,3 +86,42 @@ def stratified_sample(
         return pa.table({c: pa.array(top[c], from_pandas=True) for c in keep_cols})
 
     return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
+
+
+# ------------------------------------------------------------ train/val/test
+
+def assign_splits(ds, key_col: str = "doc_id",
+                  train_lt: str = "cc", val_lt: str = "e6"):
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be STABLE across re-runs, resumes and engines: the
+    first md5-hex byte of the key partitions rows ~80/10/10 (train <
+    0xcc, val < 0xe6, else test). Pure map-side: zero shuffle, no stored
+    split table to drift out of sync with the corpus."""
+    n = 2
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        h2 = np.array([h[:n] for h in md5_hex_array(keys)], dtype=object)
+        split = np.where(
+            h2 < train_lt, "train", np.where(h2 < val_lt, "val", "test")
+        )
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def assign_splits_sql(key_col: str = "doc_id", table: str = "documents",
+                      train_lt: str = "cc", val_lt: str = "e6") -> str:
+    h = f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 2)"
+    return f"""
+    SELECT {key_col},
+           CASE WHEN {h} < '{train_lt}' THEN 'train'
+                WHEN {h} < '{val_lt}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM {table}
+    """

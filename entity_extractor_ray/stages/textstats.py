@@ -385,3 +385,80 @@ def bm25_scores_sql(query: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
     FROM s, g
     WHERE ({score_terms}) > 0
     """
+
+
+# ------------------------------------------------------------ sequence packing
+
+PACK_BUDGET = 4096
+
+
+def pack_documents(docs_ds, budget: int = PACK_BUDGET):
+    """Sequence packing (the concat-and-chunk trainer feed): per language,
+    documents are laid end-to-end in doc_id order and each doc is assigned
+    the bin its FIRST token lands in — bin = exclusive-prefix-sum(n_tokens)
+    // budget. This is the standard streaming pack (a doc may straddle a
+    boundary; it belongs to its starting bin), not NP-hard bin packing.
+
+    Shape: token counts are computed map-side; ONE lang-keyed bucket
+    shuffle orders each language's docs and takes a vectorized cumsum —
+    the prefix sum is per-language sequential by definition, so the
+    partitioning assumption (one language's docs co-located) is the
+    operator's documented requirement; shard further by (lang, doc_id
+    range) with per-range base offsets if one language outgrows a task."""
+    from .shuffle import bucket_group_apply
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": batch["text"]
+                .map(lambda t: len(_TOKEN_RE.findall(t or "")))
+                .astype("int64"),
+            }
+        )
+
+    pre = docs_ds.map_batches(prep, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values("doc_id", kind="mergesort")
+        parts = []
+        for lang, g in df.groupby("lang", sort=False):
+            nt = g["n_tokens"].to_numpy()
+            excl = np.concatenate(([0], np.cumsum(nt)[:-1]))
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                        "lang": pa.array([lang] * len(g), pa.string()),
+                        "n_tokens": pa.array(nt, pa.int64()),
+                        "bin": pa.array(excl // budget, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(pre, ["lang"], bucket_fn, n_buckets=8)
+
+
+def pack_documents_sql(budget: int = PACK_BUDGET) -> str:
+    return f"""
+    WITH tc AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(COALESCE(text, ''), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) // {budget} AS bin
+    FROM tc
+    """
