@@ -109,3 +109,43 @@ def test_kmv_estimates_above_k():
     est = int(out["n"].iloc[0])
     # k=256 -> se ~ 1/sqrt(254) ~ 6.3%; allow 4 sigma
     assert abs(est - n_true) / n_true < 0.25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_documents_straddle_and_order():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.textstats import pack_documents
+
+    # "a b c" = 3 tokens per doc; budget 5: doc0 starts at 0 (bin 0),
+    # doc1 starts at 3 (bin 0, straddles into bin 1), doc2 starts at 6
+    # (bin 1) — straddlers belong to their STARTING bin
+    df = pd.DataFrame(
+        {
+            "doc_id": [2, 0, 1, 3],  # arrival order != doc_id order
+            "text": ["a b c"] * 4,
+            "lang": ["en"] * 4,
+        }
+    )
+    out = (
+        pack_documents(rd.from_pandas(df).repartition(2), budget=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["bin"].tolist() == [0, 0, 1, 1]
+    assert out["n_tokens"].tolist() == [3, 3, 3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assign_splits_deterministic_and_partitioned():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import assign_splits
+
+    df = pd.DataFrame({"doc_id": np.arange(1000)})
+    a = assign_splits(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    b = assign_splits(rd.from_pandas(df).repartition(7)).to_pandas().sort_values("doc_id")
+    assert a["split"].tolist() == b["split"].tolist()  # partition-invariant
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
