@@ -1195,9 +1195,9 @@ def q17_small_quantity_revenue(sf_dir: str):
     — joined back to the same fact; never a per-row re-scan. The predicate
     is evaluated in integer arithmetic (5*qty*cnt < sum_qty ⟺ qty <
     0.2*avg) so boundary membership is bit-exact in both engines."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    from ..stages.shuffle import lookup_join
+    from ..stages.shuffle import bucket_group_apply, lookup_join
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -1213,11 +1213,31 @@ def q17_small_quantity_revenue(sf_dir: str):
             }
         )
 
-    stats = (
-        li.map_batches(partial_stats, batch_format="pyarrow")
-        .groupby("pk")
-        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+    # batch_size must EXCEED the part-key cardinality per batch for the
+    # map-side combine to shrink anything (1024-row default batches over a
+    # 20k-key space emit one partial per raw row — the exchange then
+    # carries the whole fact table and the sort-aggregate dominates the
+    # query); the task-based bucket shuffle then merges partials ~4x
+    # cheaper than Ray's sort-based groupby at this shape
+    pre = li.map_batches(
+        partial_stats, batch_format="pyarrow", batch_size=131072
     )
+
+    def merge_stats(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        g = (
+            df.groupby("pk", sort=False)
+            .agg(sq=("sq", "sum"), cnt=("cnt", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "pk": pa.array(g["pk"].to_numpy(), pa.int64()),
+                "sq": pa.array(g["sq"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    stats = bucket_group_apply(pre, ["pk"], merge_stats, n_buckets=8)
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1246,9 +1266,29 @@ def q17_small_quantity_revenue(sf_dir: str):
         j.map_batches(small_only, batch_format="pyarrow"), part,
         key="l_partkey", right_key="p_partkey",
     )
-    agg = jb.groupby("p_brand").aggregate(
-        Sum("price_cents", alias_name="price_cents"),
-        Count(alias_name="n_small"),
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        # per-batch combine to brand grain (~25 rows) so the final groupby
+        # exchanges partials, never the joined fact
+        tt = pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "price_cents": t.column("price_cents"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = tt.group_by("p_brand").aggregate(
+            [("price_cents", "sum"), ("one", "sum")]
+        )
+        return agg.rename_columns(["p_brand", "price_cents", "n_small"])
+
+    agg = (
+        jb.map_batches(brand_partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n_small", alias_name="n_small"),
+        )
     )
 
     def finalize(t: pa.Table) -> pa.Table:

@@ -337,6 +337,79 @@ def bucket_hash_join(
     return bucket_group_apply(unioned, [key], join_bucket, n_buckets)
 
 
+# ------------------------------------------------------------ bloom pruning
+
+BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate at k=7 hash probes
+BLOOM_K_HASHES = 7
+BLOOM_MAX_BITS = 1 << 31  # 256 MB filter cap — beyond this, skip pruning
+
+
+def _bloom_hashes(values: np.ndarray):
+    """Two derived 64-bit hash streams (double hashing: h1 + i*h2) from one
+    vectorized, process-stable pandas hash pass."""
+    h = pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy()
+    h1 = h
+    h2 = (h >> np.uint64(33)) | (h << np.uint64(31))
+    # h2 must be odd so the double-hash probe sequence cycles the whole table
+    h2 = h2 | np.uint64(1)
+    return h1, h2
+
+
+def build_bloom(keys: np.ndarray, bits_per_key: int = BLOOM_BITS_PER_KEY,
+                k: int = BLOOM_K_HASHES):
+    """(bit array as uint8 bytes, m_bits, k) Bloom filter over ``keys``."""
+    n = max(len(keys), 1)
+    m = min(int(n * bits_per_key), BLOOM_MAX_BITS)
+    m = max(m, 64)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    if len(keys):
+        h1, h2 = _bloom_hashes(keys)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bits, m, k
+
+
+def bloom_contains(bits: np.ndarray, m: int, k: int,
+                   values: np.ndarray) -> np.ndarray:
+    """Vectorized maybe-membership mask (false positives possible, false
+    negatives never)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _bloom_hashes(values)
+    mask = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        mask &= (byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))) != 0
+    return mask
+
+
+def _bloom_prefilter(left, key: str, key_tbls, how: str):
+    """Map-side Bloom pruning before a bucket-join shuffle: left rows whose
+    key cannot exist on the right never enter the exchange. Sound ONLY for
+    inner/semi (every surviving row is re-verified by the real join, so
+    false positives are harmless; left/outer/anti must keep non-matching
+    lefts). The filter is built driver-side from the key columns the
+    broadcast probe already fetched, so pruning costs no extra right-side
+    pass."""
+    import ray
+
+    if how not in ("inner", "semi") or not key_tbls:
+        return left
+    keys = pa.concat_tables(key_tbls).column(key_tbls[0].column_names[0])
+    bits, m, k = build_bloom(keys.to_numpy(zero_copy_only=False))
+    bloom_ref = ray.put((bits, m, k))
+
+    def prune(t: pa.Table) -> pa.Table:
+        b, mm, kk = ray.get(bloom_ref)
+        vals = t.column(key).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(b, mm, kk, vals)))
+
+    return left.map_batches(prune, batch_format="pyarrow")
+
+
 def lookup_join(
     left,
     right,
@@ -387,6 +460,9 @@ def lookup_join(
     # blocks only — pandas blocks re-run the original plan)
     right_mat = rd.from_arrow_refs(refs) if (refs and all_arrow) else right
     if n_rows > broadcast_limit or n_bytes > broadcast_bytes_limit:
+        # too big to broadcast whole — but its ~10-bits/key Bloom filter is
+        # not: prune the left map-side so only maybe-matching rows shuffle
+        left = _bloom_prefilter(left, key, key_tbls, how)
         return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
     if n_rows > 0:
         import pyarrow.compute as pc
@@ -395,6 +471,7 @@ def lookup_join(
         if pc.count_distinct(keys_concat).as_py() != n_rows:
             # non-unique right keys: the broadcast index would mis-probe;
             # the bucket join's pandas merge handles multiplicity correctly
+            left = _bloom_prefilter(left, key, key_tbls, how)
             return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
 
     if schemas:
