@@ -1141,8 +1141,10 @@ def q3_shipping_priority(sf_dir: str):
             .rename_columns(["l_orderkey", "rev_units"])
         )
 
+    # batch_size >> orderkey cardinality per batch, else the per-batch
+    # combine emits one partial per raw lineitem (the q17 lesson)
     joined = lookup_join(
-        li.map_batches(late_revenue, batch_format="pyarrow"),
+        li.map_batches(late_revenue, batch_format="pyarrow", batch_size=131072),
         open_orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
         key="l_orderkey", right_key="o_orderkey", how="inner",
     )
@@ -2041,7 +2043,7 @@ def orders_left_bigitem_counts(sf_dir: str):
         )
 
     counts = (
-        li.map_batches(partial, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow", batch_size=131072)
         .groupby("l_orderkey")
         .aggregate(Sum("n_big", alias_name="n_big"))
     )
