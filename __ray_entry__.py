@@ -131,6 +131,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_cosine_pairs"] = lambda sf: dd.embedding_cosine_pairs(_embs(sf), threshold=0.35)
     q["embedding_lsh_pairs"] = lambda sf: dd.embedding_lsh_pairs(_embs(sf), threshold=0.35)
 
+    # --- clustering + semantic dedup (SemDeDup shape: cluster, then prune
+    # within-cluster near-duplicates). rows-only: iterative k-means is not
+    # ANSI-SQL expressible; recovery/equality pinned by tests/test_cluster.py
+    # (planted blobs, distributed-vs-serial fit equality, serial SemDeDup
+    # reference, partition invariance, logged cluster cap)
+    from entity_extractor_ray.stages import cluster as cls_
+
+    q["kmeans_clusters"] = lambda sf: cls_.kmeans_embeddings(_embs(sf), k=10, n_iter=6)
+    q["semantic_dedup_embeddings"] = lambda sf: cls_.semantic_dedup(
+        _embs(sf), threshold=0.9, k=10, n_iter=6
+    )
+
     # --- similarity search
     q["knn_cosine"] = lambda sf: sim.knn_cosine(_embs(sf), query_ids=[0, 1, 2], k=10)
     # predicate-filtered retrieval (the reference always scopes kNN by
