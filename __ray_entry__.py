@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["redact_terms_documents"] = lambda sf: _docs(sf).map_batches(
         ts.redact_terms, batch_format="pyarrow"
     )
+    q["repetition_features"] = lambda sf: _docs(sf).map_batches(
+        ts.repetition_features, batch_format="pyarrow"
+    )
     # corpus statistics + retrieval scoring (tf-idf vocabulary, BM25)
     q["vocab_stats"] = lambda sf: ts.vocab_stats(_docs(sf), min_df=5)
     q["bm25_scores"] = lambda sf: ts.bm25_scores(_docs(sf), "window merge join")
@@ -337,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = ts.lang_id_sql()
     sql["doc_fingerprints"] = ts.exact_fingerprints_sql()
     sql["redact_terms_documents"] = ts.redact_terms_sql()
+    sql["repetition_features"] = ts.repetition_features_sql()
     sql["vocab_stats"] = ts.vocab_stats_sql(min_df=5)
     sql["bm25_scores"] = ts.bm25_scores_sql("window merge join")
     from entity_extractor_ray.stages import sketches as sk

@@ -175,6 +175,76 @@ def exact_fingerprints_sql() -> str:
     return "SELECT doc_id, md5(COALESCE(text, '')) AS fingerprint FROM documents"
 
 
+# ------------------------------------------------------- repetition filters
+
+def repetition_features(batch: pa.Table) -> pa.Table:
+    """doc_id, n_words, n_dup_words, dup_word_frac, top_word_frac —
+    Gopher-style repetition quality signals (Rae et al. 2021 use
+    duplicate-line and top-n-gram fractions; this corpus is single-line
+    word streams, so the word-level analogs): the fraction of words that
+    are repeats of an earlier word, and the frequency share of the single
+    most common word. High values flag degenerate/boilerplate documents
+    for a pre-training quality filter.
+
+    Fully vectorized: one Arrow split per batch, doc index from the list
+    OFFSETS (never a per-row Python loop), pd.factorize over the flat word
+    array, np.unique over combined (doc, word) int keys for per-doc distinct
+    and top counts. Fractions floor-truncated to 6dp (half-even vs half-away
+    rounding divergence — see quality_features)."""
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(batch.column("text"), "")
+    words = pc.split_pattern(text, pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False)
+    n_words = np.diff(offsets).astype(np.int64)
+    n_docs = len(n_words)
+    flat = words.flatten().to_pandas()
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    codes, uniques = pd.factorize(flat, sort=False)
+    keys = doc_idx * np.int64(len(uniques) + 1) + codes.astype(np.int64)
+    ukeys, cnts = np.unique(keys, return_counts=True)
+    udoc = (ukeys // np.int64(len(uniques) + 1)).astype(np.int64)
+    n_distinct = np.bincount(udoc, minlength=n_docs).astype(np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top, udoc, cnts)
+    nw = np.maximum(n_words, 1)
+    dup = n_words - n_distinct
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_dup_words": pa.array(dup, pa.int64()),
+            "dup_word_frac": pa.array(np.floor(1e6 * dup / nw) / 1e6, pa.float64()),
+            "top_word_frac": pa.array(np.floor(1e6 * top / nw) / 1e6, pa.float64()),
+        }
+    )
+
+
+def repetition_features_sql() -> str:
+    # same expression tree: counts as BIGINT, 1e6*x/y multiplied-then-divided
+    return """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word
+      FROM documents
+    ), c AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+    ), a AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS top_cnt
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           n_words - n_distinct AS n_dup_words,
+           floor(1000000.0 * (n_words - n_distinct) / greatest(n_words, 1)) / 1000000 AS dup_word_frac,
+           floor(1000000.0 * top_cnt / greatest(n_words, 1)) / 1000000 AS top_word_frac
+    FROM a
+    """
+
+
 # ------------------------------------------------------- term redaction
 
 # The shape of a PII scrub stage (emails/phones/ids masked before training):
