@@ -65,6 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _docs_cols(sf_dir, cols):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
     q: dict[str, Callable[[str], Any]] = dict(rel.relational_queries())
 
     # --- text analysis (SURVEY §2.2 M-ops generalized to documents)
@@ -88,6 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import sketches as sk
 
     q["top_tokens"] = lambda sf: sk.frequent_tokens(_docs(sf), top_n=20)
+    # mergeable capped-histogram quantile sketch (exact below k bins — all
+    # test tiers; ~2n/k rank error beyond, flagged in the `exact` column)
+    q["approx_length_quantiles"] = lambda sf: sk.approx_quantiles_by(
+        _docs_cols(sf, ["lang", "n_chars"]), "lang", "n_chars", qs=(0.5, 0.9)
+    )
     # eval-set decontamination: broadcast snippet scan, map-only (no shuffle)
     from entity_extractor_ray.stages import decontam as dc
 
@@ -346,6 +356,9 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import sketches as sk
 
     sql["top_tokens"] = sk.frequent_tokens_sql(top_n=20)
+    sql["approx_length_quantiles"] = sk.approx_quantiles_sql(
+        "documents", "lang", "n_chars", qs=(0.5, 0.9)
+    )
     from entity_extractor_ray.stages import decontam as dc
 
     sql["decontaminate_docs"] = dc.decontaminate_sql()

@@ -104,6 +104,182 @@ def approx_distinct_by(
     return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
 
 
+# ------------------------------------------------------ approximate quantiles
+
+def _compact_bins(vals: np.ndarray, cnts: np.ndarray, k: int):
+    """Merge adjacent histogram bins (smallest combined count first, ties by
+    value) until at most ``k`` bins remain — the Ben-Haim & Tom-Tov streaming
+    decision-tree histogram's compaction, made deterministic. Inputs must be
+    sorted ascending by value with positive counts; the merged bin sits at
+    the count-weighted mean of its parents, so total mass and value bounds
+    are preserved and the rank error of any quantile read off the compacted
+    histogram is at most the largest bin's mass (~2n/k for smallest-first
+    merging)."""
+    import heapq
+
+    m = len(vals)
+    if m <= k:
+        return vals, cnts
+    vals = vals.astype(np.float64).copy()
+    cnts = cnts.astype(np.int64).copy()
+    nxt = np.arange(1, m + 1, dtype=np.int64)
+    nxt[m - 1] = -1
+    prv = np.arange(-1, m - 1, dtype=np.int64)
+    alive = np.ones(m, dtype=bool)
+    ver = np.zeros(m, dtype=np.int64)
+    heap = [
+        (int(cnts[i] + cnts[i + 1]), float(vals[i]), i, 0, 0) for i in range(m - 1)
+    ]
+    heapq.heapify(heap)
+    n_bins = m
+    while n_bins > k and heap:
+        _, _, i, vi, vj = heapq.heappop(heap)
+        j = nxt[i]
+        if not alive[i] or j == -1 or ver[i] != vi or ver[j] != vj:
+            continue  # stale entry (one endpoint already merged)
+        tot = cnts[i] + cnts[j]
+        vals[i] = (vals[i] * cnts[i] + vals[j] * cnts[j]) / tot
+        cnts[i] = tot
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[j] != -1:
+            prv[nxt[j]] = i
+        ver[i] += 1
+        n_bins -= 1
+        if nxt[i] != -1:
+            heapq.heappush(
+                heap,
+                (int(cnts[i] + cnts[nxt[i]]), float(vals[i]), i,
+                 int(ver[i]), int(ver[nxt[i]])),
+            )
+        if prv[i] != -1:
+            p = prv[i]
+            heapq.heappush(
+                heap,
+                (int(cnts[p] + cnts[i]), float(vals[p]), int(p),
+                 int(ver[p]), int(ver[i])),
+            )
+    return vals[alive], cnts[alive]
+
+
+def _q_col(q: float) -> str:
+    return f"p{int(round(q * 100))}"
+
+
+def approx_quantiles_by(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs=(0.5, 0.9),
+    k: int = 4096,
+    n_buckets: int = 8,
+):
+    """Per group: approximate quantiles of ``value_col`` from a MERGEABLE
+    capped histogram (at most ``k`` bins per group per batch leave the map
+    side, regardless of group size — the exact grouped-quantile operator's
+    O(distinct values) state bounded to O(k)).
+
+    Like the KMV sketch above, the estimator is EXACT below its cap: when no
+    batch ever exceeded k distinct values for a group and the merged
+    histogram still fits, the histogram IS the full value distribution and
+    the reported quantiles follow DuckDB's quantile_disc rule bit-for-bit
+    (hence the SQL oracle at test scale); beyond the cap, bins compact to
+    count-weighted means (rank error <= max bin mass ~ 2n/k) and the
+    ``exact`` flag flips to false — documented, never silent. Exact-regime
+    results are partition-invariant; approx-regime results are deterministic
+    given the batch layout (compaction order depends on which values share a
+    batch), the same caveat class as the Misra-Gries partials below.
+
+    Output: (group_col, n int64, p<q> float64 per q, exact bool).
+    """
+    q_cols = [_q_col(q) for q in qs]
+
+    def local_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df[[group_col, value_col]]
+            .dropna()
+            .groupby([group_col, value_col], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        parts = []
+        for grp, sub in g.groupby(group_col, sort=False):
+            sub = sub.sort_values(value_col, kind="mergesort")
+            vals = sub[value_col].to_numpy(np.float64)
+            cnts = sub["cnt"].to_numpy(np.int64)
+            comp = len(vals) > k
+            if comp:
+                logger.warning(
+                    "approx_quantiles_by: group %r batch has %d distinct values"
+                    " > k=%d; compacting (quantiles become ~2n/k-rank-error"
+                    " estimates)", grp, len(vals), k,
+                )
+                vals, cnts = _compact_bins(vals, cnts, k)
+            parts.append(
+                pd.DataFrame(
+                    {group_col: grp, "__v": vals, "__c": cnts, "__comp": comp}
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=g[group_col].dtype),
+                    "__v": pd.Series([], dtype=np.float64),
+                    "__c": pd.Series([], dtype=np.int64),
+                    "__comp": pd.Series([], dtype=bool),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    pre = ds.map_batches(local_hist, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        out: dict = {group_col: [], "n": [], "exact": []}
+        for c in q_cols:
+            out[c] = []
+        for grp, sub in df.groupby(group_col, sort=False):
+            m = sub.groupby("__v", sort=True)["__c"].sum().reset_index()
+            vals = m["__v"].to_numpy(np.float64)
+            cnts = m["__c"].to_numpy(np.int64)
+            exact = not bool(sub["__comp"].any())
+            if len(vals) > k:
+                vals, cnts = _compact_bins(vals, cnts, k)
+                exact = False
+            cum = cnts.cumsum()
+            n = int(cum[-1])
+            out[group_col].append(grp)
+            out["n"].append(n)
+            out["exact"].append(exact)
+            for q, c in zip(qs, q_cols):
+                # DuckDB quantile_disc rule: sorted[ceil(q*n) - 1]
+                out[c].append(float(vals[np.searchsorted(cum, int(np.ceil(q * n)))]))
+        tbl = {
+            group_col: pa.array(out[group_col]),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+        for c in q_cols:
+            tbl[c] = pa.array(out[c], pa.float64())
+        tbl["exact"] = pa.array(out["exact"], pa.bool_())
+        return pa.table(tbl)
+
+    return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
+
+
+def approx_quantiles_sql(
+    table: str, group_col: str, value_col: str, qs=(0.5, 0.9)
+) -> str:
+    """Oracle for the EXACT regime (every group below k distinct values —
+    the test tiers): quantile_disc per group plus the always-true exact flag."""
+    cols = ", ".join(
+        f"CAST(quantile_disc({value_col}, {q}) AS DOUBLE) AS {_q_col(q)}" for q in qs
+    )
+    return (
+        f"SELECT {group_col}, CAST(count(*) AS BIGINT) AS n, {cols}, "
+        f"TRUE AS exact FROM {table} WHERE {value_col} IS NOT NULL "
+        f"GROUP BY {group_col}"
+    )
+
+
 # ------------------------------------------------------------ heavy hitters
 
 def frequent_tokens(docs_ds, top_n: int = 20, k: int = 65536):

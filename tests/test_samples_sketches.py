@@ -149,3 +149,95 @@ def test_assign_splits_deterministic_and_partitioned():
     assert a["split"].tolist() == b["split"].tolist()  # partition-invariant
     frac = a["split"].value_counts(normalize=True)
     assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
+
+
+# -------------------------------------------------- approximate quantiles
+
+def test_compact_bins_invariants():
+    from entity_extractor_ray.stages.sketches import _compact_bins
+
+    rng = np.random.default_rng(3)
+    x = np.round(rng.lognormal(5, 1.2, 50_000), 2)
+    vals, cnts = np.unique(x, return_counts=True)
+    cv, cc = _compact_bins(vals, cnts, 256)
+    assert len(cv) == 256
+    assert cc.sum() == len(x)                      # mass preserved
+    assert np.all(np.diff(cv) > 0)                 # still sorted ascending
+    assert vals[0] <= cv[0] and cv[-1] <= vals[-1]  # value bounds preserved
+    # no-op below the cap
+    sv, sc = _compact_bins(vals[:100], cnts[:100], 256)
+    assert np.array_equal(sv, vals[:100]) and np.array_equal(sc, cnts[:100])
+
+
+def test_compact_bins_merge_accuracy():
+    """Map-side compaction + merge + reduce compaction keeps quantile rank
+    error far below the ~2/k bound on a heavy-tailed 200k-value stream."""
+    from entity_extractor_ray.stages.sketches import _compact_bins
+
+    rng = np.random.default_rng(0)
+    x = np.round(rng.lognormal(5, 1.2, 200_000), 2)
+    k = 512
+    merged: dict = {}
+    for ch in np.array_split(rng.permutation(x), 20):
+        v, c = np.unique(ch, return_counts=True)
+        v, c = _compact_bins(v, c, k)
+        for vv, cc in zip(v, c):
+            merged[vv] = merged.get(vv, 0) + cc
+    mv = np.array(sorted(merged))
+    mc = np.array([merged[v] for v in mv])
+    mv, mc = _compact_bins(mv, mc, k)
+    assert mc.sum() == len(x)
+    cum = mc.cumsum()
+    xs = np.sort(x)
+    for q in (0.5, 0.9, 0.99):
+        est = mv[np.searchsorted(cum, int(np.ceil(q * len(x))))]
+        rank_err = abs(np.searchsorted(xs, est, side="right") / len(xs) - q)
+        assert rank_err < 0.02, (q, rank_err)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_exact_regime():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import approx_quantiles_by
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 5000),
+            "v": rng.integers(0, 300, 5000),  # < k distinct -> exact
+        }
+    )
+    out = (
+        approx_quantiles_by(rd.from_pandas(df).repartition(5), "g", "v",
+                            qs=(0.5, 0.9), k=4096, n_buckets=2)
+        .to_pandas().set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        xs = np.sort(sub["v"].to_numpy())
+        assert out.loc[g, "exact"]
+        assert out.loc[g, "n"] == len(xs)
+        for q, col in [(0.5, "p50"), (0.9, "p90")]:
+            assert out.loc[g, col] == float(xs[int(np.ceil(q * len(xs))) - 1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_above_cap_flags_and_estimates():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import approx_quantiles_by
+
+    rng = np.random.default_rng(1)
+    x = np.round(rng.lognormal(5, 1.0, 30_000), 3)  # ~30k distinct > k
+    df = pd.DataFrame({"g": ["hot"] * len(x), "v": x})
+    out = approx_quantiles_by(
+        rd.from_pandas(df).repartition(4), "g", "v", qs=(0.5, 0.9),
+        k=512, n_buckets=2,
+    ).to_pandas()
+    assert not out["exact"].iloc[0]
+    assert out["n"].iloc[0] == len(x)
+    xs = np.sort(x)
+    for q, col in [(0.5, "p50"), (0.9, "p90")]:
+        est = out[col].iloc[0]
+        rank_err = abs(np.searchsorted(xs, est, side="right") / len(xs) - q)
+        assert rank_err < 0.02, (q, rank_err)
