@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exact inverted-index n-gram Jaccard (oracle-backed); the LSH-candidate
     # verified variant stays as a rows-only entry
     q["ngram_jaccard_pairs"] = lambda sf: dd.ngram_jaccard_pairs(_docs(sf), threshold=0.3)
+    # exact-substring dedup (Lee et al. 2021 shape): maximal duplicated
+    # k-token-gram spans via two bounded shuffles; hash-green DuckDB oracle
+    q["duplicate_ngram_spans"] = lambda sf: dd.duplicate_ngram_spans(_docs(sf))
     q["minhash_verified_pairs"] = lambda sf: dd.verify_jaccard_pairs(
         dd.minhash_candidate_pairs(_docs(sf)), _docs(sf), threshold=0.3, use_words=True
     )
@@ -368,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pack_documents"] = ts.pack_documents_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)
+    sql["duplicate_ngram_spans"] = dd.duplicate_ngram_spans_sql()
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
     sql["knn_cosine_filtered"] = sim.knn_cosine_sql(

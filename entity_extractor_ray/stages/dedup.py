@@ -523,6 +523,147 @@ def ngram_jaccard_pairs(docs_ds, n: int = NGRAM_N, threshold: float = 0.3,
     return bucket_group_apply(partials, ["id_a", "id_b"], pair_reduce, n_buckets)
 
 
+DUP_NGRAM_K = 13
+
+
+def _gram_pos_rows(batch: pd.DataFrame, k: int = DUP_NGRAM_K) -> pd.DataFrame:
+    """doc -> one row per k-token-gram POSITION: (gram hash, doc_id, pos).
+    Unlike _gram_rows (distinct grams for Jaccard), every position is kept —
+    span recovery needs to know WHERE each duplicated gram sits. Tokenizer is
+    the corpus-statistics [a-z0-9]+ pretokenizer so dedup agrees with
+    vocab_stats/BM25/top_tokens on what a token is. Gram hashing = pandas'
+    fixed-key siphash (vectorized, process-stable; the same 64-bit-collision
+    discipline as ngram_jaccard_pairs)."""
+    from .textstats import _VOCAB_RE
+
+    out_gram: List[str] = []
+    out_doc: List[int] = []
+    out_pos: List[int] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = _VOCAB_RE.findall((text or "").lower())
+        m = len(toks) - k + 1
+        if m <= 0:
+            continue
+        out_gram.extend(" ".join(toks[i : i + k]) for i in range(m))
+        out_doc.extend([doc_id] * m)
+        out_pos.extend(range(m))
+    hashes = pd.util.hash_pandas_object(pd.Series(out_gram, dtype=object), index=False)
+    return pd.DataFrame(
+        {
+            "gram": hashes.to_numpy().astype(np.int64),
+            "doc_id": np.asarray(out_doc, dtype=np.int64),
+            "pos": np.asarray(out_pos, dtype=np.int64),
+        }
+    )
+
+
+def duplicate_ngram_spans(docs_ds, k: int = DUP_NGRAM_K, min_count: int = 2,
+                          n_buckets: int = 32):
+    """Repeated-substring spans: maximal token ranges covered by k-token
+    grams that occur >= min_count times ANYWHERE in the corpus (within- or
+    cross-document) — the exact-substring-dedup semantics of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), re-expressed
+    as two bounded shuffles instead of a monolithic suffix array:
+
+      1. map-side: one (gram_hash, doc_id, pos) row per k-gram position;
+      2. ONE gram-keyed shuffle; positions of grams with corpus count >=
+         min_count survive (a linear filter per posting list — never a pair
+         explosion, so hot boilerplate grams cost O(occurrences));
+      3. ONE doc-keyed shuffle; per doc the surviving positions sort once and
+         merge into maximal spans (gap > k starts a new span; [p, p+k) and
+         [p', p'+k) merge when p' - p <= k, adjacency included).
+
+    Output: (doc_id, start_tok int64, end_tok int64 exclusive, n_grams) —
+    downstream trimming drops tokens [start_tok, end_tok). Shuffle volume is
+    one row per token position (the inverted-index bound); at 100 TB, front
+    it with a document-frequency Bloom/HLL prune if min_count > 2 is
+    acceptable."""
+    from .shuffle import bucket_group_apply
+
+    grams = docs_ds.map_batches(
+        _gram_pos_rows, fn_kwargs={"k": k}, batch_format="pandas"
+    )
+
+    def dup_positions(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        cnt = df.groupby("gram", sort=False)["gram"].transform("size")
+        kept = df[cnt.to_numpy() >= min_count]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                "pos": pa.array(kept["pos"].to_numpy(), pa.int64()),
+            }
+        )
+
+    dups = bucket_group_apply(grams, ["gram"], dup_positions, n_buckets)
+
+    def spans_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "start_tok": pa.array([], pa.int64()),
+                    "end_tok": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                }
+            )
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        new_span = np.ones(len(doc), dtype=bool)
+        if len(doc) > 1:
+            same_doc = doc[1:] == doc[:-1]
+            near = (pos[1:] - pos[:-1]) <= k
+            new_span[1:] = ~(same_doc & near)
+        starts = np.flatnonzero(new_span)
+        ends = np.concatenate([starts[1:], [len(doc)]])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "start_tok": pa.array(pos[starts], pa.int64()),
+                "end_tok": pa.array(pos[ends - 1] + k, pa.int64()),
+                "n_grams": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(dups, ["doc_id"], spans_bucket, n_buckets)
+
+
+def duplicate_ngram_spans_sql(k: int = DUP_NGRAM_K, min_count: int = 2) -> str:
+    """DuckDB oracle: same [a-z0-9]+ tokens, same k-gram positions, same
+    >= min_count corpus filter, same gap->span merge (gaps-and-islands via
+    lag + running sum)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+{k}-1], ' ') AS gram
+      FROM (SELECT doc_id, ts,
+                   unnest(range(1, greatest(len(ts) - {k} + 2, 1))) AS i
+            FROM toks)
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= {min_count}
+    ), pos AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id
+                    ORDER BY pos), -{k + 1}) > {k} THEN 1 ELSE 0 END AS brk
+      FROM pos
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + {k} AS BIGINT) AS end_tok,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM grp GROUP BY doc_id, isl
+    """
+
+
 def ngram_jaccard_pairs_sql(n: int = NGRAM_N, threshold: float = 0.3) -> str:
     """DuckDB oracle for ngram_jaccard_pairs: same grams (\\w+ over lowered
     text, <n-word docs fold to one joined gram, empty docs emit none), same

@@ -103,3 +103,59 @@ class TestEmbeddingDedup:
         for a, b in found:
             if a < 100 and b < 100:
                 pytest.fail(f"unrelated docs {a},{b} linked by embedding")
+
+
+# ------------------------------------------------ duplicated n-gram spans
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_ngram_spans_planted():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.dedup import duplicate_ngram_spans
+
+    shared = " ".join(f"tok{i}" for i in range(13))  # one exact 13-gram
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"alpha beta {shared} gamma delta",       # dup at pos 2
+                f"{shared} epsilon zeta",                  # dup at pos 0
+                "nothing repeated here at all",            # no dup
+            ],
+        }
+    )
+    out = (
+        duplicate_ngram_spans(rd.from_pandas(docs).repartition(2), k=13, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out.loc[0, ["start_tok", "end_tok", "n_grams"]].tolist() == [2, 15, 1]
+    assert out.loc[1, ["start_tok", "end_tok", "n_grams"]].tolist() == [0, 13, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_ngram_spans_within_doc_and_merge():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.dedup import duplicate_ngram_spans
+
+    # same 4-gram twice WITHIN one doc at positions 0 and 5: gap 5 > k=4
+    # would split, gap <= k merges — plant both cases
+    reps = "a b c d"
+    doc0 = f"{reps} x {reps}"            # positions 0 and 5, gap 5 > 4 -> two spans
+    doc1 = f"{reps} {reps}"              # positions 0 and 4, gap 4 <= 4 -> one span
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [doc0, doc1]})
+    out = (
+        duplicate_ngram_spans(rd.from_pandas(docs), k=4, n_buckets=2)
+        .to_pandas()
+        .sort_values(["doc_id", "start_tok"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    assert list(map(tuple, d0[["start_tok", "end_tok"]].to_numpy())) == [(0, 4), (5, 9)]
+    d1 = out[out["doc_id"] == 1]
+    # doc1 contains "a b c d a b c d": grams at 0 and 4 are the planted dup,
+    # plus the bridging grams ("b c d a" etc.) are unique -> span [0, 8)
+    assert list(map(tuple, d1[["start_tok", "end_tok"]].to_numpy())) == [(0, 8)]
