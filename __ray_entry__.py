@@ -86,6 +86,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_features"] = lambda sf: _docs(sf).map_batches(
         ts.repetition_features, batch_format="pyarrow"
     )
+    # percentile-gated quality curation: per-lang quantile threshold from a
+    # histogram pre-reduction, broadcast gate, map-only filter pass
+    q["curate_documents"] = lambda sf: ts.curate_by_quality(
+        _docs_cols(sf, ["doc_id", "text", "lang"]), q=0.2
+    )
     # corpus statistics + retrieval scoring (tf-idf vocabulary, BM25)
     q["vocab_stats"] = lambda sf: ts.vocab_stats(_docs(sf), min_df=5)
     q["bm25_scores"] = lambda sf: ts.bm25_scores(_docs(sf), "window merge join")
@@ -354,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprints"] = ts.exact_fingerprints_sql()
     sql["redact_terms_documents"] = ts.redact_terms_sql()
     sql["repetition_features"] = ts.repetition_features_sql()
+    sql["curate_documents"] = ts.curate_by_quality_sql(q=0.2)
     sql["vocab_stats"] = ts.vocab_stats_sql(min_df=5)
     sql["bm25_scores"] = ts.bm25_scores_sql("window merge join")
     from entity_extractor_ray.stages import sketches as sk

@@ -97,6 +97,101 @@ def exact_fingerprints(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def curate_by_quality(docs_ds, q: float = 0.2, n_buckets: int = 4):
+    """Percentile-gated quality curation — the composed training-data
+    filtering pass: score every document (quality_features), find each
+    language's q-th score percentile, keep documents scoring AT OR ABOVE
+    their language's threshold. Two streaming passes over the corpus (the
+    BM25 stats-then-score shape):
+
+      pass 1: map-side (lang, score) histogram pre-reduction -> one tiny
+              lang-keyed shuffle -> per-lang quantile_disc threshold. The
+              threshold table is DIMENSION-sized (one row per language), so
+              pulling it to the driver and closing over it is a broadcast,
+              not a materialization.
+      pass 2: pure map-side filter against the broadcast thresholds.
+
+    Threshold rule is DuckDB quantile_disc (sorted[ceil(q*n)-1]) over the
+    floor-truncated 6dp score both engines compute identically, so the >=
+    gate is float-exact. Output: (doc_id, lang, quality_score) survivors."""
+    import numpy as np
+
+    from .shuffle import bucket_group_apply
+
+    def scored_ds():
+        def feats(batch: pd.DataFrame) -> pd.DataFrame:
+            f = quality_features(batch)
+            return pd.DataFrame(
+                {
+                    "doc_id": f["doc_id"],
+                    "lang": batch["lang"],
+                    "quality_score": f["quality_score"],
+                }
+            )
+
+        return docs_ds.map_batches(feats, batch_format="pandas")
+
+    def histogram(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["lang", "quality_score"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    def thr_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        langs, thrs = [], []
+        merged = df.groupby(["lang", "quality_score"], sort=False)["cnt"].sum().reset_index()
+        for lang, g in merged.groupby("lang", sort=False):
+            g = g.sort_values("quality_score", kind="mergesort")
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            langs.append(lang)
+            thrs.append(
+                float(g["quality_score"].to_numpy()[np.searchsorted(cum, int(np.ceil(q * n)))])
+            )
+        return pa.table(
+            {"lang": pa.array(langs, pa.string()), "thr": pa.array(thrs, pa.float64())}
+        )
+
+    pre = scored_ds().map_batches(histogram, batch_format="pandas")
+    thr_rows = bucket_group_apply(pre, ["lang"], thr_bucket, n_buckets).take_all()
+    thr = {r["lang"]: r["thr"] for r in thr_rows}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        gates = df["lang"].map(thr).to_numpy(np.float64)
+        return df[df["quality_score"].to_numpy() >= gates]
+
+    return scored_ds().map_batches(keep, batch_format="pandas")
+
+
+def curate_by_quality_sql(q: float = 0.2) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS words
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+             CAST(length(words) AS BIGINT) AS n_words,
+             CAST(length(list_filter(words, x -> x IN ({stop_list}))) AS BIGINT) AS n_stop
+      FROM w
+    ), scored AS (
+      SELECT doc_id, lang,
+             floor((0.5 * least(n_words, 200) / 200.0
+                   + 0.5 * (n_stop / greatest(n_words, 1))) * 1000000) / 1000000
+               AS quality_score
+      FROM c
+    ), thr AS (
+      SELECT lang, quantile_disc(quality_score, {q}) AS thr
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_score
+    FROM scored s JOIN thr USING (lang)
+    WHERE s.quality_score >= thr.thr
+    """
+
+
 def winnow_fingerprints(batch: pd.DataFrame) -> pa.Table:
     """doc_id, fingerprints(list<int64>), n_fingerprints — winnowing-style
     rolling-hash document fingerprint (functions/textnorm.rolling_fingerprint).

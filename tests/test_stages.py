@@ -479,3 +479,34 @@ class TestDecontaminate:
             decontam.decontaminate(
                 self._docs(rows), eval_mod=1, snip_start=20, snip_len=60, min_chars=120
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_by_quality_per_lang_gate():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.textstats import curate_by_quality
+
+    # lang 'aa': clearly-separated scores; q=0.5 threshold is the median
+    # score value itself and >= keeps it. lang 'bb': all identical scores
+    # -> nothing is dropped.
+    good = "the and for with that this from " * 30     # all stopwords, long
+    bad = "xxzz qqrr ttyy"                             # no stopwords, short
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [good, good, bad, bad, bad, bad],
+            "lang": ["aa", "aa", "aa", "aa", "bb", "bb"],
+        }
+    )
+    out = curate_by_quality(rd.from_pandas(docs).repartition(3), q=0.5).to_pandas()
+    kept = set(out["doc_id"])
+    # 'aa' median over [g,g,b,b] -> sorted[ceil(0.5*4)-1] = the 2nd-lowest
+    # (a bad score); >= keeps the two bad docs AND the two good docs
+    assert {0, 1, 2, 3} <= kept
+    # 'bb' all-equal scores: both survive
+    assert {4, 5} <= kept
+    # stricter gate: q high enough that only the good docs survive in 'aa'
+    out2 = curate_by_quality(rd.from_pandas(docs).repartition(3), q=0.75).to_pandas()
+    aa = out2[out2["lang"] == "aa"]
+    assert set(aa["doc_id"]) == {0, 1}
