@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import samples as smp
 
     q["split_documents"] = lambda sf: smp.assign_splits(_docs(sf))
+    # integer-ratio domain-mixture resampling (data mixing): per-source
+    # quotas from one dimension-sized count, bottom-quota md5 draw
+    q["rebalance_sources"] = lambda sf: smp.rebalance_sources(
+        _docs_cols(sf, ["doc_id", "source"])
+    )
 
     def _pack(sf):
         import ray.data as rd
@@ -374,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import samples as smp
 
     sql["split_documents"] = smp.assign_splits_sql()
+    sql["rebalance_sources"] = smp.rebalance_sources_sql()
     sql["pack_documents"] = ts.pack_documents_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)

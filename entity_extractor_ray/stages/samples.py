@@ -88,6 +88,108 @@ def stratified_sample(
     return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
 
 
+# ------------------------------------------------------------ data mixing
+
+MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "src3": 1}
+
+
+def rebalance_sources(
+    ds,
+    weights: dict | None = None,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 8,
+):
+    """Deterministic domain-mixture resampling (the data-mixing pass of a
+    training pipeline, DoReMi/The-Pile style fixed mixtures): downsample each
+    source to an INTEGER-RATIO target mixture. With weights {A:3, B:1} the
+    output holds exactly 3 A-docs per B-doc, as large as availability allows:
+
+        units    = min over weighted sources present of (n_s // w_s)
+        quota_s  = w_s * units        (all integer arithmetic — float-exact
+                                       boundaries cannot exist)
+
+    and each source keeps its quota_s docs with the SMALLEST
+    (md5(str(key)), key) — the stratified_sample draw, so the selection is
+    uniform-without-replacement, re-run-stable and engine-independent.
+    Sources without a weight are dropped (weight 0). Two cheap exchanges:
+    a per-source count (map-side combined by Ray's Count) whose result is
+    DIMENSION-sized and closes over the filter as a broadcast, then the
+    bottom-quota selection with a per-batch combiner — exchange volume
+    O(quota x batches), never the corpus."""
+    weights = dict(MIX_WEIGHTS if weights is None else weights)
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    avail = [counts[s] // w for s, w in weights.items() if w > 0 and s in counts]
+    units = min(avail) if avail else 0
+    quotas = {s: w * units for s, w in weights.items() if w > 0}
+
+    def local_bottomq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin(quotas)]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    group_col: pd.Series([], dtype=object),
+                    "__h": pd.Series([], dtype=object),
+                }
+            )
+        df = df.assign(__h=md5_hex_array(df[key_col].to_numpy()))
+        df = df.sort_values([group_col, "__h", key_col], kind="mergesort")
+        rank = df.groupby(group_col, sort=False).cumcount()
+        gate = df[group_col].map(quotas).to_numpy(np.int64)
+        return df.loc[rank.to_numpy() < gate, [key_col, group_col, "__h"]]
+
+    pre = ds.select_columns([key_col, group_col]).map_batches(
+        local_bottomq, batch_format="pandas"
+    )
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values([group_col, "__h", key_col], kind="mergesort")
+        rank = df.groupby(group_col, sort=False).cumcount()
+        gate = df[group_col].map(quotas).to_numpy(np.int64)
+        kept = df.loc[rank.to_numpy() < gate]
+        return pa.table(
+            {
+                key_col: pa.array(kept[key_col].to_numpy(), pa.int64()),
+                group_col: pa.array(kept[group_col], pa.string()),
+            }
+        )
+
+    return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
+
+
+def rebalance_sources_sql(
+    weights: dict | None = None,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    table: str = "documents",
+) -> str:
+    weights = dict(MIX_WEIGHTS if weights is None else weights)
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(weights.items()) if w > 0)
+    return f"""
+    WITH cnt AS (
+      SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+    ), w AS (
+      SELECT * FROM (VALUES {vals}) AS t({group_col}, wgt)
+    ), u AS (
+      SELECT COALESCE(min(n // wgt), 0) AS units FROM cnt JOIN w USING ({group_col})
+    ), quota AS (
+      SELECT {group_col}, wgt * units AS quota FROM w CROSS JOIN u
+    ), ranked AS (
+      SELECT d.{key_col}, d.{group_col},
+             row_number() OVER (PARTITION BY d.{group_col}
+               ORDER BY md5(CAST(d.{key_col} AS VARCHAR)), d.{key_col}) AS rn
+      FROM {table} d
+    )
+    SELECT r.{key_col}, r.{group_col}
+    FROM ranked r JOIN quota q USING ({group_col})
+    WHERE r.rn <= q.quota
+    """
+
+
 # ------------------------------------------------------------ train/val/test
 
 def assign_splits(ds, key_col: str = "doc_id",

@@ -241,3 +241,46 @@ def test_approx_quantiles_above_cap_flags_and_estimates():
         est = out[col].iloc[0]
         rank_err = abs(np.searchsorted(xs, est, side="right") / len(xs) - q)
         assert rank_err < 0.02, (q, rank_err)
+
+
+# ------------------------------------------------------ mixture rebalancing
+
+@pytest.mark.usefixtures("ray_session")
+def test_rebalance_sources_integer_mixture():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import rebalance_sources
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(100),
+            "source": ["A"] * 50 + ["B"] * 30 + ["C"] * 20,
+        }
+    )
+    # weights A:3 B:1 -> units = min(50//3, 30//1) = 16 -> quotas A=48 B=16;
+    # C unweighted -> dropped entirely
+    out = rebalance_sources(
+        rd.from_pandas(df).repartition(4), weights={"A": 3, "B": 1}, n_buckets=2
+    ).to_pandas()
+    got = out["source"].value_counts().to_dict()
+    assert got == {"A": 48, "B": 16}
+    # deterministic across runs and partitionings
+    out2 = rebalance_sources(
+        rd.from_pandas(df).repartition(9), weights={"A": 3, "B": 1}, n_buckets=3
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rebalance_sources_infeasible_source_zeroes_all():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import rebalance_sources
+
+    df = pd.DataFrame({"doc_id": np.arange(10), "source": ["A"] * 10})
+    # B demanded but absent: units computed over PRESENT weighted sources
+    # only -> A still sampled at its own ratio
+    out = rebalance_sources(
+        rd.from_pandas(df), weights={"A": 2, "B": 1}, n_buckets=2
+    ).to_pandas()
+    assert out["source"].value_counts().to_dict() == {"A": 10}
