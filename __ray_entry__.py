@@ -103,6 +103,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["approx_length_quantiles"] = lambda sf: sk.approx_quantiles_by(
         _docs_cols(sf, ["lang", "n_chars"]), "lang", "n_chars", qs=(0.5, 0.9)
     )
+    # one-pass table profiler: mergeable per-column census (counts, nulls,
+    # KMV distinct, typed min/max), dimension-sized reduce
+    from entity_extractor_ray.stages import profile as prof
+
+    def _profile_orders(sf):
+        import ray.data as rd
+
+        return prof.profile_table(rd.read_parquet(f"{sf}/orders.parquet"))
+
+    q["profile_orders"] = _profile_orders
     # eval-set decontamination: broadcast snippet scan, map-only (no shuffle)
     from entity_extractor_ray.stages import decontam as dc
 
@@ -376,6 +386,14 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import decontam as dc
 
     sql["decontaminate_docs"] = dc.decontaminate_sql()
+    from entity_extractor_ray.stages import profile as prof
+
+    sql["profile_orders"] = prof.profile_table_sql(
+        "orders",
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        ts_cols=["o_orderdate"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
     from entity_extractor_ray.stages import samples as smp
 
     sql["split_documents"] = smp.assign_splits_sql()

@@ -284,3 +284,52 @@ def test_rebalance_sources_infeasible_source_zeroes_all():
         rd.from_pandas(df), weights={"A": 2, "B": 1}, n_buckets=2
     ).to_pandas()
     assert out["source"].value_counts().to_dict() == {"A": 10}
+
+
+# ------------------------------------------------------------- table profiler
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_table_exact_census():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.profile import profile_table
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 2, 2, None, 5],
+            "s": ["x", None, "b", "b", "a"],
+            "t": pd.to_datetime(
+                ["2024-01-01", "2024-06-01", None, "2023-12-31", "2024-01-01"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    out = (
+        profile_table(rd.from_pandas(df).repartition(3), n_buckets=2)
+        .to_pandas().set_index("col")
+    )
+    assert out.loc["a", "n_rows"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3 and out.loc["a", "exact"]
+    assert out.loc["a", "min_num"] == 1.0 and out.loc["a", "max_num"] == 5.0
+    assert pd.isna(out.loc["a", "min_str"])
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "x"
+    assert out.loc["s", "n_distinct"] == 3
+    assert pd.isna(out.loc["s", "min_num"])
+    ts_min = pd.Timestamp("2023-12-31").value // 1000  # ns -> us
+    assert out.loc["t", "min_num"] == float(ts_min)
+    assert out.loc["t", "n_null"] == 1 and out.loc["t", "n_distinct"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_table_kmv_regime():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.profile import profile_table
+
+    n = 5000
+    df = pd.DataFrame({"u": np.arange(n, dtype=np.int64)})
+    out = profile_table(rd.from_pandas(df).repartition(4), k=256,
+                        n_buckets=2).to_pandas()
+    row = out.iloc[0]
+    assert not row["exact"]
+    assert abs(row["n_distinct"] - n) / n < 0.25  # ~4 sigma at k=256
+    assert row["min_num"] == 0.0 and row["max_num"] == float(n - 1)
