@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import cluster as cls_
 
     q["kmeans_clusters"] = lambda sf: cls_.kmeans_embeddings(_embs(sf), k=10, n_iter=6)
+    # distributed PCA: one sufficient-statistics pass + driver-side d x d
+    # eigh + map-only projection. rows-only (eigendecomposition is not
+    # SQL-expressible); pinned vs serial numpy in tests/test_cluster.py
+    q["pca_embeddings"] = lambda sf: cls_.pca_embeddings(_embs(sf), n_components=2)
     q["semantic_dedup_embeddings"] = lambda sf: cls_.semantic_dedup(
         _embs(sf), threshold=0.9, k=10, n_iter=6
     )

@@ -323,3 +323,94 @@ def semantic_dedup(embeddings_ds, threshold: float = 0.95, k: int = 10,
         return pa.concat_tables(out)
 
     return bucket_group_apply_arrow(assigned, ["cluster"], bucket_fn, n_buckets)
+
+
+# ------------------------------------------------------------------ PCA
+
+def pca_fit(embeddings_ds, n_components: int = 2, col: str = "embedding",
+            id_col: str = "vec_id"):
+    """Distributed PCA fit from ONE streaming pass of mergeable sufficient
+    statistics: each batch contributes a single (n, sum_x, sum_xx^T) row
+    (d + d^2 floats — for d=64 that is 4 KB per batch, regardless of batch
+    size), the driver reduces the DIMENSION-sized partial table and runs the
+    d x d eigendecomposition locally. The covariance path (not a distributed
+    SVD) is the right scale shape while d^2 fits in one task — the same
+    sufficient-statistics discipline as lineitem_qty_moments.
+
+    Determinism: partials are summed in ascending min-vec_id order, so
+    repeated runs over the same blocks are bit-identical; different block
+    layouts differ by float summation order only (documented, tested to
+    1e-6). Component signs are canonicalized (largest-|loading| coordinate
+    positive) so eigh's sign ambiguity cannot flip outputs between runs.
+
+    Returns (mean d-vector, components [n_components x d],
+    explained_variance_ratio [n_components])."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = list_column_to_matrix(batch.column(col)).astype(np.float64)
+        sx = mat.sum(axis=0)
+        sxx = mat.T @ mat
+        return pa.table(
+            {
+                "n": pa.array([mat.shape[0]], pa.int64()),
+                "min_id": pa.array(
+                    [int(pa.compute.min(batch.column(id_col)).as_py())], pa.int64()
+                ),
+                "sx": pa.array([sx], pa.list_(pa.float64())),
+                "sxx": pa.array([sxx.ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = embeddings_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (r["min_id"], r["n"]))
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["sx"])
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    for r in parts:
+        sx += np.asarray(r["sx"])
+        sxx += np.asarray(r["sxx"]).reshape(d, d)
+    mu = sx / n
+    cov = (sxx - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # canonical sign: largest-|loading| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov))
+    ratio = evals[order] / total_var if total_var > 0 else np.zeros(len(order))
+    return mu, comps, ratio
+
+
+def pca_project(embeddings_ds, mean: np.ndarray, components: np.ndarray,
+                col: str = "embedding", id_col: str = "vec_id"):
+    """Map-only projection onto broadcast components: (id, pc1..pcC)."""
+    import ray
+
+    mu_ref = ray.put(np.asarray(mean))
+    comp_ref = ray.put(np.asarray(components))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu = ray.get(mu_ref)
+        comps = ray.get(comp_ref)
+        mat = list_column_to_matrix(batch.column(col)).astype(np.float64)
+        proj = (mat - mu) @ comps.T
+        out = {id_col: batch.column(id_col)}
+        for i in range(comps.shape[0]):
+            out[f"pc{i + 1}"] = pa.array(proj[:, i], pa.float64())
+        return pa.table(out)
+
+    return embeddings_ds.map_batches(project, batch_format="pyarrow")
+
+
+def pca_embeddings(embeddings_ds, n_components: int = 2,
+                   col: str = "embedding", id_col: str = "vec_id"):
+    """Fit + project. rows-only driver entry (eigendecomposition is not
+    ANSI-SQL expressible); recovery/equality pinned by tests/test_cluster.py
+    (planted low-rank structure vs serial numpy PCA, partition invariance,
+    sign canonicalization)."""
+    mu, comps, _ = pca_fit(embeddings_ds, n_components, col=col, id_col=id_col)
+    return pca_project(embeddings_ds, mu, comps, col=col, id_col=id_col)

@@ -3,6 +3,7 @@ recovery, distributed-vs-serial equality, partition invariance, and the
 logged cluster cap."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -156,3 +157,66 @@ class TestSemanticDedup:
         # every cluster truncated to the cap; output bounded, nothing crashes
         assert (out.groupby("cluster").size() <= 10).all()
         assert len(out) == 30  # 3 clusters x cap
+
+
+# ------------------------------------------------------------------ PCA
+
+def _planted_lowrank(n=2000, d=64, seed=5):
+    rng = np.random.default_rng(seed)
+    u = np.zeros(d); u[0] = 1.0
+    v = np.zeros(d); v[1] = 1.0
+    a = rng.normal(0, 5.0, n)
+    b = rng.normal(0, 2.0, n)
+    noise = rng.normal(0, 0.05, (n, d))
+    return a[:, None] * u + b[:, None] * v + noise
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_recovers_planted_axes_and_matches_numpy():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.cluster import pca_embeddings, pca_fit
+
+    mat = _planted_lowrank()
+    df = pd.DataFrame({"vec_id": np.arange(len(mat)),
+                       "embedding": [r.astype(np.float32) for r in mat]})
+    ds = rd.from_pandas(df).repartition(4)
+    mu, comps, ratio = pca_fit(ds, n_components=2)
+    # recovered axes align with the planted ones (up to sign, which the
+    # canonicalization fixes to positive-largest-loading)
+    assert abs(comps[0, 0]) > 0.99 and comps[0, 0] > 0
+    assert abs(comps[1, 1]) > 0.99 and comps[1, 1] > 0
+    assert ratio[0] > ratio[1] > 0.1
+    # projection equals serial numpy PCA under the same sign convention
+    f32 = mat.astype(np.float32).astype(np.float64)
+    mu_np = f32.mean(axis=0)
+    cov = np.cov(f32.T)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    c_np = evecs[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(c_np[i])))
+        if c_np[i, j] < 0:
+            c_np[i] = -c_np[i]
+    proj_np = (f32 - mu_np) @ c_np.T
+    out = (pca_embeddings(ds, n_components=2).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert np.allclose(out["pc1"].to_numpy(), proj_np[:, 0], atol=1e-6)
+    assert np.allclose(out["pc2"].to_numpy(), proj_np[:, 1], atol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_partition_invariant():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.cluster import pca_embeddings
+
+    mat = _planted_lowrank(n=500, seed=9)
+    df = pd.DataFrame({"vec_id": np.arange(len(mat)),
+                       "embedding": [r.astype(np.float32) for r in mat]})
+    a = (pca_embeddings(rd.from_pandas(df).repartition(2)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (pca_embeddings(rd.from_pandas(df).repartition(7)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert np.allclose(a["pc1"], b["pc1"], atol=1e-6)
+    assert np.allclose(a["pc2"], b["pc2"], atol=1e-6)
