@@ -236,6 +236,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rag_section_context"] = _rag_sections
 
+    # --- CSV / JSONL source connectors (S3-family format coverage): the
+    # fixture derives deterministically from the sf0.001 documents table
+    # (sf-independent, like the media corpus); the oracle reads the SAME file
+    from entity_extractor_ray.sources import tabular as tab
+
+    def _csv_fixture():
+        return tab.export_documents_csv(
+            "/root/testdata/sf0.001", "/tmp/eer_tab_fix/documents.csv"
+        )
+
+    def _jsonl_fixture():
+        return tab.export_documents_jsonl(
+            "/root/testdata/sf0.001", "/tmp/eer_tab_fix/documents.jsonl"
+        )
+
+    q["csv_documents_tokens"] = lambda sf: tab.read_documents_csv(
+        _csv_fixture()
+    ).map_batches(ts.token_counts, batch_format="pandas")
+
+    def _jsonl_by_lang(sf):
+        ds = tab.read_documents_jsonl(_jsonl_fixture())
+        out = ds.groupby("lang").count()
+        return out.rename_columns({"count()": "n_docs"})
+
+    q["jsonl_documents_by_lang"] = _jsonl_by_lang
+
     # --- multimodal plumbing (stubbed decode; deterministic fake corpus)
     from entity_extractor_ray.stages import multimodal as mm
 
@@ -362,6 +388,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["kg_mapping_nameblocked"] = _kg_mapping_nameblocked
+
+    # incremental ingest: build the prior KG on the corpus' first 2/3 of
+    # conversations (checkpointed), delta-ingest the rest, return the merged
+    # nodes. rows-only — pinned EXACTLY equal to the full build in
+    # tests/test_delta_ingest.py (the merge theorem), which is stronger than
+    # a SQL hash.
+    def _kg_delta_nodes(sf):
+        if ("delta", sf) not in _KG_CACHE:
+            import glob as _glob
+            import os as _os
+            import shutil as _shutil
+
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            from entity_extractor_ray.pipelines.kg_build import ingest_delta, build_kg
+
+            corpus = _synthetic_corpus(sf)
+            tier = _os.path.basename(_os.path.normpath(sf)) or "sf"
+            base = f"/tmp/eer_delta_{tier}"
+            _shutil.rmtree(base, ignore_errors=True)
+            allt = _pa.concat_tables(
+                [_pq.read_table(f) for f in sorted(_glob.glob(f"{corpus}/*.parquet"))]
+            )
+            convs = sorted(set(allt.column("conv_id").to_pylist()))
+            cut = _pa.array(convs[: len(convs) * 2 // 3])
+            mask = _pc.is_in(allt.column("conv_id"), value_set=cut)
+            for name, t in (("a", allt.filter(mask)), ("b", allt.filter(_pc.invert(mask)))):
+                _os.makedirs(f"{base}/{name}", exist_ok=True)
+                _pq.write_table(t, f"{base}/{name}/part0.parquet")
+            build_kg(f"{base}/a", out_dir=f"{base}/prior", n_buckets=16,
+                     num_join_partitions=8)
+            _KG_CACHE[("delta", sf)] = ingest_delta(
+                f"{base}/b", f"{base}/prior", n_buckets=16, num_join_partitions=8
+            )
+        return _KG_CACHE[("delta", sf)].nodes
+
+    q["kg_delta_nodes"] = _kg_delta_nodes
     return q
 
 
@@ -427,6 +492,25 @@ def oracle_sql() -> dict[str, str]:
 
     mm.write_media_corpus("/tmp/eer_media_corpus")
     sql["media_file_features"] = mm.media_file_features_sql("/tmp/eer_media_corpus")
+    # tabular source connectors: oracle reads the SAME exported files
+    from entity_extractor_ray.sources import tabular as tab
+
+    csvp = tab.export_documents_csv(
+        "/root/testdata/sf0.001", "/tmp/eer_tab_fix/documents.csv"
+    )
+    jlp = tab.export_documents_jsonl(
+        "/root/testdata/sf0.001", "/tmp/eer_tab_fix/documents.jsonl"
+    )
+    from entity_extractor_ray.stages.textstats import TOKEN_PATTERN
+
+    sql["csv_documents_tokens"] = f"""
+    SELECT doc_id, CAST(length(regexp_extract_all(COALESCE(text, ''),
+           '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+    FROM read_csv('{csvp}', header=true)
+    """
+    sql["jsonl_documents_by_lang"] = (
+        f"SELECT lang, count(*) AS n_docs FROM read_json_auto('{jlp}') GROUP BY lang"
+    )
     # rows-only (non-SQL-expressible): winnow_fingerprints, minhash_dedup,
     # simhash_pairs, ngram_jaccard_pairs, embedding_lsh_pairs, knn_cosine_ivf,
     # kg_* (stateful multi-stage KG build over transcript input)

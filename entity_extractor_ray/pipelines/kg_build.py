@@ -159,6 +159,48 @@ def _invalid_error_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def _only_clean(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.filter(pc.is_null(t.column("drop_reason")))
+
+
+def _record_error_rows(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    errs = t.filter(pc.is_valid(t.column("drop_reason")))
+    reason = errs.column("drop_reason")
+    stage = pc.if_else(
+        pc.equal(reason, "MATERIAL_ALREADY_INGESTED"),
+        pa.scalar("dedup", pa.string()),
+        pa.scalar("assemble", pa.string()),
+    )
+    return pa.table(
+        {"stage": stage, "key": errs.column("conv_id"), "reason": reason},
+        schema=ERRORS_SCHEMA,
+    )
+
+
+def _fold_error_rows(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    errs = t.filter(pc.greater(t.column("n_coerced"), 0))
+    keys: List[str] = []
+    for eid, n in zip(
+        errs.column("entity_id").to_pylist(), errs.column("n_coerced").to_pylist()
+    ):
+        keys.extend([eid] * int(n))  # one error row per skipped transition
+    k = len(keys)
+    return pa.table(
+        {
+            "stage": pa.array(["status_fold"] * k, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "reason": pa.array(["IMPOSSIBLE_TRANSITION"] * k, pa.string()),
+        },
+        schema=ERRORS_SCHEMA,
+    )
+
+
 def build_kg(
     turns,
     out_dir: Optional[str] = None,
@@ -327,23 +369,7 @@ def build_kg(
     if records.count() == 0:
         return _empty_result(metrics)
 
-    import pyarrow.compute as pc
-
-    def _only_clean(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t.column("drop_reason")))
-
-    def _record_error_rows(t: pa.Table) -> pa.Table:
-        errs = t.filter(pc.is_valid(t.column("drop_reason")))
-        reason = errs.column("drop_reason")
-        stage = pc.if_else(
-            pc.equal(reason, "MATERIAL_ALREADY_INGESTED"),
-            pa.scalar("dedup", pa.string()),
-            pa.scalar("assemble", pa.string()),
-        )
-        return pa.table(
-            {"stage": stage, "key": errs.column("conv_id"), "reason": reason},
-            schema=ERRORS_SCHEMA,
-        )
+    import pyarrow.compute as pc  # noqa: F401
 
     # lazy per-batch filters — they fuse into each consumer's execution
     clean = records.map_batches(_only_clean, batch_format="pyarrow")
@@ -367,23 +393,6 @@ def build_kg(
         )
     else:
         edges = pin("edges", lambda: dedup_edges(linked, clean, n_buckets))
-
-    def _fold_error_rows(t: pa.Table) -> pa.Table:
-        errs = t.filter(pc.greater(t.column("n_coerced"), 0))
-        keys: List[str] = []
-        for eid, n in zip(
-            errs.column("entity_id").to_pylist(), errs.column("n_coerced").to_pylist()
-        ):
-            keys.extend([eid] * int(n))  # one error row per skipped transition
-        k = len(keys)
-        return pa.table(
-            {
-                "stage": pa.array(["status_fold"] * k, pa.string()),
-                "key": pa.array(keys, pa.string()),
-                "reason": pa.array(["IMPOSSIBLE_TRANSITION"] * k, pa.string()),
-            },
-            schema=ERRORS_SCHEMA,
-        )
 
     # ingest-invalid rows are a second (lazy) scan of the raw input — Ray
     # Data operators are single-output, so a rare-row side-channel costs a
@@ -525,4 +534,119 @@ def build_kg(
     return KGResult(
         triples=triples, nodes=nodes, edges=edges, lineage=lineage,
         metrics=metrics, errors=errors, manufacturers=manufacturers,
+    )
+
+
+def ingest_delta(
+    new_turns,
+    prior_dir: str,
+    n_buckets: int = 32,
+    num_join_partitions: int = 16,
+    batch_size: int = 8192,
+) -> KGResult:
+    """Incremental ingest — the reference's actual operating mode (a queue
+    of NEW documents arriving against an existing graph,
+    processors/queue.py:157-201), as a batch delta:
+
+      * extraction + assembly run ONLY on the new turns (the expensive
+        per-turn NLP is never repeated for old data);
+      * the prior run's checkpointed ``records`` stage (per-conversation
+        extraction output — orders of magnitude smaller than the turns it
+        came from) replays through the J1 dedup guard together with the new
+        records, so a delta conversation re-describing an existing material
+        is dropped with MATERIAL_ALREADY_INGESTED exactly as a live probe
+        would have done;
+      * linking, the status fold, edge dedup and rollup recompute over the
+        UNION of records — dimension-sized work keyed by the same
+        deterministic order keys the full build uses.
+
+    Because every downstream stage recomputes from the merged records and
+    every rule is order-keyed (not arrival-keyed), the result is EXACTLY
+    ``build_kg(prior_turns ++ new_turns)`` on every output table — including
+    the hard case where a delta mention merges two previously-distinct
+    entities (canonicalization re-runs over the union, so the merged
+    cluster's winner and the re-folded status match the full build
+    bit-for-bit). Pinned by tests/test_delta_ingest.py.
+
+    ``prior_dir`` must be a ``build_kg(out_dir=...)`` checkpoint directory.
+    The delta result is returned lazily/materialized (no out_dir mode yet);
+    write it to a NEW directory to make it the next delta's prior."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    rec_files = sorted(glob.glob(os.path.join(prior_dir, "records", "*.parquet")))
+    if not rec_files:
+        raise FileNotFoundError(
+            f"ingest_delta: no records checkpoint under {prior_dir!r} — the "
+            f"prior run must have used build_kg(out_dir=...)"
+        )
+    prior_records = rd.read_parquet(rec_files)
+
+    raw_turns = _read_turns(new_turns, ["conv_id", "turn_idx", "text"])
+    turns_ds = raw_turns.map_batches(_validate_split, batch_format="pyarrow")
+    from ..stages.extract import extract_records
+
+    extraction = turns_ds.map_batches(
+        extract_records, batch_format="pyarrow", batch_size=batch_size
+    )
+    # re-dedup over (prior winners+losers ∪ delta): winners keep min order,
+    # prior losers pass through on their error key — composable with the
+    # prior run's own dedup, so the merged table equals the full build's
+    records = dedup_records(
+        prior_records.union(assemble_records(extraction, n_buckets)), n_buckets
+    ).materialize()
+    if records.count() == 0:
+        return _empty_result([])
+
+    clean = records.map_batches(_only_clean, batch_format="pyarrow")
+    chem_mentions = clean.map_batches(explode_chem_mentions, batch_format="pyarrow")
+    mapping = build_chemical_mapping(chem_mentions, n_buckets).materialize()
+    linked = link_chem_mentions(
+        chem_mentions, mapping, num_join_partitions
+    ).materialize()
+    chem_status = fold_chemical_states(linked, n_buckets).materialize()
+    edges = dedup_edges(linked, clean, n_buckets).materialize()
+
+    from ..stages.graph import rollup_status as _rollup
+
+    chem_slim = chem_status.select_columns(
+        ["entity_id", "pfas_status", "pfas_information_source"]
+    ).materialize()
+    ids_all = build_material_identities(clean, n_buckets).materialize()
+    material_status = _rollup(edges, chem_slim, n_buckets, num_join_partitions)
+    material_ids = ids_all.filter(expr="row_kind == 'MAT'").select_columns(
+        ["material_id", "name", "manufacturer"]
+    )
+    mfr_rows = ids_all.filter(expr="row_kind == 'MFR'")
+    nodes = assemble_nodes(
+        material_ids, material_status, mapping, chem_slim,
+        mfr_rows.select_columns(["manufacturer"]), num_join_partitions,
+    )
+    manufacturers = manufacturer_table(mfr_rows)
+
+    triples = clean.map_batches(explode_triples, batch_format="pyarrow")
+    lineage = linked.map_batches(
+        lineage_rows, fn_kwargs={"n_buckets": n_buckets}, batch_format="pyarrow"
+    )
+
+    # errors: merged-record drops + re-folded coercions + NEW ingest scan +
+    # the prior run's persisted ingest-invalid rows (old raw turns are not
+    # re-read)
+    errors = records.map_batches(_record_error_rows, batch_format="pyarrow").union(
+        chem_status.map_batches(_fold_error_rows, batch_format="pyarrow")
+    ).union(
+        _read_turns(new_turns, ["conv_id", "turn_idx"]).map_batches(
+            _invalid_error_rows, batch_format="pyarrow"
+        )
+    )
+    err_files = sorted(glob.glob(os.path.join(prior_dir, "errors", "*.parquet")))
+    if err_files:
+        prior_ingest = rd.read_parquet(err_files).filter(expr="stage == 'ingest'")
+        errors = errors.union(prior_ingest)
+
+    return KGResult(
+        triples=triples, nodes=nodes, edges=edges, lineage=lineage,
+        metrics=[], errors=errors, manufacturers=manufacturers,
     )
