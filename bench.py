@@ -138,6 +138,15 @@ def run_once() -> dict:
         "approx_distinct_users": lambda: rel.approx_distinct_users(SF_DIR),
         "top_tokens": lambda: sk.frequent_tokens(_docs(), top_n=20),
         "q17_small_quantity": lambda: rel.q17_small_quantity_revenue(SF_DIR),
+        "duplicate_ngram_spans": lambda: dd.duplicate_ngram_spans(_docs()),
+        "curate_documents": lambda: ts.curate_by_quality(
+            rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+        ),
+        "profile_orders": lambda: __import__(
+            "entity_extractor_ray.stages.profile", fromlist=["profile_table"]
+        ).profile_table(rd.read_parquet(f"{SF_DIR}/orders.parquet")),
     }
     queries = {}
     for name, fn in query_fns.items():
