@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["curate_documents"] = lambda sf: ts.curate_by_quality(
         _docs_cols(sf, ["doc_id", "text", "lang"]), q=0.2
     )
+    # CCNet-style bigram-LM quality scoring: one capped statistics pass +
+    # broadcast model + map-only scoring. rows-only (fitted-model floats);
+    # behavior pinned by planted tests in tests/test_stages.py
+    q["lm_quality_scores"] = lambda sf: ts.lm_quality_scores(_docs(sf))
     # corpus statistics + retrieval scoring (tf-idf vocabulary, BM25)
     q["vocab_stats"] = lambda sf: ts.vocab_stats(_docs(sf), min_df=5)
     q["bm25_scores"] = lambda sf: ts.bm25_scores(_docs(sf), "window merge join")
@@ -327,6 +331,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return material_comentions(_kg(sf).edges)
 
     q["kg_comentions"] = _comentions
+
+    # triangle count of the co-mention graph (degree-ordered wedge join);
+    # rows-only — brute-force-equality pinned in tests/test_triangles.py
+    def _kg_triangles(sf):
+        from entity_extractor_ray.stages.graph import (
+            material_comentions,
+            triangle_count,
+        )
+
+        return triangle_count(material_comentions(_kg(sf).edges))
+
+    q["kg_triangles"] = _kg_triangles
 
     # PageRank over the produced graph — iterative BSP (one edges⋈ranks
     # join + one dst aggregate per round); rows-only — pinned against a

@@ -2257,6 +2257,60 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------------------------ argmin join
+
+def cheapest_supplier_per_part(sf_dir: str):
+    """Grouped ARGMIN join (the TPC-H Q2 core shape): per part, the supplier
+    offering the minimum extended price, deterministic tie-break
+    (price, suppkey). Map-side per-batch argmin combine — one candidate row
+    per (part, batch) reaches the shuffle — then one part-keyed reduce.
+    Cents-exact prices so the boundary cannot float-diverge."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def local_argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            c=np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        )
+        df = df.sort_values(
+            ["l_partkey", "c", "l_suppkey"], kind="mergesort"
+        )
+        return df.groupby("l_partkey", sort=False).head(1)[
+            ["l_partkey", "l_suppkey", "c"]
+        ]
+
+    pre = ds.map_batches(local_argmin, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values(["l_partkey", "c", "l_suppkey"], kind="mergesort")
+        top = df.groupby("l_partkey", sort=False).head(1)
+        return pa.table(
+            {
+                "l_partkey": pa.array(top["l_partkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(top["l_suppkey"].to_numpy(), pa.int64()),
+                "min_price": pa.array(
+                    top["c"].to_numpy().astype(np.float64) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return bucket_group_apply(pre, ["l_partkey"], bucket_fn, n_buckets=8)
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                                     l_suppkey) AS rn
+  FROM lineitem
+)
+SELECT l_partkey, l_suppkey, c / 100.0 AS min_price FROM r WHERE rn = 1
+"""
+
+
 def relational_queries():
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2305,6 +2359,7 @@ def relational_queries():
         "part_unpivot": part_unpivot,
         "orders_left_bigitem_counts": orders_left_bigitem_counts,
         "events_user_entropy": events_user_entropy,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
     }
 
 
@@ -2356,4 +2411,5 @@ def relational_oracle_sql():
         "part_unpivot": PART_UNPIVOT_SQL,
         "orders_left_bigitem_counts": ORDERS_LEFT_BIGITEM_SQL,
         "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
+        "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_SQL,
     }

@@ -818,3 +818,139 @@ def pagerank(edges_ds, damping: float = 0.85, n_iters: int = 5,
         )
 
     return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ triangles
+
+def triangle_count(pairs_ds, a_col: str = "mat_a", b_col: str = "mat_b",
+                   n_buckets: int = 16):
+    """Exact triangle count of an undirected simple graph given as a pair
+    list — the degree-ordered wedge join (the standard 2-round distributed
+    algorithm, e.g. Suri & Vassilvitskii 2011 "Counting Triangles and the
+    Curse of the Last Reducer"):
+
+      1. canonical distinct edges (lo < hi), per-node degrees (one count
+         aggregate over both endpoints);
+      2. orient every edge from the (degree, node)-smaller endpoint to the
+         larger — the orientation is acyclic and every triangle has exactly
+         ONE apex with two out-edges, so it is counted exactly once;
+      3. per apex, emit the out-neighbor pairs (wedges) — the degree
+         ordering bounds the oriented out-degree by O(sqrt(2m)), so the
+         wedge volume is O(m^1.5) worst-case and far less on real graphs,
+         never the unordered O(sum deg^2);
+      4. ONE semi join of wedges against oriented edges; each hit is a
+         triangle.
+
+    Returns a one-row Dataset (n_triangles int64). Node ids may be any
+    string/int column; comparisons use (degree, id) with the id's natural
+    order as tie-break."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from .shuffle import bucket_group_apply, bucket_hash_join, lookup_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        # node ids normalize to strings so degrees/joins/wedge keys share one
+        # type; any CONSISTENT total order is correct for the orientation
+        sub = pa.table(
+            {
+                "a": pc.cast(t.column(a_col), pa.string()),
+                "b": pc.cast(t.column(b_col), pa.string()),
+            }
+        )
+        sub = sub.filter(pc.invert(pc.equal(sub.column("a"), sub.column("b"))))
+        a, b = sub.column("a"), sub.column("b")
+        a_lt = pc.less(a, b)
+        return pa.table(
+            {"lo": pc.if_else(a_lt, a, b), "hi": pc.if_else(a_lt, b, a)}
+        )
+
+    edges = (
+        pairs_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .count()
+        .select_columns(["lo", "hi"])
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("lo").combine_chunks().cast(pa.string()),
+                        t.column("hi").combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    degrees = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+    )
+    e1 = lookup_join(
+        edges,
+        degrees.rename_columns({"node": "lo", "count()": "deg_lo"}),
+        key="lo", n_buckets=n_buckets,
+    )
+    e2 = lookup_join(
+        e1,
+        degrees.rename_columns({"node": "hi", "count()": "deg_hi"}),
+        key="hi", n_buckets=n_buckets,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        dl = t.column("deg_lo")
+        dh = t.column("deg_hi")
+        # (deg, node) rank: lo wins ties because lo < hi by construction
+        lo_first = pc.or_(pc.less(dl, dh), pc.equal(dl, dh))
+        src = pc.if_else(lo_first, t.column("lo"), t.column("hi"))
+        dst = pc.if_else(lo_first, t.column("hi"), t.column("lo"))
+        deg_dst = pc.if_else(lo_first, dh, dl)
+        return pa.table(
+            {"src": src, "dst": dst,
+             "deg_dst": pc.cast(deg_dst, pa.int64())}
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_bucket(df, bucket_id: int) -> pa.Table:
+        out = []
+        df = df.sort_values(["src", "deg_dst", "dst"], kind="mergesort")
+        for _, g in df.groupby("src", sort=False):
+            k = len(g)
+            if k < 2:
+                continue
+            nbrs = g["dst"].to_numpy()
+            iu, ju = np.triu_indices(k, k=1)
+            # wedge pairs ordered by (deg, id) — matching edge orientation
+            out.append(
+                np.char.add(np.char.add(nbrs[iu].astype(str), "\x1f"),
+                            nbrs[ju].astype(str))
+            )
+        keys = np.concatenate(out) if out else np.array([], dtype=object)
+        return pa.table({"wk": pa.array(keys.astype(object), pa.string())})
+
+    wedges = bucket_group_apply(oriented, ["src"], wedge_bucket, n_buckets)
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ek": pc.binary_join_element_wise(
+                    pc.cast(t.column("src"), pa.string()),
+                    pc.cast(t.column("dst"), pa.string()),
+                    "\x1f",
+                )
+            }
+        )
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    tri = bucket_hash_join(
+        wedges, ekeys, key="wk", right_key="ek", how="semi", n_buckets=n_buckets
+    )
+    n = tri.count()
+    return rd.from_arrow(
+        pa.table({"n_triangles": pa.array([n], pa.int64())})
+    )

@@ -627,3 +627,109 @@ def pack_documents_sql(budget: int = PACK_BUDGET) -> str:
                 ), 0) AS BIGINT) // {budget} AS bin
     FROM tc
     """
+
+
+# ---------------------------------------------------------- LM quality score
+
+LM_MAX_VOCAB = 50_000
+LM_MAX_BIGRAMS = 200_000
+
+
+def lm_quality_scores(docs_ds, max_vocab: int = LM_MAX_VOCAB,
+                      max_bigrams: int = LM_MAX_BIGRAMS):
+    """CCNet-style language-model quality scoring: fit a corpus bigram LM in
+    one statistics pass, then score every document by its mean token
+    log-probability — the classic "does this read like the corpus" filter
+    (Wenzek et al. 2020 use a KenLM 5-gram; the engine's 2-gram keeps the
+    same pipeline shape with a dependency-free model).
+
+    Shape: pass 1 emits map-side (token / bigram, count) partials (Counter
+    per batch — dimension-sized rows, never per-token rows), one groupby sum,
+    then the top-``max_*`` rows by (count, key) pull to the driver and
+    broadcast via ray.put — the model is CAPPED state, documented, with
+    out-of-vocabulary mass handled by add-alpha interpolation rather than
+    silently dropped. Pass 2 is a pure map: per doc,
+        score = mean_i log2( 0.7 * P(w_i | w_{i-1}) + 0.3 * P(w_i) )
+    with add-one-smoothed unigrams and ABSOLUTE DISCOUNTING on the bigram
+    term (P(w|v) = max(c(v,w) - 0.75, 0) / c(v), the Kneser-Ney discount):
+    without it a singleton chain — each token seen once, followed
+    deterministically — scores a perfect 1.0 per step, so unseen gibberish
+    would OUTSCORE real text (the classic MLE-on-singletons failure; the
+    planted test pins this case). Output (doc_id, n_tokens, lm_score);
+    higher = more corpus-like. rows-only (floating aggregate of a fitted
+    model is not SQL-hashable); behavior pinned by planted tests."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def grams(batch: pd.DataFrame) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in batch["text"]:
+            toks = _VOCAB_RE.findall((text or "").lower())
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        keys = ["u\x1f" + t for t in uni] + [f"b\x1f{a}\x1f{b}" for a, b in bi]
+        vals = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {"k": pa.array(keys, pa.string()), "n": pa.array(vals, pa.int64())}
+        )
+
+    sums = (
+        docs_ds.map_batches(grams, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def top_rows(prefix: str, cap: int):
+        # exact top-cap by (count desc, key asc): per-block combiner + sort
+        def local_top(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pa.compute.starts_with(t.column("k"), prefix + "\x1f")
+            )
+            idx = pa.compute.sort_indices(
+                t, sort_keys=[("n", "descending"), ("k", "ascending")]
+            )
+            return t.take(idx[:cap])
+
+        return (
+            sums.map_batches(local_top, batch_format="pyarrow")
+            .sort(["n", "k"], descending=[True, False])
+            .limit(cap)
+            .take_all()
+        )
+
+    uni_rows = top_rows("u", max_vocab)
+    bi_rows = top_rows("b", max_bigrams)
+    uni = {r["k"].split("\x1f", 1)[1]: r["n"] for r in uni_rows}
+    bi = {tuple(r["k"].split("\x1f")[1:]): r["n"] for r in bi_rows}
+    total = sum(uni.values())
+    v = max(len(uni), 1)
+    model_ref = ray.put((uni, bi, total, v))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        uni_c, bi_c, tot, vocab = ray.get(model_ref)
+        out_n, out_s = [], []
+        for text in batch["text"]:
+            toks = _VOCAB_RE.findall((text or "").lower())
+            out_n.append(len(toks))
+            if len(toks) < 2:
+                out_s.append(0.0)
+                continue
+            lp = 0.0
+            for a, b in zip(toks, toks[1:]):
+                p_uni = (uni_c.get(b, 0) + 1.0) / (tot + vocab)
+                ca = uni_c.get(a, 0)
+                p_bi = max(bi_c.get((a, b), 0) - 0.75, 0.0) / ca if ca else 0.0
+                lp += np.log2(0.7 * p_bi + 0.3 * p_uni)
+            out_s.append(round(lp / (len(toks) - 1), 6))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pd.Series(out_n, dtype="int64", index=batch.index),
+                "lm_score": pd.Series(out_s, dtype="float64", index=batch.index),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")

@@ -510,3 +510,54 @@ def test_curate_by_quality_per_lang_gate():
     out2 = curate_by_quality(rd.from_pandas(docs).repartition(3), q=0.75).to_pandas()
     aa = out2[out2["lang"] == "aa"]
     assert set(aa["doc_id"]) == {0, 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_quality_scores_corpus_like_beats_gibberish():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.textstats import lm_quality_scores
+
+    corpusish = "the safety data sheet lists the chemical composition"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                corpusish + " " + corpusish,          # exactly corpus-like
+                "zq xv wk jj pf gt bn md lr cz",      # gibberish
+                corpusish,                             # corpus-like (fit data)
+            ],
+        }
+    )
+    out = (
+        lm_quality_scores(rd.from_pandas(docs).repartition(2))
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[0, "lm_score"] > out.loc[1, "lm_score"]
+    assert out.loc[2, "lm_score"] > out.loc[1, "lm_score"]
+    assert out.loc[0, "n_tokens"] == 16
+    # deterministic across runs
+    out2 = (
+        lm_quality_scores(rd.from_pandas(docs).repartition(3))
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[0, "lm_score"] == out2.loc[0, "lm_score"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_quality_scores_caps_vocab():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.textstats import lm_quality_scores
+
+    # 2000 distinct tokens with a 10-token head; cap the model at 50 unigrams
+    rng = np.random.default_rng(0)
+    head = " ".join(["alpha beta gamma delta"] * 5)
+    tail = " ".join(f"tok{i}" for i in rng.integers(0, 2000, 200))
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [head, tail]})
+    out = (
+        lm_quality_scores(rd.from_pandas(docs), max_vocab=50, max_bigrams=50)
+        .to_pandas().set_index("doc_id")
+    )
+    # head tokens are in-model -> better score than the capped-out tail
+    assert out.loc[0, "lm_score"] > out.loc[1, "lm_score"]
