@@ -2257,6 +2257,99 @@ FROM events GROUP BY event_type
 """
 
 
+# ----------------------------------------------------------- outlier events
+
+def events_value_outliers(sf_dir: str):
+    """Per-user z-score anomaly detection — flag events whose value sits
+    more than 3 sample standard deviations from the user's mean. The
+    monitoring-pipeline staple, built scale-shaped:
+
+      1. per-user sufficient statistics (n, Σv, Σv²) in integer cents —
+         map-side partials, one tiny user-keyed aggregate;
+      2. stats join back onto the stream (lookup_join: broadcast when the
+         user dimension is small, bucket join beyond);
+      3. the 3-sigma test evaluated WITHOUT computing a float sigma:
+         (v·n − S)²·(n−1) > 9·n·(n·Q − S²) — all integer, so the decision
+         boundary cannot float-diverge from the HUGEINT SQL oracle. The
+         engine screens rows in float64 and re-checks only near-boundary
+         candidates with Python bignums (exact), so no int64 overflow and
+         no O(rows) bignum work."""
+    from ..stages.shuffle import lookup_join
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value"))
+        v2 = pc.multiply(v, v)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value": t.column("value"),
+                "v": v,
+                "v2": v2,
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    stats = cents.groupby("user_id").aggregate(
+        Count(alias_name="n"), Sum("v", alias_name="s"), Sum("v2", alias_name="q")
+    )
+    joined = lookup_join(cents, stats, key="user_id", n_buckets=8)
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy().astype(np.float64)
+        n = t.column("n").to_numpy().astype(np.float64)
+        s = t.column("s").to_numpy().astype(np.float64)
+        q = t.column("q").to_numpy().astype(np.float64)
+        lhs = (v * n - s) ** 2 * (n - 1)
+        rhs = 9.0 * n * (n * q - s * s)
+        keep = (n >= 3) & (lhs > rhs)
+        # float64 loses exactness past 2^53: re-decide near-boundary rows
+        # with Python integers (exact); 'near' = within 1e-9 relative
+        scale = np.maximum(np.abs(lhs), np.abs(rhs)) + 1.0
+        border = np.flatnonzero((np.abs(lhs - rhs) / scale < 1e-9) & (n >= 3))
+        if len(border):
+            vi = t.column("v").to_pylist()
+            ni = t.column("n").to_pylist()
+            si = t.column("s").to_pylist()
+            qi = t.column("q").to_pylist()
+            for i in border:
+                d = vi[i] * ni[i] - si[i]
+                keep[i] = ni[i] >= 3 and d * d * (ni[i] - 1) > 9 * ni[i] * (
+                    ni[i] * qi[i] - si[i] * si[i]
+                )
+        mask = pa.array(keep)
+        kept = t.filter(mask)
+        return pa.table(
+            {
+                "event_id": kept.column("event_id"),
+                "user_id": kept.column("user_id"),
+                "value": kept.column("value"),
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100) AS HUGEINT) AS v
+  FROM events
+), s AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+         sum(v) AS sv, sum(v * v) AS q
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.value
+FROM c JOIN s USING (user_id)
+WHERE n >= 3
+  AND (c.v * n - sv) * (c.v * n - sv) * (n - 1) > 9 * n * (n * q - sv * sv)
+"""
+
+
 # ------------------------------------------------------------ argmin join
 
 def cheapest_supplier_per_part(sf_dir: str):
@@ -2360,6 +2453,7 @@ def relational_queries():
         "orders_left_bigitem_counts": orders_left_bigitem_counts,
         "events_user_entropy": events_user_entropy,
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "events_value_outliers": events_value_outliers,
     }
 
 
@@ -2412,4 +2506,5 @@ def relational_oracle_sql():
         "orders_left_bigitem_counts": ORDERS_LEFT_BIGITEM_SQL,
         "events_user_entropy": EVENTS_USER_ENTROPY_SQL,
         "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_SQL,
+        "events_value_outliers": EVENTS_VALUE_OUTLIERS_SQL,
     }
