@@ -70,7 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
+    from entity_extractor_ray.pipelines import analytics as ana
+
     q: dict[str, Callable[[str], Any]] = dict(rel.relational_queries())
+    q.update(ana.analytics_queries())
 
     # --- text analysis (SURVEY §2.2 M-ops generalized to documents)
     q["token_counts"] = lambda sf: _docs(sf).map_batches(ts.token_counts, batch_format="pandas")
@@ -452,7 +455,10 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import similarity as sim
     from entity_extractor_ray.stages import textstats as ts
 
+    from entity_extractor_ray.pipelines import analytics as ana
+
     sql: dict[str, str] = dict(rel.relational_oracle_sql())
+    sql.update(ana.analytics_oracle_sql())
     sql["token_counts"] = ts.token_counts_sql()
     sql["quality_features"] = ts.quality_features_sql()
     sql["lang_id"] = ts.lang_id_sql()

@@ -26,6 +26,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# Workers inherit PYTHONPATH, not sys.path — required when bench runs from
+# another cwd (stage callables deserialize by module reference on workers).
+if REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    _pp = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = REPO + (os.pathsep + _pp if _pp else "")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

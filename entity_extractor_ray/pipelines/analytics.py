@@ -1,0 +1,593 @@
+"""Behavioral / statistical analytics operators over the TPC-H-ish tables —
+the continuation batch: grouped correlation from mergeable sufficient
+statistics, the TPC-H Q14 (conditional-ratio over a broadcast join) and Q22
+(scalar-subquery threshold + anti join) shapes, ordered-funnel and
+cohort-retention event analytics, and a blocked fuzzy (Levenshtein) string
+self-join.
+
+Every operator here follows the engine's parity discipline (relational.py
+module docstring): money stays integer cents until one final division, float
+finals are written as the IDENTICAL double expression in the SQL oracle, and
+wide steps are either map-side partials into a tiny groupby or ONE key-bucket
+shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
+# ------------------------------------------------ grouped correlation / covariance
+
+def lineitem_corr_by_flag(sf_dir: str):
+    """Grouped Pearson correlation + sample covariance of (quantity,
+    extended price) per returnflag from ONE pass of mergeable sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) — the same moments pattern as
+    lineitem_qty_moments, extended to the cross term. Both inputs are
+    rounded to integers (qty is already integral; price to whole dollars as
+    cents // 100, tie-free integer division in both engines)
+    so every statistic is EXACT in int64 at any scale the sums fit
+    (dollars ≤ ~1e5 ⇒ Σy² ≈ 1e10/row — safe past sf100); the final
+    correlation/covariance expression is evaluated in doubles written
+    identically in the SQL oracle, so parity is bit-exact without trusting
+    either engine's streaming-corr kernel."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        # whole dollars via cents // 100: INTEGER division on both engines —
+        # a direct round-to-dollars would hit .50 ties where pyarrow
+        # (half-even) and DuckDB (half-away) disagree
+        y = pc.divide(_cents(t.column("l_extendedprice")), pa.scalar(100, pa.int64()))
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        agg = tt.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        return agg.rename_columns(["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        sx = t.column("sx").to_numpy().astype(np.float64)
+        sy = t.column("sy").to_numpy().astype(np.float64)
+        sxx = t.column("sxx").to_numpy().astype(np.float64)
+        syy = t.column("syy").to_numpy().astype(np.float64)
+        sxy = t.column("sxy").to_numpy().astype(np.float64)
+        num = n * sxy - sx * sy
+        corr = num / (np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        covar = num / (n * (n - 1.0))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "corr_qty_price": pa.array(corr, pa.float64()),
+                "covar_qty_price": pa.array(covar, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+LINEITEM_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) // 100) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum((CAST(round(l_extendedprice*100) AS BIGINT) // 100)
+                  * (CAST(round(l_extendedprice*100) AS BIGINT) // 100)) AS BIGINT) AS syy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * (CAST(round(l_extendedprice*100) AS BIGINT) // 100)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS covar_qty_price
+FROM s
+"""
+
+
+# ------------------------------------------------------------------ Q14 shape
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — global conditional-ratio aggregate over a broadcast
+    dimension join: the share of 1996 shipping revenue from PROMO-type
+    parts. Part's (key → is_promo) ships once via lookup_join (broadcast at
+    dimension size, bucket shuffle past the byte gate); each batch reduces
+    to TWO int64 cents-exact partial sums (promo, total), the driver sees
+    only their global Sum, and the single division is the one float op —
+    written identically in the oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def in_window(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi),
+        )
+        return t.filter(keep).select(["l_partkey", "l_extendedprice", "l_discount"])
+
+    joined = lookup_join(
+        items.map_batches(in_window, batch_format="pyarrow"),
+        part, key="l_partkey", right_key="p_partkey",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        promo = pc.if_else(
+            pc.equal(t.column("p_type"), "PROMO"), rev, pa.scalar(0, pa.int64())
+        )
+        return pa.table(
+            {
+                "promo": pa.array([pc.sum(promo).as_py() or 0], pa.int64()),
+                "total": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    sums = joined.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo", alias_name="promo"), Sum("total", alias_name="total")
+    )
+    promo = float(sums["promo"] or 0)
+    total = float(sums["total"] or 0)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"promo_revenue": pa.array([100.0 * promo / total], pa.float64())})
+    )
+
+
+Q14_PROMO_SQL = """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS promo,
+         CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+)
+SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_revenue FROM s
+"""
+
+
+# ------------------------------------------------------------------ Q22 shape
+
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape — scalar-subquery threshold + anti join: customers
+    whose balance exceeds the average POSITIVE balance and who never placed
+    an URGENT-priority order, rolled up per nation. The global average is
+    ONE tiny aggregate broadcast as a Python float (cents-exact sum / count,
+    so the threshold double is identical in both engines); the no-urgent
+    predicate is the engine's distributed anti bucket join against the
+    FILTERED orders scan (right side ships per-batch distinct custkeys);
+    the rollup is a dimension-sized groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import bucket_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"))
+        keep = pc.greater(cents, pa.scalar(0, pa.int64()))
+        kept = cents.filter(keep)
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+                "n": pa.array([len(kept)], pa.int64()),
+            }
+        )
+
+    agg = cust.map_batches(pos_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    thr_cents = float(agg["s"] or 0) / float(agg["n"] or 1)
+
+    def above(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"))
+        keep = pc.greater(pc.cast(cents, pa.float64()), thr_cents)
+        return t.filter(keep)
+
+    rich = cust.map_batches(above, batch_format="pyarrow")
+    idle = bucket_hash_join(
+        rich, orders, key="c_custkey", right_key="o_custkey", how="anti",
+        n_buckets=16,
+    )
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "cents": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    by_nation = (
+        idle.map_batches(cents_col, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_custs"), Sum("cents", alias_name="cents"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "n_custs": pc.cast(t.column("n_custs"), pa.int64()),
+                "total_acctbal": pc.divide(
+                    pc.cast(t.column("cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return by_nation.map_batches(finalize, batch_format="pyarrow")
+
+
+Q22_IDLE_SQL = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS t
+  FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       sum(CAST(round(c.c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c, thr
+WHERE CAST(CAST(round(c.c_acctbal*100) AS BIGINT) AS DOUBLE) > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+"""
+
+
+# ------------------------------------------------------------------ funnel
+
+def events_funnel(sf_dir: str):
+    """Ordered-subsequence funnel over the event stream: per user, how deep
+    did view → click (at/after first view) → purchase (at/after that click)
+    progress?  Output is the 4-row funnel histogram (stage 0–3, n_users).
+
+    Shape: project to the 3 funnel types + a per-batch distinct-user
+    partial, ONE user-keyed bucket shuffle, then a vectorized min-timestamp
+    cascade inside each bucket (three grouped mins + two aligned joins, no
+    per-user Python loop) emitting per-bucket partial histograms that a tiny
+    global groupby sums."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"),
+            value_set=pa.array(["view", "click", "purchase"]),
+        )
+        funnel = t.filter(keep)
+        # non-funnel users must still count at stage 0: ship their ids once
+        # per batch as type '' rows (distinct per batch, tiny)
+        others = pa.table(
+            {
+                "user_id": t.column("user_id").unique(),
+            }
+        )
+        n = others.num_rows
+        return pa.concat_tables(
+            [
+                funnel.select(["user_id", "event_type", "ts"]),
+                pa.table(
+                    {
+                        "user_id": others.column("user_id"),
+                        "event_type": pa.array([""] * n, pa.string()),
+                        "ts": pa.nulls(n, pa.timestamp("us")),
+                    }
+                ),
+            ]
+        )
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        users = pd.Index(df["user_id"].unique())
+        v = df[df["event_type"] == "view"].groupby("user_id", sort=False)["ts"].min()
+        c_rows = df[df["event_type"] == "click"][["user_id", "ts"]]
+        c_rows = c_rows.assign(t1=c_rows["user_id"].map(v))
+        c = (
+            c_rows[c_rows["ts"] >= c_rows["t1"]]
+            .groupby("user_id", sort=False)["ts"].min()
+        )
+        p_rows = df[df["event_type"] == "purchase"][["user_id", "ts"]]
+        p_rows = p_rows.assign(t2=p_rows["user_id"].map(c))
+        p = (
+            p_rows[p_rows["ts"] >= p_rows["t2"]]
+            .groupby("user_id", sort=False)["ts"].min()
+        )
+        stage = (
+            users.isin(v.index).astype(np.int64)
+            + users.isin(c.index).astype(np.int64)
+            + users.isin(p.index).astype(np.int64)
+        )
+        uniq, counts = np.unique(stage, return_counts=True)
+        return pa.table(
+            {
+                "stage": pa.array(uniq, pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+    return partials.groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+s AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM u LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id
+)
+SELECT CAST(stage AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY stage
+"""
+
+
+# ------------------------------------------------------------------ cohort
+
+def user_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix: users bucketed by first-seen day, counted on
+    each later active day as (cohort_day, day_offset, n_users). The classic
+    product-analytics rollup.
+
+    Shape: per-batch distinct (user, day) partial (events collapse ~50× at
+    the map side), ONE user-keyed bucket shuffle where each bucket derives
+    its users' cohort day (grouped min) and offsets vectorized, emitting
+    per-bucket partial counts; a tiny (cohort, offset) groupby sums them.
+    Never a user × day self-join."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        return (
+            pa.table({"user_id": t.column("user_id"), "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        dd = df.drop_duplicates(["user_id", "day"])
+        cohort = dd.groupby("user_id", sort=False)["day"].transform("min")
+        off = (
+            (dd["day"].to_numpy() - cohort.to_numpy())
+            .astype("timedelta64[D]")
+            .astype(np.int64)
+        )
+        out = (
+            pd.DataFrame({"cohort_day": cohort.to_numpy(), "day_offset": off})
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(out["cohort_day"], pa.timestamp("us")),
+                "day_offset": pa.array(out["day_offset"].to_numpy(), pa.int64()),
+                "n_users": pa.array(out["n_users"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+    return partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+USER_COHORT_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+# ------------------------------------------------------- fuzzy string self-join
+
+def _levenshtein_batch(a_list, b_list) -> np.ndarray:
+    """Vectorized Wagner–Fischer over a BATCH of string pairs: the DP runs
+    its two small loops over character positions while every pair advances
+    in lock-step on the numpy axis — O(maxlen²) vector ops total instead of
+    O(pairs·len²) interpreted steps."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(s) for s in a_list], dtype=np.int64)
+    lb = np.array([len(s) for s in b_list], dtype=np.int64)
+    ma, mb = int(la.max()), int(lb.max())
+    if ma == 0:
+        return lb.copy()
+    if mb == 0:
+        return la.copy()
+    enc = "utf-32-le"  # fixed-width so frombuffer gives one code point per cell
+    A = np.frombuffer(
+        b"".join(s.encode(enc).ljust(4 * ma, b"\0") for s in a_list), dtype=np.uint32
+    ).reshape(n, ma)
+    B = np.frombuffer(
+        b"".join(s.encode(enc).ljust(4 * mb, b"\0") for s in b_list), dtype=np.uint32
+    ).reshape(n, mb)
+    prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (n, mb + 1)).copy()
+    out = np.where(la == 0, lb, 0).astype(np.int64)
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        cost = (ai != B).astype(np.int64)  # (n, mb)
+        for j in range(1, mb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1],
+            )
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out
+
+
+def customers_fuzzy_pairs(sf_dir: str, max_dist: int = 1):
+    """Blocked fuzzy string self-join: customer-name pairs within Levenshtein
+    distance ``max_dist``, blocked by nation — the classic dirty-data
+    entity-resolution candidate join (same role as the KG's name-blocked
+    canonicalization, here over a relational table with a DuckDB
+    ``levenshtein()`` oracle). ONE nation-bucket shuffle; inside each block
+    the pair list is materialized with triu indices and distances come from
+    the batched numpy Wagner–Fischer kernel — no per-pair Python. Blocks are
+    bounded by the blocking key (here ≤ customers/25 per nation); at corpus
+    scale a lossless secondary band (length ±max_dist) caps them further."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        keys_out, dists_out = [], []
+        for _, grp in df.groupby("c_nationkey", sort=False):
+            k = grp["c_custkey"].to_numpy()
+            names = grp["c_name"].to_numpy()
+            order = np.argsort(k)
+            k, names = k[order], names[order]
+            ii, jj = np.triu_indices(len(k), k=1)
+            if len(ii) == 0:
+                continue
+            d = _levenshtein_batch(list(names[ii]), list(names[jj]))
+            hit = d <= max_dist
+            keys_out.append(np.stack([k[ii][hit], k[jj][hit]], axis=1))
+            dists_out.append(d[hit])
+        if not keys_out:
+            return pa.table(
+                {
+                    "key_a": pa.array([], pa.int64()),
+                    "key_b": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        kk = np.concatenate(keys_out)
+        return pa.table(
+            {
+                "key_a": pa.array(kk[:, 0], pa.int64()),
+                "key_b": pa.array(kk[:, 1], pa.int64()),
+                "dist": pa.array(np.concatenate(dists_out), pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(ds, ["c_nationkey"], bucket_fn, n_buckets=16)
+
+
+CUSTOMERS_FUZZY_SQL = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+def analytics_queries():
+    return {
+        "lineitem_corr_by_flag": lineitem_corr_by_flag,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "events_funnel": events_funnel,
+        "user_cohort_retention": user_cohort_retention,
+        "customers_fuzzy_pairs": customers_fuzzy_pairs,
+    }
+
+
+def analytics_oracle_sql():
+    return {
+        "lineitem_corr_by_flag": LINEITEM_CORR_SQL,
+        "q14_promo_revenue": Q14_PROMO_SQL,
+        "q22_idle_customers": Q22_IDLE_SQL,
+        "events_funnel": EVENTS_FUNNEL_SQL,
+        "user_cohort_retention": USER_COHORT_SQL,
+        "customers_fuzzy_pairs": CUSTOMERS_FUZZY_SQL,
+    }

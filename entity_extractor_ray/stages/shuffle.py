@@ -557,11 +557,35 @@ _project_key_col = None  # ray.remote wrapper, built on first join (lazy ray imp
 
 
 def _init_remote():
+    """The wrapped impl is defined INSIDE this function so cloudpickle ships
+    it by value: a module-level def is pickled by module reference and fails
+    to deserialize (ModuleNotFoundError) on workers whose sys.path lacks the
+    repo root — e.g. a driver started from a different cwd without
+    PYTHONPATH. The nested copy only touches pyarrow + ray.data.block, both
+    always importable on workers."""
     global _project_key_col
     if _project_key_col is None:
         import ray
 
-        _project_key_col = ray.remote(num_cpus=0.25)(_project_key_col_impl)
+        def _impl(tbl, k: str):
+            import pyarrow as _pa
+
+            was_arrow = isinstance(tbl, _pa.Table)
+            if not was_arrow:
+                from ray.data.block import BlockAccessor
+
+                tbl = BlockAccessor.for_block(tbl).to_arrow()
+            if tbl.num_rows == 0 or k not in tbl.schema.names:
+                return None, (tbl.schema if tbl.num_columns else None), was_arrow, 0
+            return (
+                tbl.select([k]).combine_chunks(),
+                tbl.schema,
+                was_arrow,
+                int(tbl.nbytes),
+            )
+
+        _impl.__doc__ = _project_key_col_impl.__doc__
+        _project_key_col = ray.remote(num_cpus=0.25)(_impl)
 
 
 _BROADCAST_INDEX_CACHE: dict = {}

@@ -3,7 +3,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Ray workers inherit PYTHONPATH (not the driver's sys.path); without this a
+# suite run from any cwd other than the repo root fails remote deserialization
+# with ModuleNotFoundError on every stage callable.
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    _pp = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + _pp if _pp else "")
 
 
 @pytest.fixture(scope="session")

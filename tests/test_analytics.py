@@ -1,0 +1,114 @@
+"""Planted-data tests for the analytics batch: funnel stage cascade (the
+sf corpora are so dense every user converts, so stages 0-2 only show up on
+planted data), cohort offsets, and the batched Levenshtein kernel."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_batch_matches_reference():
+    from entity_extractor_ray.pipelines.analytics import _levenshtein_batch
+
+    rng = np.random.RandomState(7)
+    alphabet = list("abcde")
+    pairs = []
+    for _ in range(200):
+        la, lb = rng.randint(0, 9), rng.randint(0, 9)
+        pairs.append(
+            (
+                "".join(rng.choice(alphabet, la)),
+                "".join(rng.choice(alphabet, lb)),
+            )
+        )
+    pairs += [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    got = _levenshtein_batch([a for a, _ in pairs], [b for _, b in pairs])
+    want = np.array([_py_lev(a, b) for a, b in pairs])
+    assert np.array_equal(got, want)
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                (
+                    np.datetime64("2024-01-01")
+                    + np.array([h for h, _, _ in rows], dtype="timedelta64[h]")
+                ).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+            "event_type": pa.array([e for _, _, e in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_stages_planted(tmp_path):
+    from entity_extractor_ray.pipelines.analytics import events_funnel
+
+    rows = [
+        # user 1: full ordered funnel -> stage 3
+        (1, 1, "view"), (2, 1, "click"), (3, 1, "purchase"),
+        # user 2: view then click, purchase BEFORE the click -> stage 2
+        (1, 2, "view"), (5, 2, "click"), (4, 2, "purchase"),
+        # user 3: click before any view -> stage 1 (view exists, click doesn't count)
+        (5, 3, "click"), (6, 3, "view"),
+        # user 4: never in the funnel types -> stage 0
+        (1, 4, "error"), (2, 4, "signup"),
+        # user 5: purchase tied with click timestamp (>= is inclusive) -> 3
+        (1, 5, "view"), (2, 5, "click"), (2, 5, "purchase"),
+    ]
+    got = (
+        events_funnel(_write_events(tmp_path, rows))
+        .to_pandas()
+        .set_index("stage")["n_users"]
+        .to_dict()
+    )
+    assert got == {3: 2, 2: 1, 1: 1, 0: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_offsets_planted(tmp_path):
+    from entity_extractor_ray.pipelines.analytics import user_cohort_retention
+
+    rows = [
+        # user 1: first seen day 0, active again day 2 (two events that day
+        # must count once)
+        (0, 1, "view"), (48, 1, "view"), (50, 1, "click"),
+        # user 2: first seen day 1 only
+        (25, 2, "view"),
+        # user 3: first seen day 0, active day 1
+        (1, 3, "view"), (26, 3, "view"),
+    ]
+    got = user_cohort_retention(_write_events(tmp_path, rows)).to_pandas()
+    got["cohort_day"] = got["cohort_day"].astype("datetime64[us]")
+    d0 = pd.Timestamp("2024-01-01")
+    d1 = pd.Timestamp("2024-01-02")
+    want = {
+        (d0, 0): 2,  # users 1 and 3 on their cohort day
+        (d0, 1): 1,  # user 3
+        (d0, 2): 1,  # user 1 (deduped within the day)
+        (d1, 0): 1,  # user 2
+    }
+    gotmap = {
+        (r.cohort_day, r.day_offset): r.n_users for r in got.itertuples()
+    }
+    assert gotmap == want
