@@ -569,6 +569,363 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+# ------------------------------------------------------------------ Q5 shape
+
+def q5_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table join chain: 1996 revenue by nation where
+    the supplying and ordering nation coincide, restricted to ASIA. The two
+    genuinely small dimensions (nation ⋈ region) collapse to a driver-side
+    LUT; supplier and customer attach via lookup_join (broadcast at
+    dimension size, bucket shuffle past the byte gate); the single fact-fact
+    exchange is ONE hash join on orderkey, pre-filtered on BOTH sides
+    (orders by date+region before shipping, lineitem projected to 3
+    columns). Revenue stays integer cents until the final division."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    asia = {
+        r["r_regionkey"]
+        for r in _read(sf_dir, "region").take_all()
+        if r["r_name"] == "ASIA"
+    }
+    asia_keys = {k for k, (_, rk) in nat.items() if rk in asia}
+    name_lut = np.empty(max(nat) + 1, dtype=object)
+    for k, (n, _) in nat.items():
+        name_lut[k] = n
+    lut_ref = ray.put((name_lut, sorted(asia_keys)))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_c = lookup_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        cust, key="o_custkey", right_key="c_custkey",
+    )
+
+    def o_asia(t: pa.Table) -> pa.Table:
+        _, keys = ray.get(lut_ref)
+        keep = pc.is_in(
+            t.column("c_nationkey"), value_set=pa.array(keys, pa.int32())
+        )
+        return t.filter(keep).select(["o_orderkey", "c_nationkey"])
+
+    orders_asia = orders_c.map_batches(o_asia, batch_format="pyarrow")
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        ext = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc)),
+            }
+        )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    items_s = lookup_join(
+        items.map_batches(l_prep, batch_format="pyarrow"),
+        supp, key="l_suppkey", right_key="s_suppkey",
+    )
+
+    joined = items_s.join(
+        orders_asia, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        names, _ = ray.get(lut_ref)
+        keep = pc.equal(
+            pc.cast(t.column("s_nationkey"), pa.int64()),
+            pc.cast(t.column("c_nationkey"), pa.int64()),
+        )
+        kept = t.filter(keep)
+        keys = kept.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(names[keys], pa.string()),
+                "rev": kept.column("rev"),
+            }
+        )
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "revenue": pc.divide(pc.cast(t.column("rev"), pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q5_LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+# ------------------------------------------------------------------ Q13 shape
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — distribution of counts: how many customers placed
+    exactly k non-LOW-priority orders, INCLUDING the zero-order customers
+    (the part a plain inner-join groupby gets wrong). Shape: per-batch
+    partial counts by custkey, one custkey groupby, a LEFT lookup_join from
+    the customer dimension (null → 0), then the tiny second groupby over the
+    count value itself."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kept = t.filter(
+            pc.not_equal(t.column("o_orderpriority"), "5-LOW")
+        )
+        agg = kept.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "o_custkey": agg.column("o_custkey"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    withc = lookup_join(
+        cust, counts, key="c_custkey", right_key="o_custkey", how="left"
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": pc.coalesce(
+                    t.column("c_count"), pa.scalar(0, pa.int64())
+                )
+            }
+        )
+
+    return (
+        withc.map_batches(coalesce, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_count": t.column("c_count"),
+                    "custdist": pc.cast(t.column("custdist"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+Q13_CUSTDIST_SQL = """
+WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+# ------------------------------------------------------------------ Q18 shape
+
+def q18_large_volume_orders(sf_dir: str, qty_floor: int = 300):
+    """TPC-H Q18 shape — HAVING on a grouped fact sum, joined back to the
+    facts: orders whose total lineitem quantity exceeds the floor, with
+    their customer name. The quantity rollup is map-side partials into ONE
+    orderkey groupby; the survivors (a tiny set) flow back over orders and
+    customer as lookup_joins, so the full fact table is never re-shuffled."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        )
+        agg = tt.group_by("l_orderkey").aggregate([("q", "sum")])
+        return agg.rename_columns(["l_orderkey", "q"])
+
+    sums = (
+        items.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+    )
+
+    big = sums.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("sum_qty"), pa.scalar(qty_floor, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    hits = lookup_join(orders, big, key="o_orderkey", right_key="l_orderkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = lookup_join(hits, cust, key="o_custkey", right_key="c_custkey")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": t.column("c_name"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_totalprice": pc.divide(
+                    pc.cast(_cents(t.column("o_totalprice")), pa.float64()), 100.0
+                ),
+                "sum_qty": t.column("sum_qty"),
+            }
+        )
+
+    return named.map_batches(finalize, batch_format="pyarrow")
+
+
+Q18_LARGE_ORDERS_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(CAST(round(o.o_totalprice*100) AS BIGINT) AS DOUBLE) / 100.0 AS o_totalprice,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 300
+"""
+
+
+# ------------------------------------------------------------------ Q19 shape
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive multi-predicate join filter: revenue
+    from three (brand, size-band, quantity-band) OR-arms evaluated
+    vectorized AFTER the part attributes attach via lookup_join. Each batch
+    reduces to one int64 partial; the driver sees two scalars. Returns 0.0
+    (not NULL) on an empty match, mirrored with COALESCE in the oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    joined = lookup_join(items, part, key="l_partkey", right_key="p_partkey")
+
+    ARMS = (
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#23", 1, 10, 10, 20),
+        ("Brand#34", 1, 15, 20, 30),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        size = pc.cast(t.column("p_size"), pa.int64())
+        brand = t.column("p_brand")
+        keep = None
+        for b, s_lo, s_hi, q_lo, q_hi in ARMS:
+            arm = pc.and_(
+                pc.and_(
+                    pc.equal(brand, b),
+                    pc.and_(
+                        pc.greater_equal(size, pa.scalar(s_lo, pa.int64())),
+                        pc.less_equal(size, pa.scalar(s_hi, pa.int64())),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(q_lo, pa.int64())),
+                    pc.less_equal(qty, pa.scalar(q_hi, pa.int64())),
+                ),
+            )
+            keep = arm if keep is None else pc.or_(keep, arm)
+        kept = t.filter(keep)
+        ext = _cents(kept.column("l_extendedprice"))
+        disc = _cents(kept.column("l_discount"))
+        rev = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"rev": pa.array([pc.sum(rev).as_py() or 0], pa.int64())})
+
+    total = joined.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="rev")
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"revenue": pa.array([float(total["rev"] or 0) / 10000.0], pa.float64())}
+        )
+    )
+
+
+Q19_DISJUNCTIVE_SQL = """
+SELECT COALESCE(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 0) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -579,6 +936,10 @@ def analytics_queries():
         "events_funnel": events_funnel,
         "user_cohort_retention": user_cohort_retention,
         "customers_fuzzy_pairs": customers_fuzzy_pairs,
+        "q5_local_supplier_revenue": q5_local_supplier_revenue,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q18_large_volume_orders": q18_large_volume_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
     }
 
 
@@ -590,4 +951,8 @@ def analytics_oracle_sql():
         "events_funnel": EVENTS_FUNNEL_SQL,
         "user_cohort_retention": USER_COHORT_SQL,
         "customers_fuzzy_pairs": CUSTOMERS_FUZZY_SQL,
+        "q5_local_supplier_revenue": Q5_LOCAL_SUPPLIER_SQL,
+        "q13_customer_distribution": Q13_CUSTDIST_SQL,
+        "q18_large_volume_orders": Q18_LARGE_ORDERS_SQL,
+        "q19_disjunctive_revenue": Q19_DISJUNCTIVE_SQL,
     }
