@@ -926,6 +926,137 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 """
 
 
+# ------------------------------------------------------------------ skyline
+
+def _skyline_filter(size: np.ndarray, price: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask for the 2-D Pareto front (maximize size,
+    minimize price). A point survives iff it carries its size's minimum
+    price AND no strictly larger size reaches a price <= it. Vectorized:
+    one lexsort, per-size min via reduceat, strict-prefix running min."""
+    order = np.lexsort((price, -size))
+    s, p = size[order], price[order]
+    # distinct sizes appear in descending runs
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    grp_min = np.minimum.reduceat(p, starts)
+    run_before = np.r_[np.inf, np.minimum.accumulate(grp_min)[:-1]]  # strictly larger sizes
+    grp_id = np.cumsum(np.r_[0, (s[1:] != s[:-1]).astype(np.int64)])
+    keep_sorted = (p == grp_min[grp_id]) & (p < run_before[grp_id])
+    keep = np.zeros(len(size), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def parts_skyline(sf_dir: str):
+    """Distributed 2-D skyline (Pareto front): parts not dominated on
+    (size ↑, price ↓). The local Pareto filter is a VALID COMBINER —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each batch
+    reduces to its own front (tiny), the union of fronts flows to one
+    final filter, and the full table is never shuffled or collected.
+    Duplicate points on the front all survive in both engines (dominance
+    requires one STRICT inequality). Price compares in exact cents."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local_front(t: pa.Table) -> pa.Table:
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t.column("p_retailprice")).to_numpy(zero_copy_only=False)
+        keep = _skyline_filter(size, cents)
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": kept.column("p_partkey"),
+                "p_size": pc.cast(kept.column("p_size"), pa.int64()),
+                "cents": _cents(kept.column("p_retailprice")),
+            }
+        )
+
+    fronts = ds.map_batches(local_front, batch_format="pyarrow").repartition(1)
+
+    def final_front(t: pa.Table) -> pa.Table:
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(_skyline_filter(size, cents)))
+        return pa.table(
+            {
+                "p_partkey": kept.column("p_partkey"),
+                "p_size": kept.column("p_size"),
+                "p_retailprice": pc.divide(
+                    pc.cast(kept.column("cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return fronts.map_batches(final_front, batch_format="pyarrow")
+
+
+PARTS_SKYLINE_SQL = """
+SELECT a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size,
+       CAST(CAST(round(a.p_retailprice*100) AS BIGINT) AS DOUBLE) / 100.0 AS p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_size >= a.p_size
+    AND CAST(round(b.p_retailprice*100) AS BIGINT) <= CAST(round(a.p_retailprice*100) AS BIGINT)
+    AND (b.p_size > a.p_size
+         OR CAST(round(b.p_retailprice*100) AS BIGINT) < CAST(round(a.p_retailprice*100) AS BIGINT))
+)
+"""
+
+
+# ------------------------------------------------------- transition matrix
+
+def events_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    sequence: (src_type, dst_type, n) for consecutive events ordered by
+    (ts, event_id) within a user — the behavioral sequence-mining staple.
+    ONE user-keyed bucket shuffle; inside the bucket a single lexsort +
+    shifted comparison derives every consecutive pair vectorized; the
+    25-row partials meet in a tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), df["ts"].to_numpy(), df["user_id"].to_numpy())
+        )
+        u = df["user_id"].to_numpy()[order]
+        et = df["event_type"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        src, dst = et[:-1][same], et[1:][same]
+        out = (
+            pd.DataFrame({"src_type": src, "dst_type": dst})
+            .groupby(["src_type", "dst_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "src_type": pa.array(out["src_type"], pa.string()),
+                "dst_type": pa.array(out["dst_type"], pa.string()),
+                "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(ds, ["user_id"], bucket_fn, n_buckets=16)
+    return partials.groupby(["src_type", "dst_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -940,6 +1071,8 @@ def analytics_queries():
         "q13_customer_distribution": q13_customer_distribution,
         "q18_large_volume_orders": q18_large_volume_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "parts_skyline": parts_skyline,
+        "events_transition_matrix": events_transition_matrix,
     }
 
 
@@ -955,4 +1088,6 @@ def analytics_oracle_sql():
         "q13_customer_distribution": Q13_CUSTDIST_SQL,
         "q18_large_volume_orders": Q18_LARGE_ORDERS_SQL,
         "q19_disjunctive_revenue": Q19_DISJUNCTIVE_SQL,
+        "parts_skyline": PARTS_SKYLINE_SQL,
+        "events_transition_matrix": EVENTS_TRANSITION_SQL,
     }

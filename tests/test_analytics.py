@@ -112,3 +112,42 @@ def test_cohort_offsets_planted(tmp_path):
         (r.cohort_day, r.day_offset): r.n_users for r in got.itertuples()
     }
     assert gotmap == want
+
+
+def _brute_skyline(size, price):
+    n = len(size)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (
+                size[j] >= size[i]
+                and price[j] <= price[i]
+                and (size[j] > size[i] or price[j] < price[i])
+            ):
+                keep[i] = False
+                break
+    return keep
+
+
+def test_skyline_filter_matches_brute_force_and_is_a_combiner():
+    from entity_extractor_ray.pipelines.analytics import _skyline_filter
+
+    rng = np.random.RandomState(3)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        # small value ranges force duplicate points (both must survive)
+        size = rng.randint(0, 6, n).astype(np.int64)
+        price = rng.randint(0, 6, n).astype(np.int64)
+        got = _skyline_filter(size, price)
+        want = _brute_skyline(size, price)
+        assert np.array_equal(got, want), (trial, size, price)
+        # combiner property: filtering partitions first never changes the front
+        cut = n // 2
+        keep_a = _skyline_filter(size[:cut], price[:cut]) if cut else np.zeros(0, bool)
+        keep_b = _skyline_filter(size[cut:], price[cut:])
+        s2 = np.r_[size[:cut][keep_a], size[cut:][keep_b]]
+        p2 = np.r_[price[:cut][keep_a], price[cut:][keep_b]]
+        final = _skyline_filter(s2, p2)
+        got_pts = sorted(zip(s2[final], p2[final]))
+        want_pts = sorted(zip(size[want], price[want]))
+        assert got_pts == want_pts, trial
