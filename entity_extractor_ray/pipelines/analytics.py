@@ -1057,6 +1057,76 @@ GROUP BY src_type, dst_type
 """
 
 
+# ------------------------------------------------------------- vector centroids
+
+def embedding_centroids(sf_dir: str):
+    """Grouped vector mean (per-label centroids) over the embedding
+    list<float> column, emitted tall as (label, dim, centroid) — the
+    k-means/SemDeDup building block surfaced as an ORACLED query. Exactness
+    trick: each component is scaled to int64 via floor(x·1e6) (floor is
+    tie-free, unlike round, where numpy half-even and DuckDB half-away
+    diverge), summed exactly through a map-side per-label reduceat partial
+    and ONE (label, dim) groupby, then divided once in doubles written
+    identically in the SQL. The matrix decode is the zero-copy buffer
+    reshape, never to_pylist."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.similarity import list_column_to_matrix
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_column_to_matrix(t.column("embedding"))
+        scaled = np.floor(mat * 1e6).astype(np.int64)
+        order = np.argsort(labels, kind="mergesort")
+        lab_s, mat_s = labels[order], scaled[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        uniq = lab_s[starts]
+        sums = np.add.reduceat(mat_s, starts, axis=0)  # (g, d)
+        counts = np.diff(np.r_[starts, len(lab_s)])
+        g, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), g), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts.astype(np.int64), d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy().astype(np.float64)
+        n = t.column("n").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "centroid": pa.array(s / 1e6 / n, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT CAST(e.label AS BIGINT) AS label, CAST(t.i AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / CAST(count(*) AS DOUBLE) AS centroid
+FROM embeddings e CROSS JOIN range(1, 65) AS t(i)
+GROUP BY e.label, t.i
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1073,6 +1143,7 @@ def analytics_queries():
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "parts_skyline": parts_skyline,
         "events_transition_matrix": events_transition_matrix,
+        "embedding_centroids": embedding_centroids,
     }
 
 
@@ -1090,4 +1161,5 @@ def analytics_oracle_sql():
         "q19_disjunctive_revenue": Q19_DISJUNCTIVE_SQL,
         "parts_skyline": PARTS_SKYLINE_SQL,
         "events_transition_matrix": EVENTS_TRANSITION_SQL,
+        "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     }
