@@ -85,6 +85,7 @@ def run_once() -> dict:
     assert n_nodes > 0
 
     # operator-surface subset over the sf dir
+    from entity_extractor_ray.pipelines import analytics as ana
     from entity_extractor_ray.pipelines import relational as rel
     from entity_extractor_ray.stages import dedup as dd
     from entity_extractor_ray.stages import similarity as sim
@@ -152,6 +153,10 @@ def run_once() -> dict:
         "profile_orders": lambda: __import__(
             "entity_extractor_ray.stages.profile", fromlist=["profile_table"]
         ).profile_table(rd.read_parquet(f"{SF_DIR}/orders.parquet")),
+        "q5_local_supplier_revenue": lambda: ana.q5_local_supplier_revenue(SF_DIR),
+        "events_funnel": lambda: ana.events_funnel(SF_DIR),
+        "embedding_centroids": lambda: ana.embedding_centroids(SF_DIR),
+        "customers_fuzzy_pairs": lambda: ana.customers_fuzzy_pairs(SF_DIR),
     }
     queries = {}
     for name, fn in query_fns.items():

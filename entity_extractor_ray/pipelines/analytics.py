@@ -1127,6 +1127,92 @@ GROUP BY e.label, t.i
 """
 
 
+# ------------------------------------------------------------------ grouped MAD
+
+def _median_cont_from_hist(vals: np.ndarray, cnts: np.ndarray) -> float:
+    """Interpolated (quantile_cont 0.5) median from a sorted value histogram.
+    h = (n-1)/2 is dyadic, so the result is exact in float64 for integer
+    values (integer or half-integer)."""
+    cum = cnts.cumsum()
+    n = int(cum[-1])
+    h = (n - 1) * 0.5
+    lo_i, hi_i = int(np.floor(h)), int(np.ceil(h))
+    lo = float(vals[np.searchsorted(cum, lo_i + 1)])
+    hi = float(vals[np.searchsorted(cum, hi_i + 1)])
+    return lo + (hi - lo) * (h - lo_i)
+
+
+def doc_length_mad(sf_dir: str):
+    """Grouped MEDIAN ABSOLUTE DEVIATION of document length per language —
+    the robust-statistics dispersion measure (quality-filter pipelines use
+    it to set outlier fences that length extremes can't drag around, unlike
+    stddev). Two histogram passes, both map-side pre-reduced to (lang,
+    value, count) so the shuffle never carries raw rows: pass 1 derives the
+    per-lang interpolated median (dimension-sized, broadcast as 2·median to
+    stay integer); pass 2 histograms |2x − 2med| and takes its median.
+    Every intermediate is an integer or dyadic rational, so the /4 finale
+    is bit-exact against DuckDB's mad()."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def histogram(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+
+    pre = ds.map_batches(histogram, batch_format="pandas")
+
+    def med_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        merged = df.groupby(["lang", "n_chars"], sort=False)["cnt"].sum().reset_index()
+        langs, med2s = [], []
+        for lang, g in merged.groupby("lang", sort=False):
+            g = g.sort_values("n_chars", kind="mergesort")
+            m = _median_cont_from_hist(g["n_chars"].to_numpy(), g["cnt"].to_numpy())
+            langs.append(lang)
+            med2s.append(int(round(2 * m)))
+        return pa.table(
+            {"lang": pa.array(langs, pa.string()), "med2": pa.array(med2s, pa.int64())}
+        )
+
+    med2 = {
+        r["lang"]: r["med2"]
+        for r in bucket_group_apply(pre, ["lang"], med_bucket, n_buckets=4).take_all()
+    }
+
+    def dev_hist(df: pd.DataFrame) -> pd.DataFrame:
+        m2 = df["lang"].map(med2).to_numpy(dtype=np.int64)
+        dev2 = np.abs(2 * df["n_chars"].to_numpy(dtype=np.int64) - m2)
+        return (
+            pd.DataFrame({"lang": df["lang"], "dev2": dev2})
+            .groupby(["lang", "dev2"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    pre2 = ds.map_batches(dev_hist, batch_format="pandas")
+
+    def mad_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        merged = df.groupby(["lang", "dev2"], sort=False)["cnt"].sum().reset_index()
+        langs, mads = [], []
+        for lang, g in merged.groupby("lang", sort=False):
+            g = g.sort_values("dev2", kind="mergesort")
+            m = _median_cont_from_hist(g["dev2"].to_numpy(), g["cnt"].to_numpy())
+            langs.append(lang)
+            mads.append(m / 2.0)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "mad_chars": pa.array(mads, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(pre2, ["lang"], mad_bucket, n_buckets=4)
+
+
+DOC_LENGTH_MAD_SQL = """
+SELECT lang, mad(n_chars) AS mad_chars FROM documents GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1144,6 +1230,7 @@ def analytics_queries():
         "parts_skyline": parts_skyline,
         "events_transition_matrix": events_transition_matrix,
         "embedding_centroids": embedding_centroids,
+        "doc_length_mad": doc_length_mad,
     }
 
 
@@ -1162,4 +1249,5 @@ def analytics_oracle_sql():
         "parts_skyline": PARTS_SKYLINE_SQL,
         "events_transition_matrix": EVENTS_TRANSITION_SQL,
         "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
+        "doc_length_mad": DOC_LENGTH_MAD_SQL,
     }
