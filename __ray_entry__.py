@@ -357,6 +357,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pagerank"] = _pagerank
 
+    # community detection (deterministic synchronous label propagation,
+    # min tiebreak) over the co-mention graph; rows-only — pinned against
+    # a serial LPA reference in tests/test_label_propagation.py
+    def _communities(sf):
+        from entity_extractor_ray.stages.graph import (
+            label_propagation,
+            material_comentions,
+        )
+
+        return label_propagation(material_comentions(_kg(sf).edges), n_iters=3)
+
+    q["kg_communities"] = _communities
+
     def _mentions(sf):
         import ray.data as rd
 

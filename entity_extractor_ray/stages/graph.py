@@ -954,3 +954,102 @@ def triangle_count(pairs_ds, a_col: str = "mat_a", b_col: str = "mat_b",
     return rd.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
     )
+
+
+# ------------------------------------------------------------ label propagation
+
+def label_propagation(pairs_ds, a_col: str = "mat_a", b_col: str = "mat_b",
+                      n_iters: int = 5, n_buckets: int = 16):
+    """Deterministic synchronous label propagation (community detection)
+    over an undirected pair list — the fourth iterative BSP shape in the
+    engine (next to min-label components, the status fixed point, and
+    PageRank). Per round every node adopts the MOST FREQUENT label among
+    its neighbors, ties broken by the lexicographically smallest label, all
+    nodes updating simultaneously from the previous round's labels — the
+    classic LPA (Raghavan et al. 2007) made deterministic by the min
+    tiebreak + synchronous schedule.
+
+    Per round: ONE lookup_join ships each node's current label along its
+    out-edges (broadcast while the label table is dimension-sized),
+    ONE (dst, label) count aggregate, and ONE dst-bucketed vectorized
+    argmax (lexsort on (dst, -count, label), take first per run). Labels
+    materialize once per round at node-dimension size; the doubled edge
+    list streams unchanged every round, so at scale its dst partitioning
+    is reused across iterations. Returns (node, label)."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucket_group_apply, lookup_join
+
+    def doubled(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col), pa.string()).combine_chunks()
+        b = pc.cast(t.column(b_col), pa.string()).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(doubled, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        agg = t.group_by("src").aggregate([])
+        return pa.table({"node": agg.column("src")})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["dst", "label"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "dst": agg.column("dst"),
+                "label": agg.column("label"),
+                "n": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    def argmax_bucket(df, bucket_id: int) -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        merged = (
+            df.groupby(["dst", "label"], sort=False)["n"].sum().reset_index()
+        )
+        order = np.lexsort(
+            (
+                merged["label"].to_numpy(),
+                -merged["n"].to_numpy(),
+                merged["dst"].to_numpy(),
+            )
+        )
+        d = merged["dst"].to_numpy()[order]
+        first = np.r_[True, d[1:] != d[:-1]]
+        return pa.table(
+            {
+                "node": pa.array(d[first], pa.string()),
+                "label": pa.array(
+                    merged["label"].to_numpy()[order][first], pa.string()
+                ),
+            }
+        )
+
+    for _ in range(n_iters):
+        shipped = lookup_join(edges, labels, key="src", right_key="node")
+        counts = shipped.map_batches(
+            lambda t: count_partial(t.select(["dst", "label"])),
+            batch_format="pyarrow",
+        )
+        labels = bucket_group_apply(
+            counts, ["dst"], argmax_bucket, n_buckets=n_buckets
+        ).materialize()
+
+    return labels
