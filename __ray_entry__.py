@@ -370,6 +370,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_communities"] = _communities
 
+    # multi-source BFS hop distances over the co-mention graph from its
+    # lexicographically first node; rows-only — pinned against a serial
+    # BFS reference in tests/test_label_propagation.py::TestBfs
+    def _bfs(sf):
+        import pyarrow as pa
+        from ray.data.aggregate import Min
+
+        from entity_extractor_ray.stages.graph import bfs_depths, material_comentions
+
+        pairs = material_comentions(_kg(sf).edges).materialize()
+        first = pairs.aggregate(Min("mat_a"))["min(mat_a)"]
+
+        def doubled(t: pa.Table) -> pa.Table:
+            a = t.column("mat_a").combine_chunks()
+            b = t.column("mat_b").combine_chunks()
+            return pa.table(
+                {
+                    "src": pa.concat_arrays([a, b]),
+                    "dst": pa.concat_arrays([b, a]),
+                }
+            )
+
+        both = pairs.map_batches(doubled, batch_format="pyarrow")
+        return bfs_depths(both, seeds=[first], max_depth=3)
+
+    q["kg_bfs"] = _bfs
+
     def _mentions(sf):
         import ray.data as rd
 

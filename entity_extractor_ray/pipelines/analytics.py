@@ -1213,6 +1213,66 @@ SELECT lang, mad(n_chars) AS mad_chars FROM documents GROUP BY lang
 """
 
 
+# --------------------------------------------------------- JSON prop extraction
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer `k` out of the JSON
+    props column with ONE vectorized regex (pc.extract_regex — never a
+    per-row json.loads), then the usual map-side partial + tiny groupby.
+    avg is the single float op, written identically in the oracle. Rows
+    whose props lack a parseable k drop out in both engines (JSON null →
+    CAST NULL → excluded from sum/count via the filter)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        tt = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "k": k,
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ).filter(pc.is_valid(k))
+        agg = tt.group_by("event_type").aggregate([("k", "sum"), ("one", "sum")])
+        return agg.rename_columns(["event_type", "sum_k", "n"])
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("sum_k").to_numpy().astype(np.float64)
+        n = t.column("n").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "sum_k": pc.cast(t.column("sum_k"), pa.int64()),
+                "avg_k": pa.array(s / n, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1231,6 +1291,7 @@ def analytics_queries():
         "events_transition_matrix": events_transition_matrix,
         "embedding_centroids": embedding_centroids,
         "doc_length_mad": doc_length_mad,
+        "events_props_extract": events_props_extract,
     }
 
 
@@ -1250,4 +1311,5 @@ def analytics_oracle_sql():
         "events_transition_matrix": EVENTS_TRANSITION_SQL,
         "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
         "doc_length_mad": DOC_LENGTH_MAD_SQL,
+        "events_props_extract": EVENTS_PROPS_SQL,
     }

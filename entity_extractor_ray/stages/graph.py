@@ -1053,3 +1053,82 @@ def label_propagation(pairs_ds, a_col: str = "mat_a", b_col: str = "mat_b",
         ).materialize()
 
     return labels
+
+
+# ------------------------------------------------------------------ BFS depths
+
+def bfs_depths(edges_ds, seeds, max_depth: int = 4, n_buckets: int = 16,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Multi-source BFS over a DIRECTED edge list: minimum hop distance from
+    any seed, up to max_depth — the monotone-frontier iterative shape
+    (contrast with label_propagation's full relabel: here each round only
+    touches the frontier, and settled nodes never change). Per round ONE
+    lookup_join ships the frontier along edges (frontier is always ≤ node-
+    dimension-sized, so it broadcasts) and ONE anti bucket join discards
+    already-settled destinations; the frontier shrinks the work per round
+    to the expansion boundary. For an undirected graph pass the doubled
+    pair list. Returns (node, depth) for every reached node."""
+    import ray.data as rd
+
+    from .shuffle import bucket_hash_join, lookup_join
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column(src_col), pa.string()),
+                "dst": pc.cast(t.column(dst_col), pa.string()),
+            }
+        )
+
+    edges = edges_ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    settled = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(sorted(set(map(str, seeds))), pa.string()),
+                "depth": pa.array([0] * len(set(seeds)), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = settled
+
+    for d in range(1, max_depth + 1):
+        hops = lookup_join(edges, frontier, key="src", right_key="node")
+
+        def next_nodes(t: pa.Table, _d=d) -> pa.Table:
+            agg = t.select(["dst"]).group_by("dst").aggregate([])
+            return pa.table(
+                {
+                    "node": agg.column("dst"),
+                    "depth": pa.array(
+                        np.full(agg.num_rows, _d, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        candidates = hops.map_batches(next_nodes, batch_format="pyarrow")
+        fresh = bucket_hash_join(
+            candidates, settled, key="node", right_key="node", how="anti",
+            n_buckets=n_buckets,
+        )
+        # per-batch distinct above can still duplicate across batches: one
+        # tiny groupby pins min depth (all candidates this round share d)
+        frontier = (
+            fresh.groupby("node")
+            .min("depth")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "depth": pc.cast(t.column("min(depth)"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        settled = settled.union(frontier).materialize()
+
+    return settled

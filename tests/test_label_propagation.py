@@ -76,3 +76,56 @@ class TestLabelPropagation:
             for r in label_propagation(_pairs_ds(pairs), n_iters=4).take_all()
         }
         assert got == _serial_lpa(pairs, 4)
+
+
+def _serial_bfs(pairs, seeds, max_depth):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    depth = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for v in frontier:
+            for u in adj.get(v, []):
+                if u not in depth:
+                    depth[u] = d
+                    nxt.append(u)
+        frontier = nxt
+    return depth
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBfs:
+    def test_matches_serial_bfs(self):
+        from entity_extractor_ray.stages.graph import bfs_depths
+
+        pairs = (
+            [(f"n{i}", f"n{i+1}") for i in range(6)]  # path
+            + [("n2", "x0"), ("x0", "x1")]            # branch
+            + [("iso0", "iso1")]                      # unreachable island
+        )
+        both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        ds = _pairs_ds(both)
+        got = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(
+                ds, seeds=["n0"], max_depth=3, src_col="mat_a", dst_col="mat_b"
+            ).take_all()
+        }
+        assert got == _serial_bfs(pairs, ["n0"], 3)
+
+    def test_multi_source_min_depth(self):
+        from entity_extractor_ray.stages.graph import bfs_depths
+
+        pairs = [(f"n{i}", f"n{i+1}") for i in range(6)]
+        both = pairs + [(b, a) for a, b in pairs]
+        got = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(
+                _pairs_ds(both), seeds=["n0", "n6"], max_depth=4,
+                src_col="mat_a", dst_col="mat_b",
+            ).take_all()
+        }
+        assert got == _serial_bfs(pairs, ["n0", "n6"], 4)
