@@ -471,28 +471,34 @@ GROUP BY f.cohort_day, day_offset
 
 # ------------------------------------------------------- fuzzy string self-join
 
-def _levenshtein_batch(a_list, b_list) -> np.ndarray:
-    """Vectorized Wagner–Fischer over a BATCH of string pairs: the DP runs
+def _encode_codepoints(strs) -> tuple:
+    """Strings -> (n, maxlen) uint32 codepoint matrix + int64 lengths.
+    utf-32-le is fixed-width, so one frombuffer decodes everything — each
+    string is encoded exactly ONCE (callers joining P pairs over n strings
+    index rows instead of re-encoding per pair)."""
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    m = int(lens.max()) if len(lens) else 0
+    if m == 0:
+        return np.zeros((len(strs), 0), dtype=np.uint32), lens
+    buf = b"".join(s.encode("utf-32-le").ljust(4 * m, b"\0") for s in strs)
+    return np.frombuffer(buf, dtype=np.uint32).reshape(len(strs), m), lens
+
+
+def _lev_dp(A: np.ndarray, B: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Vectorized Wagner–Fischer over pre-encoded pair matrices: the DP runs
     its two small loops over character positions while every pair advances
     in lock-step on the numpy axis — O(maxlen²) vector ops total instead of
     O(pairs·len²) interpreted steps."""
-    n = len(a_list)
+    n = len(la)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    la = np.array([len(s) for s in a_list], dtype=np.int64)
-    lb = np.array([len(s) for s in b_list], dtype=np.int64)
-    ma, mb = int(la.max()), int(lb.max())
+    ma = int(la.max()) if n else 0
+    mb = int(lb.max()) if n else 0
     if ma == 0:
         return lb.copy()
     if mb == 0:
         return la.copy()
-    enc = "utf-32-le"  # fixed-width so frombuffer gives one code point per cell
-    A = np.frombuffer(
-        b"".join(s.encode(enc).ljust(4 * ma, b"\0") for s in a_list), dtype=np.uint32
-    ).reshape(n, ma)
-    B = np.frombuffer(
-        b"".join(s.encode(enc).ljust(4 * mb, b"\0") for s in b_list), dtype=np.uint32
-    ).reshape(n, mb)
+    A, B = A[:, :ma], B[:, :mb]
     prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (n, mb + 1)).copy()
     out = np.where(la == 0, lb, 0).astype(np.int64)
     for i in range(1, ma + 1):
@@ -512,16 +518,67 @@ def _levenshtein_batch(a_list, b_list) -> np.ndarray:
     return out
 
 
+def _lev_le1(A, B, la, lb) -> np.ndarray:
+    """Exact distances CAPPED at 2 for threshold-1 joins: O(maxlen) vector
+    ops instead of the O(maxlen²) DP (at 4.5M pairs of 18-char names the DP
+    costs ~100 s serial; this path is <1 s). Correctness: at threshold 1 an
+    equal-length pair is within distance 1 iff its Hamming distance is ≤ 1
+    (an insert+delete pair already costs 2), and a length-diff-1 pair iff
+    the shorter equals the longer with exactly one gap — checked as
+    first-mismatch + shifted-suffix equality. Returns 0/1 where ≤1, else 2."""
+    n = len(la)
+    out = np.full(n, 2, dtype=np.int64)
+    if n == 0:
+        return out
+    m = A.shape[1] if A.shape[1] >= B.shape[1] else B.shape[1]
+    if A.shape[1] < m:
+        A = np.pad(A, ((0, 0), (0, m - A.shape[1])))
+    if B.shape[1] < m:
+        B = np.pad(B, ((0, 0), (0, m - B.shape[1])))
+    pos = np.arange(m)
+    eqlen = la == lb
+    if eqlen.any():
+        mask = pos < la[eqlen, None]
+        mism = ((A[eqlen] != B[eqlen]) & mask).sum(axis=1)
+        out[np.flatnonzero(eqlen)[mism <= 1]] = np.int64(0)
+        out[np.flatnonzero(eqlen)[mism == 1]] = np.int64(1)
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        idx = np.flatnonzero(d1)
+        # orient: S = shorter, L = longer
+        a_short = la[idx] < lb[idx]
+        S = np.where(a_short[:, None], A[idx], B[idx])
+        L = np.where(a_short[:, None], B[idx], A[idx])
+        ls = np.minimum(la[idx], lb[idx])
+        valid = pos < ls[:, None]
+        bad = (S != L) & valid
+        f = np.where(bad.any(axis=1), bad.argmax(axis=1), ls)
+        # after skipping L[f], the suffixes must match: S[j] == L[j+1], j >= f
+        bad2 = (S[:, : m - 1] != L[:, 1:]) & (pos[: m - 1] < ls[:, None])
+        bad2 &= pos[: m - 1] >= f[:, None]
+        out[idx[~bad2.any(axis=1)]] = np.int64(1)
+    return out
+
+
+def _levenshtein_batch(a_list, b_list) -> np.ndarray:
+    """Pairwise Levenshtein over two aligned string lists (test/reference
+    surface; the fuzzy join encodes per GROUP and calls _lev_dp directly)."""
+    A, la = _encode_codepoints(list(a_list))
+    B, lb = _encode_codepoints(list(b_list))
+    return _lev_dp(A, B, la, lb)
+
+
 def customers_fuzzy_pairs(sf_dir: str, max_dist: int = 1):
     """Blocked fuzzy string self-join: customer-name pairs within Levenshtein
     distance ``max_dist``, blocked by nation — the classic dirty-data
     entity-resolution candidate join (same role as the KG's name-blocked
     canonicalization, here over a relational table with a DuckDB
-    ``levenshtein()`` oracle). ONE nation-bucket shuffle; inside each block
-    the pair list is materialized with triu indices and distances come from
-    the batched numpy Wagner–Fischer kernel — no per-pair Python. Blocks are
-    bounded by the blocking key (here ≤ customers/25 per nation); at corpus
-    scale a lossless secondary band (length ±max_dist) caps them further."""
+    ``levenshtein()`` oracle). ONE nation-bucket shuffle; inside each block,
+    threshold-1 joins generate candidates via FastSS deletion-neighborhood
+    buckets (O(n·m) variants, only collisions verified — the shape that
+    survives a million-name block) and verify with the O(m) vectorized
+    ≤1 checker; thresholds ≥ 2 fall back to all-pairs with a lossless
+    length band + the batched numpy Wagner–Fischer DP."""
     from ..stages.shuffle import bucket_group_apply
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
@@ -533,10 +590,55 @@ def customers_fuzzy_pairs(sf_dir: str, max_dist: int = 1):
             names = grp["c_name"].to_numpy()
             order = np.argsort(k)
             k, names = k[order], names[order]
-            ii, jj = np.triu_indices(len(k), k=1)
-            if len(ii) == 0:
+            n = len(k)
+            if n < 2:
                 continue
-            d = _levenshtein_batch(list(names[ii]), list(names[jj]))
+            if max_dist == 1:
+                # FastSS candidate generation: lev(u,v) ≤ 1 ⇒ the deletion
+                # neighborhoods D1(u)={u}∪{u minus one char} intersect, so
+                # only variant-bucket collisions need verification — O(n·m)
+                # variants instead of the O(n²·m) all-pairs compare (which
+                # is also what makes this survive a million-name block)
+                var_owner, variants = [], []
+                for i, s in enumerate(names):
+                    var_owner.append(i)
+                    variants.append(s)
+                    for p in range(len(s)):
+                        var_owner.append(i)
+                        variants.append(s[:p] + s[p + 1:])
+                codes, _ = pd.factorize(np.asarray(variants, dtype=object))
+                owner = np.asarray(var_owner, dtype=np.int64)
+                bucket_order = np.lexsort((owner, codes))
+                oc, cc = owner[bucket_order], codes[bucket_order]
+                ii_list, jj_list = [], []
+                starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+                ends = np.r_[starts[1:], len(cc)]
+                big = np.flatnonzero(ends - starts > 1)
+                for bi in big:
+                    members = np.unique(oc[starts[bi]:ends[bi]])
+                    if len(members) > 1:
+                        a, b = np.triu_indices(len(members), k=1)
+                        ii_list.append(members[a])
+                        jj_list.append(members[b])
+                if not ii_list:
+                    continue
+                cand = np.unique(
+                    np.stack(
+                        [np.concatenate(ii_list), np.concatenate(jj_list)], axis=1
+                    ),
+                    axis=0,
+                )
+                ii, jj = cand[:, 0], cand[:, 1]
+                M, lens = _encode_codepoints(list(names))
+                d = _lev_le1(M[ii], M[jj], lens[ii], lens[jj])
+            else:
+                ii, jj = np.triu_indices(n, k=1)
+                # encode the group's names ONCE; pairs index matrix rows
+                M, lens = _encode_codepoints(list(names))
+                # lossless length-band prefilter: |la-lb| > d ⇒ distance > d
+                band = np.abs(lens[ii] - lens[jj]) <= max_dist
+                ii, jj = ii[band], jj[band]
+                d = _lev_dp(M[ii], M[jj], lens[ii], lens[jj])
             hit = d <= max_dist
             keys_out.append(np.stack([k[ii][hit], k[jj][hit]], axis=1))
             dists_out.append(d[hit])

@@ -151,3 +151,26 @@ def test_skyline_filter_matches_brute_force_and_is_a_combiner():
         got_pts = sorted(zip(s2[final], p2[final]))
         want_pts = sorted(zip(size[want], price[want]))
         assert got_pts == want_pts, trial
+
+
+def test_lev_le1_matches_dp():
+    from entity_extractor_ray.pipelines.analytics import (
+        _encode_codepoints,
+        _lev_dp,
+        _lev_le1,
+    )
+
+    rng = np.random.RandomState(11)
+    alphabet = list("ab")  # tiny alphabet maximizes near-miss pairs
+    strs = ["".join(rng.choice(alphabet, rng.randint(0, 7))) for _ in range(80)]
+    strs += ["", "a", "xyz", "xzy", "Customer#1", "Customer#2", "Customer#12"]
+    M, lens = _encode_codepoints(strs)
+    n = len(strs)
+    ii, jj = np.triu_indices(n, k=1)
+    band = np.abs(lens[ii] - lens[jj]) <= 1
+    ii, jj = ii[band], jj[band]
+    fast = _lev_le1(M[ii], M[jj], lens[ii], lens[jj])
+    full = _lev_dp(M[ii], M[jj], lens[ii], lens[jj])
+    assert np.array_equal(fast <= 1, full <= 1)
+    hit = fast <= 1
+    assert np.array_equal(fast[hit], full[hit])
