@@ -1375,6 +1375,96 @@ GROUP BY event_type
 """
 
 
+# ----------------------------------------------------------- weighted sampling
+
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic WEIGHT-PROPORTIONAL Bernoulli sample: each document
+    survives with probability n_chars / max(n_chars) — the
+    length-proportional draw a token-budgeted corpus subsample uses. The
+    acceptance test is INTEGER-exact on both engines: u·max_w < w·16¹⁰
+    where u = the first 10 md5 hex digits (40 bits, so both products stay
+    < 2⁶³) — no float threshold anywhere. One tiny max aggregate broadcast
+    as a Python int, then a pure map-side filter."""
+    from ray.data.aggregate import Max
+
+    from ..stages.samples import md5_hex_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    max_w = int(ds.aggregate(Max("n_chars"))["max(n_chars)"])
+    scale = 16 ** 10
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t.column("doc_id").to_pylist()
+        u = np.array(
+            [int(h[:10], 16) for h in md5_hex_array(keys)], dtype=np.int64
+        )
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(u * max_w < w * scale))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH m AS (SELECT max(n_chars) AS mw FROM documents)
+SELECT doc_id, lang, n_chars FROM documents, m
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT) * mw
+      < n_chars * CAST(1099511627776 AS BIGINT)
+"""
+
+
+# --------------------------------------------------------- FK integrity audit
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit — the data-quality gate a pipeline runs
+    before trusting its joins: orphan counts for the four fact→dimension
+    FKs, each as a distributed ANTI bucket join (per-batch distinct keys
+    ship on the right) whose survivors reduce to one count. Returns the
+    4-row (fk, n_orphans) report; a healthy warehouse reads all zeros, and
+    the planted test proves nonzero detection."""
+    import ray.data as rd
+
+    from ..stages.shuffle import bucket_hash_join
+
+    def orphans(child, ckey, parent, pkey):
+        c = _read(sf_dir, child, [ckey])
+        p = _read(sf_dir, parent, [pkey])
+        return bucket_hash_join(
+            c, p, key=ckey, right_key=pkey, how="anti", n_buckets=8
+        ).count()
+
+    fks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array([f[0] for f in fks], pa.string()),
+                "n_orphans": pa.array(
+                    [orphans(*f[1:]) for f in fks], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1394,6 +1484,8 @@ def analytics_queries():
         "embedding_centroids": embedding_centroids,
         "doc_length_mad": doc_length_mad,
         "events_props_extract": events_props_extract,
+        "weighted_sample_docs": weighted_sample_docs,
+        "fk_integrity_audit": fk_integrity_audit,
     }
 
 
@@ -1414,4 +1506,6 @@ def analytics_oracle_sql():
         "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
         "doc_length_mad": DOC_LENGTH_MAD_SQL,
         "events_props_extract": EVENTS_PROPS_SQL,
+        "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+        "fk_integrity_audit": FK_INTEGRITY_SQL,
     }

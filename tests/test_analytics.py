@@ -174,3 +174,36 @@ def test_lev_le1_matches_dp():
     assert np.array_equal(fast <= 1, full <= 1)
     hit = fast <= 1
     assert np.array_equal(fast[hit], full[hit])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_audit_detects_planted_orphans(tmp_path):
+    from entity_extractor_ray.pipelines.analytics import fk_integrity_audit
+
+    def w(name, table):
+        pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+    w("orders", pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 99], pa.int64()),  # 99 -> orphan
+    }))
+    w("customer", pa.table({"c_custkey": pa.array([10], pa.int64())}))
+    w("part", pa.table({"p_partkey": pa.array([5], pa.int64())}))
+    w("supplier", pa.table({"s_suppkey": pa.array([7], pa.int64())}))
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array([1, 3, 3], pa.int64()),   # two orphan rows (3)
+        "l_partkey": pa.array([5, 5, 6], pa.int64()),    # one orphan (6)
+        "l_suppkey": pa.array([7, 7, 7], pa.int64()),    # none
+    }))
+    got = (
+        fk_integrity_audit(str(tmp_path))
+        .to_pandas()
+        .set_index("fk")["n_orphans"]
+        .to_dict()
+    )
+    assert got == {
+        "lineitem.l_orderkey->orders": 2,
+        "lineitem.l_partkey->part": 1,
+        "lineitem.l_suppkey->supplier": 0,
+        "orders.o_custkey->customer": 1,
+    }
