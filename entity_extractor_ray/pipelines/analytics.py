@@ -1465,6 +1465,63 @@ FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o
 """
 
 
+# ------------------------------------------------- fuzzy entity-resolution clusters
+
+def customers_fuzzy_clusters(sf_dir: str):
+    """End-to-end entity resolution with a FULLY ORACLED verdict: the
+    FastSS fuzzy join's pairs feed the engine's distributed min-label
+    connected components (dedup.propagate_min_labels — the same machinery
+    the near-dup clustering scale path uses), and every customer gets its
+    cluster id (= min custkey in its similarity component, itself when
+    unpaired). The DuckDB oracle computes the identical transitive closure
+    with a recursive CTE — turning the previously rows-only components
+    family into a hash-checked instance."""
+    from ..stages.dedup import propagate_min_labels
+    from ..stages.shuffle import lookup_join
+
+    pairs = customers_fuzzy_pairs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"id_a": t.column("key_a"), "id_b": t.column("key_b")}
+        ),
+        batch_format="pyarrow",
+    )
+    labels = propagate_min_labels(pairs)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = lookup_join(cust, labels, key="c_custkey", right_key="node", how="left")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "cluster": pc.coalesce(
+                    pc.cast(t.column("label"), pa.int64()), t.column("c_custkey")
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+CUSTOMERS_FUZZY_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), e AS (
+  SELECT ka AS src, kb AS dst FROM pairs
+  UNION ALL
+  SELECT kb, ka FROM pairs
+), reach(node, label) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.dst, reach.label FROM reach JOIN e ON reach.node = e.src
+)
+SELECT node AS c_custkey, CAST(min(label) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1486,6 +1543,7 @@ def analytics_queries():
         "events_props_extract": events_props_extract,
         "weighted_sample_docs": weighted_sample_docs,
         "fk_integrity_audit": fk_integrity_audit,
+        "customers_fuzzy_clusters": customers_fuzzy_clusters,
     }
 
 
@@ -1508,4 +1566,5 @@ def analytics_oracle_sql():
         "events_props_extract": EVENTS_PROPS_SQL,
         "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
+        "customers_fuzzy_clusters": CUSTOMERS_FUZZY_CLUSTERS_SQL,
     }
