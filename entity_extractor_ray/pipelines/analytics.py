@@ -1522,6 +1522,189 @@ FROM reach GROUP BY node
 """
 
 
+# -------------------------------------------------------- daily active users
+
+def events_daily_actives(sf_dir: str):
+    """Daily actives + purchasers: COUNT(DISTINCT user) and a conditional
+    distinct count per day, the product-metrics staple. The map side
+    collapses each batch to distinct (day, user, max purchase-flag) rows
+    (a ~50× reduction before any exchange); ONE user-keyed bucket shuffle
+    finishes the distinct exactly (all of a user's rows co-locate) and
+    emits per-day partials; a tiny day groupby sums them."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        p = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64())
+        tt = pa.table({"day": day, "user_id": t.column("user_id"), "p": p})
+        agg = tt.group_by(["day", "user_id"]).aggregate([("p", "max")])
+        return agg.rename_columns(["day", "user_id", "p"])
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        du = df.groupby(["day", "user_id"], sort=False)["p"].max().reset_index()
+        out = du.groupby("day", sort=False)["p"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "day": pa.array(out["day"], pa.timestamp("us")),
+                "n_active": pa.array(out["size"].to_numpy(), pa.int64()),
+                "n_purchasers": pa.array(
+                    out["sum"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+    return partials.groupby("day").aggregate(
+        Sum("n_active", alias_name="n_active"),
+        Sum("n_purchasers", alias_name="n_purchasers"),
+    )
+
+
+EVENTS_DAILY_ACTIVES_SQL = """
+WITH du AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1, 2
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(p) AS BIGINT) AS n_purchasers
+FROM du GROUP BY day
+"""
+
+
+# -------------------------------------------------------- percent of total
+
+def nation_revenue_share(sf_dir: str):
+    """Percent-of-total: each nation's share of global order revenue — the
+    two-level aggregate where the denominator is a SCALAR broadcast, never
+    a window over the fact table. Revenue sums stay integer cents through
+    the per-nation groupby; the 25-row result takes its global total in
+    one driver-side pass and the share division is the only float op,
+    written identically in the oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    lut = np.empty(max(nat) + 1, dtype=object)
+    for k, v in nat.items():
+        lut[k] = v
+    lut_ref = ray.put(lut)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    joined = lookup_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        cust, key="o_custkey", right_key="c_custkey",
+    )
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        names = ray.get(lut_ref)
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(names[keys], pa.string()),
+                "cents": t.column("cents"),
+            }
+        )
+
+    per_nation = (
+        joined.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    tot = int(per_nation.aggregate(Sum("cents"))["sum(cents)"] or 0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cents = t.column("cents")
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "revenue": pc.divide(pc.cast(cents, pa.float64()), 100.0),
+                "share": pc.divide(
+                    pc.cast(cents, pa.float64()), float(tot)
+                ),
+            }
+        )
+
+    return per_nation.map_batches(finalize, batch_format="pyarrow")
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH r AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n  ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), g AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM r)
+SELECT n_name, cents / 100.0 AS revenue,
+       CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM r, g
+"""
+
+
+# ------------------------------------------------------------ sentence explode
+
+def explode_words(sf_dir: str):
+    """List explode with ordinality: documents split on the space boundary
+    into (doc_id, pos, word) rows — the flat_map reshape every text
+    pipeline starts with, done entirely in Arrow (split_pattern gives a
+    list array; the offsets buffer yields parent ids and positions with
+    two numpy ops — no per-row Python, no shuffle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("text"), pattern=" ").combine_chunks()
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc, widths), pa.int64()),
+                "pos": pa.array(
+                    np.arange(int(offs[-1]), dtype=np.int64)
+                    - np.repeat(offs[:-1], widths)
+                    + 1,
+                    pa.int64(),
+                ),
+                "word": parts.flatten(),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+EXPLODE_WORDS_SQL = """
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(parts))) AS BIGINT) AS pos,
+       unnest(parts) AS word
+FROM p
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1544,6 +1727,9 @@ def analytics_queries():
         "weighted_sample_docs": weighted_sample_docs,
         "fk_integrity_audit": fk_integrity_audit,
         "customers_fuzzy_clusters": customers_fuzzy_clusters,
+        "events_daily_actives": events_daily_actives,
+        "nation_revenue_share": nation_revenue_share,
+        "explode_words": explode_words,
     }
 
 
@@ -1567,4 +1753,7 @@ def analytics_oracle_sql():
         "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
         "customers_fuzzy_clusters": CUSTOMERS_FUZZY_CLUSTERS_SQL,
+        "events_daily_actives": EVENTS_DAILY_ACTIVES_SQL,
+        "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
+        "explode_words": EXPLODE_WORDS_SQL,
     }
