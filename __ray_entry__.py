@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _embs(sf), query_ids=[0, 1, 2], k=10, filter_col="label", filter_values=[1, 3, 5]
     )
     q["knn_cosine_ivf"] = lambda sf: sim.knn_cosine_ivf(_embs(sf), query_ids=[0, 1, 2], k=10)
+    # PQ/ADC ANN (Jégou et al. 2011): 8-byte codes per vector, table-lookup
+    # scoring; rows-only (fitted codebooks are float models) — recall and
+    # encode determinism pinned in tests/test_pq.py
+    q["knn_cosine_pq"] = lambda sf: sim.knn_pq(_embs(sf), query_ids=[0, 1, 2], k=10)
 
     # --- chunking + embedding (reference M15/M16 as Ray stages)
     from entity_extractor_ray.stages import chunk as ck

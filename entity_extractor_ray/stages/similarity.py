@@ -352,3 +352,136 @@ def retrieve_section_context(chunks_ds, section_queries: dict, k: int = 5,
         )
 
     return bucket_group_apply_arrow(partials, ["doc_id"], pick_global, n_buckets)
+
+
+# ------------------------------------------------------------ product quantization
+
+def pq_fit(embeddings_ds, m: int = 8, k_cent: int = 16, n_iter: int = 8,
+           seed: int = 13, sample_cap: int = 8192) -> np.ndarray:
+    """Fit product-quantization codebooks (Jégou et al. 2011): split the
+    d-dim space into ``m`` subspaces and run Lloyd's independently in each
+    (euclidean, on the NORMALIZED vectors so inner products approximate
+    cosine at query time). Fit rides the same deterministic stride sample
+    as the IVF/k-means fits — O(sample × d) driver memory, one pass.
+    Returns (m, k_cent, d/m) codebooks."""
+    from .cluster import _stride_sample
+
+    _, sample = _stride_sample(embeddings_ds, "vec_id", sample_cap)
+    sample = _normalize(sample)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_cent, sub), dtype=np.float64)
+    for s in range(m):
+        X = sample[:, s * sub:(s + 1) * sub]
+        cents = X[rng.choice(n, size=min(k_cent, n), replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mem = X[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[s, :len(cents)] = cents
+        if len(cents) < k_cent:  # degenerate tiny sample: repeat last centroid
+            books[s, len(cents):] = cents[-1]
+    return books
+
+
+def _pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float matrix -> (n, m) uint8 codes: per subspace, argmin
+    squared distance to the codebook, expanded as x²−2x·c+c² so the whole
+    batch scores against all centroids in one matmul per subspace."""
+    n, d = mat.shape
+    m, k_cent, sub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for s in range(m):
+        X = mat[:, s * sub:(s + 1) * sub]
+        C = books[s]
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(embeddings_ds, books: np.ndarray):
+    """Map-only encode: every vector compresses to m uint8 codes (a 64-dim
+    float32 vector becomes 8 bytes — the 32× memory cut that lets a 100 TB
+    embedding corpus live in cluster RAM). Returns (vec_id, codes)."""
+    import ray
+
+    ref = ray.put(books)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        codes = _pq_codes(_normalize(mat), b)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return embeddings_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def knn_pq(embeddings_ds, query_ids: List[int], k: int = 10, m: int = 8,
+           k_cent: int = 16):
+    """ANN top-k via PQ asymmetric distance (ADC): each query precomputes
+    an (m, k_cent) inner-product table against the codebooks ONCE; every
+    corpus vector then scores as m table lookups + a sum — no float matmul
+    against the corpus at query time. Per-batch local top-k, driver merges
+    only n_blocks × queries × k rows (same shape as knn_cosine). Scores are
+    approximate (quantized) cosines; recall is pinned by a planted test."""
+    import ray
+
+    books = pq_fit(embeddings_ds, m=m, k_cent=k_cent)
+    qrows = _fetch_rows_by_ids(embeddings_ds, list(query_ids))
+    qids = np.asarray([r["vec_id"] for r in qrows])
+    qmat = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
+    mm, kc, sub = books.shape
+    # ADC tables: T[q, s, c] = q_s · books[s, c]
+    tables = np.einsum("qsd,scd->qsc", qmat.reshape(len(qids), mm, sub), books)
+    ref = ray.put((qids, tables, books))
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        q_ids, T, b = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        codes = _pq_codes(_normalize(mat), b)  # (n, m)
+        # scores[q, i] = sum_s T[q, s, codes[i, s]]
+        n = len(ids)
+        out_q, out_v, out_s = [], [], []
+        col = np.arange(b.shape[0])
+        for qi in range(len(q_ids)):
+            sc = T[qi][col[None, :], codes].sum(axis=1)  # (n,)
+            mask = ids != q_ids[qi]
+            sel = np.flatnonzero(mask)
+            order = sel[np.argsort(-sc[sel])[:k]]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(ids[order].astype(int).tolist())
+            out_s.extend(np.round(sc[order], 6).tolist())
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    partials = embeddings_ds.map_batches(local, batch_format="pyarrow").take_all()
+    best: dict = {}
+    for r in partials:
+        best.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    rows_q, rows_v, rows_s, rows_r = [], [], [], []
+    for q in sorted(best):
+        top = sorted(best[q], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, v) in enumerate(top, 1):
+            rows_q.append(q); rows_v.append(v); rows_s.append(s); rows_r.append(rank)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "score": pa.array(rows_s, pa.float64()),
+                "rank": pa.array(rows_r, pa.int64()),
+            }
+        )
+    )

@@ -1,0 +1,73 @@
+"""Product-quantization ANN pinned on planted Gaussian clusters: encode
+determinism, code-size contract, and recall@k against the exact scorer."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _planted_ds(n_clusters=5, per=40, d=32, seed=5):
+    """Each cluster: 1 query + 10 near-twins (tiny noise) + 29 spread
+    points. The quantization error must not scramble a ranking the exact
+    scorer can't distinguish either, so the TRUE neighbors are separated
+    from the rest by far more than the PQ reconstruction error (~0.01)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d) * 4
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        q = centers[c] + rng.randn(d) * 0.05
+        near = q + rng.randn(10, d) * 0.02
+        far = centers[c] + rng.randn(per - 11, d) * 1.5
+        vecs.append(np.vstack([q[None, :], near, far]))
+        ids.extend(range(c * per, c * per + per))
+    mat = np.vstack(vecs).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    return rd.from_arrow(t).repartition(4), mat
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPq:
+    def test_encode_shape_and_determinism(self):
+        from entity_extractor_ray.stages.similarity import pq_encode, pq_fit
+
+        ds, _ = _planted_ds()
+        books = pq_fit(ds, m=8, k_cent=16)
+        assert books.shape == (8, 16, 4)
+        enc1 = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(ds, books).take_all()}
+        enc2 = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(ds, books).take_all()}
+        assert enc1 == enc2
+        assert all(len(c) == 8 for c in enc1.values())
+
+    def test_recall_vs_exact(self):
+        from entity_extractor_ray.stages.similarity import knn_cosine, knn_pq
+
+        ds, _ = _planted_ds()
+        qids = [0, 45, 90, 135, 180]
+        k = 10
+        exact = knn_cosine(ds, query_ids=qids, k=k)
+        if not hasattr(exact, "columns"):
+            exact = exact.to_pandas()
+        approx = knn_pq(ds, query_ids=qids, k=k, m=8, k_cent=16).to_pandas()
+        recalls = []
+        for q in qids:
+            want = set(exact[exact["query_id"] == q]["vec_id"])
+            got = set(approx[approx["query_id"] == q]["vec_id"])
+            recalls.append(len(want & got) / k)
+        # well-separated planted clusters: PQ must keep most true neighbors
+        assert np.mean(recalls) >= 0.7, recalls
+
+    def test_scores_bounded_like_cosine(self):
+        from entity_extractor_ray.stages.similarity import knn_pq
+
+        ds, _ = _planted_ds()
+        df = knn_pq(ds, query_ids=[0], k=5).to_pandas()
+        assert len(df) == 5
+        assert (df["score"] <= 1.2).all() and (df["score"] >= -1.2).all()
