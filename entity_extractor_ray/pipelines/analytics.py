@@ -136,14 +136,18 @@ def q14_promo_revenue(sf_dir: str):
 
     from ..stages.shuffle import lookup_join
 
-    items = _read(
-        sf_dir, "lineitem",
-        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    )
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    import ray.data as rd
 
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    # date window pushes down into the scan (row-group pruning at scale);
+    # the per-batch mask below stays authoritative
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
 
     def in_window(t: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -702,10 +706,16 @@ def q5_local_supplier_revenue(sf_dir: str):
         name_lut[k] = n
     lut_ref = ray.put((name_lut, sorted(asia_keys)))
 
+    import ray.data as rd
+
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # date window pushes down into the scan; per-batch filter kept
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
 
     def o_filter(t: pa.Table) -> pa.Table:
         keep = pc.and_(

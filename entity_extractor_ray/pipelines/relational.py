@@ -104,13 +104,21 @@ GROUP BY l_returnflag, l_linestatus
 # ------------------------------------------------------------------ q6-style revenue filter
 
 def q6_revenue_filter(sf_dir: str):
-    """Vectorized predicate + single global aggregate (M12/J7 + A6)."""
+    """Vectorized predicate + single global aggregate (M12/J7 + A6). The
+    DATE window also pushes down into the parquet scan (row-group pruning
+    at 100 TB; timestamp comparison is exact, so the pushdown is a safe
+    superset of the per-batch mask, which stays authoritative for the
+    rounded-cents discount and quantity terms)."""
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "lineitem",
-               ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
 
     def prep(t: pa.Table) -> pa.Table:
         disc = _cents(t.column("l_discount"))
@@ -143,10 +151,21 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 # ------------------------------------------------------------------ filtered projection (J7)
 
 def filter_scan_orders(sf_dir: str):
-    """Multi-predicate filtered scan with projection — raw column passthrough."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"])
+    """Multi-predicate filtered scan with projection — raw column
+    passthrough. The full predicate pushes down into the parquet scan
+    (row-group pruning; every term is an exact value comparison, identical
+    in the scanner and in the per-batch mask kept as the authority)."""
+    import ray.data as rd
+
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate"],
+        filter=(pc.field("o_orderstatus") == "O")
+        & (pc.field("o_orderdate") >= lo)
+        & (pc.field("o_totalprice") > 100000.0),
+    )
 
     def f(t: pa.Table) -> pa.Table:
         mask = pc.and_(
