@@ -1715,6 +1715,380 @@ FROM p
 """
 
 
+# ------------------------------------------------------------------ Q7 shape
+
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_18",
+                     nation_b: str = "NATION_19"):
+    """TPC-H Q7 shape — bi-directional trade volume between two nations by
+    year: lineitems whose SUPPLIER sits in one nation and whose ordering
+    CUSTOMER sits in the other (either direction), grouped by (supp_nation,
+    cust_nation, year). Both nation attachments are lookup_joins against
+    driver-LUT-slimmed dimensions; the one fact-fact exchange joins the
+    pre-projected lineitem against orders (which carries cust_nation
+    already). Year extraction is pc.year == EXTRACT(year) — integer in
+    both engines; revenue stays integer cents."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    lut = np.empty(max(nat) + 1, dtype=object)
+    for k, v in nat.items():
+        lut[k] = v
+    pair = {nation_a, nation_b}
+    lut_ref = ray.put((lut, nation_a, nation_b))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_n = lookup_join(orders, cust, key="o_custkey", right_key="c_custkey")
+
+    def o_slim(t: pa.Table) -> pa.Table:
+        names, a, b = ray.get(lut_ref)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        nn = names[nk]
+        keep = (nn == a) | (nn == b)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(pa.array(keep)),
+                "cust_nation": pa.array(nn[keep], pa.string()),
+            }
+        )
+
+    orders_slim = orders_n.map_batches(o_slim, batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        ext = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "rev": pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc)),
+            }
+        )
+
+    items_s = lookup_join(
+        items.map_batches(l_prep, batch_format="pyarrow"),
+        supp, key="l_suppkey", right_key="s_suppkey",
+    )
+
+    def l_slim(t: pa.Table) -> pa.Table:
+        names, a, b = ray.get(lut_ref)
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        nn = names[nk]
+        keep = (nn == a) | (nn == b)
+        arr = pa.array(keep)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").filter(arr),
+                "supp_nation": pa.array(nn[keep], pa.string()),
+                "year": t.column("year").filter(arr),
+                "rev": t.column("rev").filter(arr),
+            }
+        )
+
+    joined = items_s.map_batches(l_slim, batch_format="pyarrow").join(
+        orders_slim, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("supp_nation"), t.column("cust_nation"))
+        return t.filter(keep).select(["supp_nation", "cust_nation", "year", "rev"])
+
+    agg = (
+        joined.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "year"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": t.column("supp_nation"),
+                "cust_nation": t.column("cust_nation"),
+                "year": t.column("year"),
+                "revenue": pc.divide(pc.cast(t.column("rev"), pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q7_NATION_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS year,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+# ------------------------------------------------------------------ Q10 shape
+
+def q10_returned_revenue(sf_dir: str, top_n: int = 20):
+    """TPC-H Q10 shape — top-N customers by revenue lost to returns:
+    RETURNFLAG='R' lineitems in one quarter's orders, revenue rolled up
+    per customer, global top-20 with a deterministic (revenue DESC,
+    custkey ASC) tiebreak. The returnflag filter pushes down into the
+    scan; survivors join orders (date-windowed, lookup_join) and roll up
+    before the tiny top-N truncation — the fact table is never sorted."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-07-01", "us"), pa.timestamp("us"))
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        ext = _cents(kept.column("l_extendedprice"))
+        disc = _cents(kept.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": kept.column("l_orderkey"),
+                "rev": pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    joined = lookup_join(
+        items.map_batches(l_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        key="l_orderkey", right_key="o_orderkey",
+    )
+
+    per_cust = (
+        joined.map_batches(
+            lambda t: t.select(["o_custkey", "rev"]), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "revenue": pc.divide(pc.cast(t.column("rev"), pa.float64()), 10000.0),
+                "rev_cents": t.column("rev"),
+            }
+        )
+
+    top = (
+        per_cust.map_batches(finalize, batch_format="pyarrow")
+        .sort([("rev_cents", "descending"), ("c_custkey", "ascending")])
+        .limit(top_n)
+    )
+    return top.map_batches(
+        lambda t: t.select(["c_custkey", "revenue"]), batch_format="pyarrow"
+    )
+
+
+Q10_RETURNED_SQL = """
+SELECT o.o_custkey AS c_custkey,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY o.o_custkey
+ORDER BY sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+         o.o_custkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------ YoY growth
+
+def revenue_yoy_growth(sf_dir: str):
+    """Year-over-year growth: order revenue per year plus the integer delta
+    and the float growth ratio vs the previous year — the lag-over-an-
+    aggregate shape. The fact table reduces to ONE (year, cents) aggregate
+    (dimension-sized: a handful of years); the lag itself is a vectorized
+    shift over that tiny sorted table, never a window over raw facts.
+    First year reports NULL delta/growth in both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .sort("year")
+        .repartition(1)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        years = t.column("year").to_numpy()
+        cents = t.column("cents").to_numpy()
+        order = np.argsort(years)
+        years, cents = years[order], cents[order]
+        prev = np.roll(cents, 1)
+        # a gap year breaks the lag chain in SQL's lag() ... OVER (ORDER BY
+        # year) only when years are missing — the synthetic calendar is
+        # contiguous, and the parity test would catch a divergence
+        delta = cents - prev
+        growth = cents.astype(np.float64) / prev.astype(np.float64)
+        valid = np.ones(len(years), dtype=bool)
+        if len(valid):
+            valid[0] = False
+        return pa.table(
+            {
+                "year": pa.array(years, pa.int64()),
+                "revenue": pa.array(cents / 100.0, pa.float64()),
+                "delta_cents": pa.array(
+                    [int(d) if v else None for d, v in zip(delta, valid)],
+                    pa.int64(),
+                ),
+                "growth": pa.array(
+                    [float(g) if v else None for g, v in zip(growth, valid)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+REVENUE_YOY_SQL = """
+WITH y AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT year,
+       cents / 100.0 AS revenue,
+       CAST(cents - lag(cents) OVER (ORDER BY year) AS BIGINT) AS delta_cents,
+       CAST(cents AS DOUBLE) / CAST(lag(cents) OVER (ORDER BY year) AS DOUBLE) AS growth
+FROM y
+"""
+
+
+# ---------------------------------------------------- time-weighted average
+
+def events_time_weighted_value(sf_dir: str):
+    """Per-user TIME-WEIGHTED average of the value signal under
+    piecewise-constant (last-observation-carried-forward) interpolation —
+    the metrics/IoT aggregate where each reading counts for how long it
+    held, not how often it fired. Exactness: value in cents × duration in
+    microseconds accumulates in int64 (≤2e5 cents × ≤2.6e12 µs × ~65
+    readings ≈ 3e17 < 2⁶³); the single final division is written
+    identically in the oracle. ONE user bucket shuffle; inside, one
+    lexsort + shifted diff derives every holding interval vectorized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), df["ts"].to_numpy(), df["user_id"].to_numpy())
+        )
+        u = df["user_id"].to_numpy()[order]
+        ts = df["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+        cents = np.round(df["value"].to_numpy()[order] * 100).astype(np.int64)
+        same = u[1:] == u[:-1]
+        dur = (ts[1:] - ts[:-1])[same]
+        w = cents[:-1][same] * dur
+        uu = u[:-1][same]
+        out = (
+            pd.DataFrame({"user_id": uu, "w": w, "dur": dur})
+            .groupby("user_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "w": pa.array(out["w"].to_numpy(), pa.int64()),
+                "dur": pa.array(out["dur"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(ds, ["user_id"], bucket_fn, n_buckets=16)
+    agg = partials.groupby("user_id").aggregate(
+        Sum("w", alias_name="w"), Sum("dur", alias_name="dur")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy().astype(np.float64)
+        d = t.column("dur").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "twa_value": pa.array(w / d / 100.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_TWA_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  - ts) AS dur
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0
+         AS twa_value
+FROM s WHERE dur IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -1740,6 +2114,10 @@ def analytics_queries():
         "events_daily_actives": events_daily_actives,
         "nation_revenue_share": nation_revenue_share,
         "explode_words": explode_words,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_revenue": q10_returned_revenue,
+        "revenue_yoy_growth": revenue_yoy_growth,
+        "events_time_weighted_value": events_time_weighted_value,
     }
 
 
@@ -1766,4 +2144,8 @@ def analytics_oracle_sql():
         "events_daily_actives": EVENTS_DAILY_ACTIVES_SQL,
         "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
         "explode_words": EXPLODE_WORDS_SQL,
+        "q7_nation_volume": Q7_NATION_VOLUME_SQL,
+        "q10_returned_revenue": Q10_RETURNED_SQL,
+        "revenue_yoy_growth": REVENUE_YOY_SQL,
+        "events_time_weighted_value": EVENTS_TWA_SQL,
     }
