@@ -78,8 +78,13 @@ def run_once() -> dict:
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     t0 = time.perf_counter()
-    res = build_kg(corpus, out_dir=out_dir, n_buckets=max(32, NUM_CPUS * 2),
-                   num_join_partitions=max(16, NUM_CPUS))
+    # partitioning is sized to the DATA, never to the CPU count: deriving
+    # n_buckets from NUM_CPUS made the two scaling legs run DIFFERENT plans
+    # (the 32-CPU leg paid 2x the partition overhead on dimension-sized
+    # stages — measured 0.36x on nodes.status), conflating plan change with
+    # resource change. Fixed plan, variable executor width.
+    res = build_kg(corpus, out_dir=out_dir, n_buckets=64,
+                   num_join_partitions=32)
     n_nodes = res.nodes.count()
     headline = time.perf_counter() - t0
     assert n_nodes > 0

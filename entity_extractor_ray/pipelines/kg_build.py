@@ -25,6 +25,7 @@ via commit-last manifests (state/checkpoint.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import List, Optional
 
@@ -347,8 +348,6 @@ def build_kg(
     # (assemble_records_partitioned): a death mid-records resumes from the
     # finished buckets instead of restarting the stage from zero.
     if ckpt is not None:
-        import os
-
         from ..stages.assemble import assemble_records_partitioned
 
         parts_dir = os.path.join(out_dir, "records_assemble")
@@ -450,17 +449,55 @@ def build_kg(
             ["entity_id", "pfas_status", "pfas_information_source"]
         ).materialize()
         t = sub("chem_slim", t)
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_ids = ex.submit(
-                lambda: build_material_identities(clean, n_buckets).materialize()
+
+        def timed(name, fn):
+            s = time.perf_counter()
+            r = fn()
+            metrics.append(
+                {
+                    "partition_id": -2,
+                    "stage": f"nodes.{name}",
+                    "rows_in": -1,
+                    "rows_out": -1,
+                    "matched_count": -1,
+                    "duration_ms": (time.perf_counter() - s) * 1000,
+                }
             )
-            f_status = ex.submit(
-                lambda: rollup_status(
-                    edges, chem_slim, n_buckets, num_join_partitions
-                ).materialize()
-            )
-            ids_all = f_ids.result()
-            material_status = f_status.result()
+            return r
+
+        _ids = lambda: build_material_identities(clean, n_buckets).materialize()  # noqa: E731
+        _status = lambda: rollup_status(  # noqa: E731
+            edges, chem_slim, n_buckets, num_join_partitions
+        ).materialize()
+        # Branch staging is WIDTH-AWARE (continuation 2). Re-measured
+        # IN-PIPELINE on 2.53M turns, same window, same fixed plan:
+        # at 32 CPUs two driver-thread streaming executors thrash each
+        # other late in a wide session (ids+status 57.5s concurrent vs
+        # 13.3s sequential; records scaled 3.9x in the same run, so not
+        # weather) — the driver-side per-block work of two executors
+        # shares one GIL and grows with in-flight width. At 8 CPUs the
+        # opposite holds (11.7s concurrent vs 30.8s sequential): each
+        # branch is too small to fill even a narrow machine. Auto picks
+        # concurrent below 16 driver-visible CPUs, sequential at/above;
+        # GRAFT_NODES_BRANCH_MODE=concurrent|sequential overrides.
+        mode = os.environ.get("GRAFT_NODES_BRANCH_MODE", "auto")
+        if mode == "auto":
+            import ray as _ray
+
+            try:
+                width = int(_ray.cluster_resources().get("CPU", 0))
+            except Exception:
+                width = 0
+            mode = "concurrent" if 0 < width < 16 else "sequential"
+        if mode == "sequential":
+            ids_all = timed("ids", _ids)
+            material_status = timed("status", _status)
+        else:
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_ids = ex.submit(timed, "ids", _ids)
+                f_status = ex.submit(timed, "status", _status)
+                ids_all = f_ids.result()
+                material_status = f_status.result()
         t = sub("branches", t)
         _ids_holder["ids_all"] = ids_all
         # one shuffle produced BOTH dimension tables (row_kind MAT | MFR)
@@ -510,8 +547,6 @@ def build_kg(
 
     if ckpt is not None:
         # persist the metrics table next to the data (A6 rollup surface)
-        import os
-
         import pyarrow.parquet as pq
 
         metrics_dir = os.path.join(out_dir, "metrics")
