@@ -1915,7 +1915,7 @@ def q10_returned_revenue(sf_dir: str, top_n: int = 20):
 
     top = (
         per_cust.map_batches(finalize, batch_format="pyarrow")
-        .sort([("rev_cents", "descending"), ("c_custkey", "ascending")])
+        .sort(["rev_cents", "c_custkey"], descending=[True, False])
         .limit(top_n)
     )
     return top.map_batches(
