@@ -428,16 +428,24 @@ def pq_encode(embeddings_ds, books: np.ndarray):
 
 
 def knn_pq(embeddings_ds, query_ids: List[int], k: int = 10, m: int = 8,
-           k_cent: int = 16):
+           k_cent: int = 16, books: "np.ndarray" = None, codes_ds=None):
     """ANN top-k via PQ asymmetric distance (ADC): each query precomputes
     an (m, k_cent) inner-product table against the codebooks ONCE; every
     corpus vector then scores as m table lookups + a sum — no float matmul
     against the corpus at query time. Per-batch local top-k, driver merges
     only n_blocks × queries × k rows (same shape as knn_cosine). Scores are
-    approximate (quantized) cosines; recall is pinned by a planted test."""
+    approximate (quantized) cosines; recall is pinned by a planted test.
+
+    Encode-once serving path: pass ``books`` (from pq_fit) and ``codes_ds``
+    (from pq_encode, persisted as the compressed index) and the full
+    embedding column is never touched at query time — only the 8-byte code
+    rows stream; queries still fetch their own raw vectors by id."""
     import ray
 
-    books = pq_fit(embeddings_ds, m=m, k_cent=k_cent)
+    if (books is None) != (codes_ds is None):
+        raise ValueError("pass books and codes_ds together (or neither)")
+    if books is None:
+        books = pq_fit(embeddings_ds, m=m, k_cent=k_cent)
     qrows = _fetch_rows_by_ids(embeddings_ds, list(query_ids))
     qids = np.asarray([r["vec_id"] for r in qrows])
     qmat = _normalize(np.asarray([r["embedding"] for r in qrows], dtype=np.float64))
@@ -446,25 +454,42 @@ def knn_pq(embeddings_ds, query_ids: List[int], k: int = 10, m: int = 8,
     tables = np.einsum("qsd,scd->qsc", qmat.reshape(len(qids), mm, sub), books)
     ref = ray.put((qids, tables, books))
 
-    def local(batch: pa.Table) -> pd.DataFrame:
-        q_ids, T, b = ray.get(ref)
-        ids, mat = _to_matrix(batch)
-        codes = _pq_codes(_normalize(mat), b)  # (n, m)
-        # scores[q, i] = sum_s T[q, s, codes[i, s]]
-        n = len(ids)
+    def _score_codes(ids: np.ndarray, codes: np.ndarray, q_ids, T, mm_):
         out_q, out_v, out_s = [], [], []
-        col = np.arange(b.shape[0])
+        col = np.arange(mm_)
         for qi in range(len(q_ids)):
             sc = T[qi][col[None, :], codes].sum(axis=1)  # (n,)
-            mask = ids != q_ids[qi]
-            sel = np.flatnonzero(mask)
+            sel = np.flatnonzero(ids != q_ids[qi])
             order = sel[np.argsort(-sc[sel])[:k]]
             out_q.extend([int(q_ids[qi])] * len(order))
             out_v.extend(ids[order].astype(int).tolist())
             out_s.extend(np.round(sc[order], 6).tolist())
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
 
-    partials = embeddings_ds.map_batches(local, batch_format="pyarrow").take_all()
+    def local(batch: pa.Table) -> pd.DataFrame:
+        q_ids, T, b = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        codes = _pq_codes(_normalize(mat), b)  # (n, m)
+        return _score_codes(ids, codes, q_ids, T, b.shape[0])
+
+    def local_precoded(batch: pa.Table) -> pd.DataFrame:
+        q_ids, T, b = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        col_ = batch.column("codes")
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        codes = (
+            col_.flatten().to_numpy(zero_copy_only=False)
+            .reshape(len(ids), b.shape[0])
+        )
+        return _score_codes(ids, codes, q_ids, T, b.shape[0])
+
+    scored = (
+        codes_ds.map_batches(local_precoded, batch_format="pyarrow")
+        if codes_ds is not None
+        else embeddings_ds.map_batches(local, batch_format="pyarrow")
+    )
+    partials = scored.take_all()
     best: dict = {}
     for r in partials:
         best.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))

@@ -71,3 +71,20 @@ class TestPq:
         df = knn_pq(ds, query_ids=[0], k=5).to_pandas()
         assert len(df) == 5
         assert (df["score"] <= 1.2).all() and (df["score"] >= -1.2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_encode_once_serving_path_matches_inline():
+    from entity_extractor_ray.stages.similarity import knn_pq, pq_encode, pq_fit
+
+    ds, _ = _planted_ds()
+    books = pq_fit(ds, m=8, k_cent=16)
+    codes = pq_encode(ds, books).materialize()
+    inline = knn_pq(ds, query_ids=[0, 90], k=8, m=8, k_cent=16).to_pandas()
+    served = knn_pq(
+        ds, query_ids=[0, 90], k=8, books=books, codes_ds=codes
+    ).to_pandas()
+    # identical codebooks + identical codes -> identical rankings
+    assert inline.to_dict("records") == served.to_dict("records")
+    with pytest.raises(ValueError):
+        knn_pq(ds, query_ids=[0], books=books)  # codes_ds missing
