@@ -2089,6 +2089,127 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------------- first/last per user
+
+def events_user_first_last(sf_dir: str):
+    """Grouped argmin/argmax on a NON-NUMERIC payload by a composite order:
+    each user's first and last event type under the deterministic
+    (ts, event_id) order. ONE user bucket shuffle; inside, one lexsort and
+    the run boundaries give both endpoints vectorized (no per-user loop,
+    no window function over raw facts)."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), df["ts"].to_numpy(), df["user_id"].to_numpy())
+        )
+        u = df["user_id"].to_numpy()[order]
+        et = df["event_type"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "first_event": pa.array(et[starts], pa.string()),
+                "last_event": pa.array(et[ends], pa.string()),
+            }
+        )
+
+    return bucket_group_apply(ds, ["user_id"], bucket_fn, n_buckets=16)
+
+
+EVENTS_FIRST_LAST_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)     OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT f.user_id, f.event_type AS first_event, l.event_type AS last_event
+FROM r f JOIN r l ON f.user_id = l.user_id AND f.rn = 1 AND l.rn = l.n
+"""
+
+
+# ------------------------------------------------------------ winsorization
+
+def events_winsorized(sf_dir: str):
+    """Per-type p99 winsorization (feature clipping, the standard outlier
+    cap before model training): values above their event type's 99th
+    percentile clip to it. Quantile semantics are quantile_disc on exact
+    CENTS (map-side (type, cents) histogram → one tiny shuffle → value at
+    ceil((n-1)·q)+1 rank), the 5-row cap table broadcasts as a plain dict,
+    and the clip is one vectorized minimum — no second shuffle over the
+    facts. Integer cents end to end; one final division."""
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"event_type": t.column("event_type"), "cents": _cents(t.column("value"))}
+        )
+        agg = tt.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "cents", "cnt"])
+
+    pre = ds.map_batches(hist, batch_format="pyarrow")
+
+    def q99_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        merged = (
+            df.groupby(["event_type", "cents"], sort=False)["cnt"].sum().reset_index()
+        )
+        types, caps = [], []
+        for et, g in merged.groupby("event_type", sort=False):
+            g = g.sort_values("cents", kind="mergesort")
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            # DuckDB quantile_disc rank convention (probed): ceil(n*q)
+            rank = max(1, int(np.ceil(n * 0.99)))
+            types.append(et)
+            caps.append(int(g["cents"].to_numpy()[np.searchsorted(cum, rank)]))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "cap": pa.array(caps, pa.int64()),
+            }
+        )
+
+    caps = {
+        r["event_type"]: r["cap"]
+        for r in bucket_group_apply(pre, ["event_type"], q99_bucket, 4).take_all()
+    }
+
+    def clip(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        cap = (
+            pd.Series(t.column("event_type").to_pylist()).map(caps)
+            .to_numpy(dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value_capped": pa.array(
+                    np.minimum(cents, cap) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+EVENTS_WINSORIZED_SQL = """
+WITH caps AS (
+  SELECT event_type,
+         quantile_disc(CAST(round(value*100) AS BIGINT), 0.99) AS cap
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+       least(CAST(round(e.value*100) AS BIGINT), c.cap) / 100.0 AS value_capped
+FROM events e JOIN caps c ON e.event_type = c.event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 def analytics_queries():
@@ -2118,6 +2239,8 @@ def analytics_queries():
         "q10_returned_revenue": q10_returned_revenue,
         "revenue_yoy_growth": revenue_yoy_growth,
         "events_time_weighted_value": events_time_weighted_value,
+        "events_user_first_last": events_user_first_last,
+        "events_winsorized": events_winsorized,
     }
 
 
@@ -2148,4 +2271,6 @@ def analytics_oracle_sql():
         "q10_returned_revenue": Q10_RETURNED_SQL,
         "revenue_yoy_growth": REVENUE_YOY_SQL,
         "events_time_weighted_value": EVENTS_TWA_SQL,
+        "events_user_first_last": EVENTS_FIRST_LAST_SQL,
+        "events_winsorized": EVENTS_WINSORIZED_SQL,
     }
