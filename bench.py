@@ -58,6 +58,11 @@ def run_once() -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
+    # drop Ray's content-free empty-filler-block schema warning (real schema
+    # divergences still print) — see entity_extractor_ray/raylog.py
+    from entity_extractor_ray.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

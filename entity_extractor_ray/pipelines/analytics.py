@@ -182,8 +182,12 @@ def q14_promo_revenue(sf_dir: str):
     total = float(sums["total"] or 0)
     import ray.data as rd
 
+    # total == 0 (no lineitems in the date window) mirrors the SQL oracle,
+    # where sum() over zero rows is NULL — emit a NULL row, never raise
+    # ZeroDivisionError (ADVICE r3).
+    val = 100.0 * promo / total if total else None
     return rd.from_arrow(
-        pa.table({"promo_revenue": pa.array([100.0 * promo / total], pa.float64())})
+        pa.table({"promo_revenue": pa.array([val], pa.float64())})
     )
 
 
@@ -1097,7 +1101,11 @@ def parts_skyline(sf_dir: str):
             }
         )
 
-    return fronts.map_batches(final_front, batch_format="pyarrow")
+    # batch_size=None => whole-block batches; after repartition(1) there is
+    # exactly ONE block, so final_front provably sees the full candidate set
+    # in a single call (the skyline filter is only correct globally). Stated
+    # explicitly so a future default-batch-size change can't split the block.
+    return fronts.map_batches(final_front, batch_format="pyarrow", batch_size=None)
 
 
 PARTS_SKYLINE_SQL = """
@@ -1201,6 +1209,13 @@ def embedding_centroids(sf_dir: str):
         sums = np.add.reduceat(mat_s, starts, axis=0)  # (g, d)
         counts = np.diff(np.r_[starts, len(lab_s)])
         g, d = sums.shape
+        # the DuckDB oracle (EMBEDDING_CENTROIDS_SQL) hardcodes 64 dims via
+        # range(1, 65); fail loudly rather than silently diverge from the
+        # oracle if the embeddings table ever changes width (ADVICE r3).
+        if d != 64:
+            raise ValueError(
+                f"embedding_centroids oracle assumes 64-dim embeddings, got d={d}"
+            )
         return pa.table(
             {
                 "label": pa.array(np.repeat(uniq, d), pa.int64()),
@@ -1826,7 +1841,12 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_18",
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-Q7_NATION_VOLUME_SQL = """
+def q7_nation_volume_sql(nation_a: str = "NATION_18",
+                         nation_b: str = "NATION_19") -> str:
+    """Oracle generated from the SAME nation arguments as the engine path,
+    so a non-default call can't silently break parity (ADVICE r3). The
+    names are internal synthetic-catalog constants, not user input."""
+    return f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS year,
        sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
@@ -1837,10 +1857,13 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
 JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
-WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
-    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+WHERE ((sn.n_name = '{nation_a}' AND cn.n_name = '{nation_b}')
+    OR (sn.n_name = '{nation_b}' AND cn.n_name = '{nation_a}'))
 GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
 """
+
+
+Q7_NATION_VOLUME_SQL = q7_nation_volume_sql()
 
 
 # ------------------------------------------------------------------ Q10 shape
@@ -1997,7 +2020,10 @@ def revenue_yoy_growth(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    # batch_size=None => whole-block batches; repartition(1) guarantees ONE
+    # block, so the lag (np.roll) never crosses a batch boundary. Explicit so
+    # a future default-batch-size change can't silently split the block.
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 REVENUE_YOY_SQL = """

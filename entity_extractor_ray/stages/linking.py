@@ -566,11 +566,11 @@ def build_chemical_mapping(chem_mentions_ds, n_buckets: int = 64,
     # gate counts: per-batch value_counts (dimension-sized rows) summed in a
     # TINY shuffle — never a groupby over the full key table
     def _mfr_counts(t: pa.Table) -> pa.Table:
-        vc = t.to_pandas()["manufacturer"].value_counts()
+        vc = pc.value_counts(t.column("manufacturer"))
         return pa.table(
             {
-                "manufacturer": pa.array(vc.index.to_numpy(), pa.string()),
-                "n": pa.array(vc.to_numpy(), pa.int64()),
+                "manufacturer": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

@@ -48,6 +48,14 @@ def stable_bucket_array(batch: pa.Table, key_cols: Sequence[str], n_buckets: int
 
 def _add_bucket(batch: pa.Table, key_cols: Sequence[str], n_buckets: int) -> pa.Table:
     buckets = stable_bucket_array(batch, key_cols, n_buckets)
+    # Strip parquet-embedded pandas metadata before the shuffle: a pa.Schema
+    # with a metadata dict is UNHASHABLE, which defeats Ray's schema-dedup
+    # fast path in every downstream sort/reduce ("Failed to hash the schemas"
+    # warnings in BENCH_r03's tail) and makes schema comparisons fall back to
+    # the slow path. append_column would otherwise carry the scan's metadata
+    # through the whole exchange. Zero-copy (schema swap only).
+    if batch.schema.metadata:
+        batch = batch.replace_schema_metadata(None)
     return batch.append_column(BUCKET_COL, pa.array(buckets, pa.int64()))
 
 
@@ -539,35 +547,28 @@ def _as_arrow_block(tbl):
     return BlockAccessor.for_block(tbl).to_arrow()
 
 
-def _project_key_col_impl(tbl, k: str):
-    """(key column, block schema, was_arrow, block_nbytes) — None key for the
-    zero-column empty blocks Ray emits from empty map_groups buckets;
-    was_arrow tells the driver whether from_arrow_refs may reuse the raw
-    refs; block_nbytes feeds the broadcast BYTE gate (a row-count gate alone
-    lets a sub-3M-row table of large documents replicate multi-GB per
-    worker)."""
-    was_arrow = isinstance(tbl, pa.Table)
-    tbl = _as_arrow_block(tbl)
-    if tbl.num_rows == 0 or k not in tbl.schema.names:
-        return None, (tbl.schema if tbl.num_columns else None), was_arrow, 0
-    return tbl.select([k]).combine_chunks(), tbl.schema, was_arrow, int(tbl.nbytes)
-
-
 _project_key_col = None  # ray.remote wrapper, built on first join (lazy ray import)
 
 
 def _init_remote():
-    """The wrapped impl is defined INSIDE this function so cloudpickle ships
-    it by value: a module-level def is pickled by module reference and fails
-    to deserialize (ModuleNotFoundError) on workers whose sys.path lacks the
-    repo root — e.g. a driver started from a different cwd without
-    PYTHONPATH. The nested copy only touches pyarrow + ray.data.block, both
-    always importable on workers."""
+    """The wrapped impl is defined INSIDE this function — the SINGLE
+    implementation (ADVICE r3: a module-level twin could silently drift) —
+    so cloudpickle ships it by value: a module-level def is pickled by
+    module reference and fails to deserialize (ModuleNotFoundError) on
+    workers whose sys.path lacks the repo root — e.g. a driver started from
+    a different cwd without PYTHONPATH. The nested def only touches
+    pyarrow + ray.data.block, both always importable on workers."""
     global _project_key_col
     if _project_key_col is None:
         import ray
 
         def _impl(tbl, k: str):
+            """(key column, block schema, was_arrow, block_nbytes) — None
+            key for the zero-column empty blocks Ray emits from empty
+            map_groups buckets; was_arrow tells the driver whether
+            from_arrow_refs may reuse the raw refs; block_nbytes feeds the
+            broadcast BYTE gate (a row-count gate alone lets a sub-3M-row
+            table of large documents replicate multi-GB per worker)."""
             import pyarrow as _pa
 
             was_arrow = isinstance(tbl, _pa.Table)
@@ -584,7 +585,6 @@ def _init_remote():
                 int(tbl.nbytes),
             )
 
-        _impl.__doc__ = _project_key_col_impl.__doc__
         _project_key_col = ray.remote(num_cpus=0.25)(_impl)
 
 

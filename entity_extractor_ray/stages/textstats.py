@@ -295,12 +295,15 @@ def repetition_features(batch: pa.Table) -> pa.Table:
     offsets = words.offsets.to_numpy(zero_copy_only=False)
     n_words = np.diff(offsets).astype(np.int64)
     n_docs = len(n_words)
-    flat = words.flatten().to_pandas()
+    # Arrow-native factorize: dictionary_encode stays zero-copy-ish inside
+    # Arrow (no pandas object-dtype materialization of every word)
+    enc = pc.dictionary_encode(words.flatten())
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_uniq = np.int64(len(enc.dictionary) + 1)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
-    codes, uniques = pd.factorize(flat, sort=False)
-    keys = doc_idx * np.int64(len(uniques) + 1) + codes.astype(np.int64)
+    keys = doc_idx * n_uniq + codes
     ukeys, cnts = np.unique(keys, return_counts=True)
-    udoc = (ukeys // np.int64(len(uniques) + 1)).astype(np.int64)
+    udoc = (ukeys // n_uniq).astype(np.int64)
     n_distinct = np.bincount(udoc, minlength=n_docs).astype(np.int64)
     top = np.zeros(n_docs, dtype=np.int64)
     np.maximum.at(top, udoc, cnts)
