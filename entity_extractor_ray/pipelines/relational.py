@@ -1207,20 +1207,22 @@ LIMIT 10
 """
 
 
-def q17_small_quantity_revenue(sf_dir: str):
-    """Decorrelated correlated aggregate (TPC-H Q17 shape): lineitems whose
-    quantity is below 20% of their part's average quantity, rolled up to
-    revenue per brand. The per-row correlated subquery (`l_quantity <
-    0.2 * avg(qty) of the same part`) decorrelates into ONE aggregate pass
-    over the fact table — map-side per-batch partials, one part-keyed Sum
-    — joined back to the same fact; never a per-row re-scan. The predicate
-    is evaluated in integer arithmetic (5*qty*cnt < sum_qty ⟺ qty <
-    0.2*avg) so boundary membership is bit-exact in both engines."""
-    from ray.data.aggregate import Sum
+def part_qty_partials(li, combine_batch_size=None, n_coalesce: int = 8):
+    """Two-level map-side combine of lineitem (pk, qty) sufficient
+    statistics, robust to part-key cardinality (VERDICT r3 #2).
 
-    from ..stages.shuffle import bucket_group_apply, lookup_join
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    LEVEL 1 combines per batch; ``combine_batch_size=None`` makes the batch
+    the WHOLE BLOCK, so the combine scope tracks the block size instead of
+    a fixed row constant that a larger key space silently outgrows (the
+    round-3 version pinned 131072, which stops shrinking anything once
+    distinct parts per batch ≈ batch rows — the exchange then carries ~the
+    whole fact table). LEVEL 2 coalesces the partial blocks
+    (``repartition(n_coalesce)`` without shuffle = adjacent-block concat,
+    NOT an all-to-all) and re-combines, bounding the rows that enter the
+    keyed exchange at ≤ n_coalesce × distinct_keys whatever the
+    cardinality; when level 1 already reduced well, the partials are tiny
+    and the coalesce pass costs ~nothing. Pinned by
+    tests/test_q17_combine.py on a planted key space ≫ batch size."""
 
     def partial_stats(t: pa.Table) -> pa.Table:
         qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
@@ -1234,15 +1236,43 @@ def q17_small_quantity_revenue(sf_dir: str):
             }
         )
 
-    # batch_size must EXCEED the part-key cardinality per batch for the
-    # map-side combine to shrink anything (1024-row default batches over a
-    # 20k-key space emit one partial per raw row — the exchange then
-    # carries the whole fact table and the sort-aggregate dominates the
-    # query); the task-based bucket shuffle then merges partials ~4x
-    # cheaper than Ray's sort-based groupby at this shape
+    def merge_partials(t: pa.Table) -> pa.Table:
+        agg = t.group_by("pk").aggregate([("sq", "sum"), ("cnt", "sum")])
+        return pa.table(
+            {
+                "pk": agg.column("pk"),
+                "sq": agg.column("sq_sum"),
+                "cnt": agg.column("cnt_sum"),
+            }
+        )
+
     pre = li.map_batches(
-        partial_stats, batch_format="pyarrow", batch_size=131072
+        partial_stats, batch_format="pyarrow", batch_size=combine_batch_size
     )
+    return pre.repartition(n_coalesce).map_batches(
+        merge_partials, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """Decorrelated correlated aggregate (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average quantity, rolled up to
+    revenue per brand. The per-row correlated subquery (`l_quantity <
+    0.2 * avg(qty) of the same part`) decorrelates into ONE aggregate pass
+    over the fact table — a two-level map-side combine (part_qty_partials)
+    feeding one part-keyed merge — joined back to the same fact; never a
+    per-row re-scan. The predicate is evaluated in integer arithmetic
+    (5*qty*cnt < sum_qty ⟺ qty < 0.2*avg) so boundary membership is
+    bit-exact in both engines."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply, lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    # the task-based bucket shuffle merges partials ~4x cheaper than Ray's
+    # sort-based groupby at this shape
+    pre = part_qty_partials(li)
 
     def merge_stats(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         g = (
