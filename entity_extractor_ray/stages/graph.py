@@ -195,18 +195,44 @@ def contains_edge_rows(linked_batch: pa.Table) -> pa.Table:
     )
 
 
-def _edge_pick_last(df: pd.DataFrame, bucket_id: int) -> pa.Table:
-    """J4 upsert: per (src, dst, pred) the LAST-processed weight wins."""
-    df = df.sort_values("order_key", kind="mergesort")
-    lasts = df.drop_duplicates(["src", "dst", "pred"], keep="last")
+def _last_per_edge_key(t: pa.Table) -> pa.Table:
+    """Vectorized J4 pick-last: per (src, dst, pred) keep the row with the
+    max order_key. One Arrow kernel chain — element-wise key join, one
+    sort_indices, adjacent-compare run boundaries — replacing the pandas
+    sort_values + drop_duplicates pair that object-converted every string
+    column per batch (the map-side combiner runs over the RAW candidate
+    volume, so this is the hot path of the edges stage)."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    key = pc.binary_join_element_wise(
+        t.column("src"), t.column("dst"), t.column("pred"), "\x1f"
+    )
+    keyed = t.append_column("__k", key)
+    idx = pc.sort_indices(
+        keyed,
+        sort_keys=[("__k", "ascending"), ("order_key", "ascending")],
+    )
+    s = keyed.take(idx)
+    k = s.column("__k").combine_chunks()
+    last_of_run = np.r_[
+        pc.not_equal(k.slice(0, n - 1), k.slice(1)).to_numpy(zero_copy_only=False),
+        True,
+    ]
+    return s.filter(pa.array(last_of_run)).drop_columns(["__k"])
+
+
+def _edge_pick_last(t: pa.Table, bucket_id: int) -> pa.Table:
+    """J4 upsert: per (src, dst, pred) the LAST-processed weight wins.
+    Arrow-native bucket fn (arrow_groups path) — the group never converts
+    to pandas object dtype."""
+    lasts = _last_per_edge_key(t)
     return pa.table(
         {
-            "src": pa.array(lasts["src"].tolist(), pa.string()),
-            "dst": pa.array(lasts["dst"].tolist(), pa.string()),
-            "pred": pa.array(lasts["pred"].tolist(), pa.string()),
-            "weight": pa.array(
-                [None if pd.isna(w) else w for w in lasts["weight"].tolist()], pa.string()
-            ),
+            "src": pc.cast(lasts.column("src"), pa.string()),
+            "dst": pc.cast(lasts.column("dst"), pa.string()),
+            "pred": pc.cast(lasts.column("pred"), pa.string()),
+            "weight": pc.cast(lasts.column("weight"), pa.string()),
         },
         schema=EDGES_SCHEMA,
     )
@@ -241,16 +267,10 @@ def _edge_local_last(t: pa.Table) -> pa.Table:
     (conv_id|pos) is unique per duplicate set — one linked row per
     (record, entity) — so the bucket-side pick-last over batch winners
     selects the same global winner; the exchange then carries one row per
-    (key, batch) instead of one per raw candidate."""
-    df = t.to_pandas()
-    df = df.sort_values("order_key", kind="mergesort")
-    lasts = df.drop_duplicates(["src", "dst", "pred"], keep="last")
-    return pa.table(
-        {
-            c: pa.array(lasts[c], type=pa.string(), from_pandas=True)
-            for c in ("src", "dst", "pred", "weight", "order_key")
-        }
-    )
+    (key, batch) instead of one per raw candidate. Arrow-kernel path —
+    no pandas object conversion on the raw candidate volume."""
+    out = _last_per_edge_key(t)
+    return out.select(["src", "dst", "pred", "weight", "order_key"])
 
 
 def edge_candidates(linked_ds, records_ds):
@@ -273,7 +293,9 @@ def dedup_edges(linked_ds, records_ds, n_buckets: int = 64):
     (src, dst); per (src, dst, pred) the last-processed weight wins
     (artifact_ingestor_service.py:1086-1106). Per-key multiplicity is
     bounded by the J1 guard, so no pre-aggregation is needed."""
-    return bucket_group_apply(
+    from .shuffle import bucket_group_apply_arrow
+
+    return bucket_group_apply_arrow(
         edge_candidates(linked_ds, records_ds), ["src", "dst"],
         _edge_pick_last, n_buckets,
     )
@@ -290,6 +312,7 @@ def dedup_edges_partitioned(linked_ds, records_ds, parts_dir: str,
     return bucket_group_apply_partitioned(
         edge_candidates(linked_ds, records_ds), ["src", "dst"],
         _edge_pick_last, n_buckets, parts_dir, fingerprint, EDGES_SCHEMA,
+        arrow_groups=True,
     )
 
 

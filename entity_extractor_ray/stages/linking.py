@@ -870,66 +870,116 @@ SEGMENT_SCHEMA_NAMES = (
     "vec_state", "vec_coerced",
 )
 
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("min_order", pa.string()),
+        ("n_mentions", pa.int64()),
+        ("lead_state", pa.int16()),
+        ("lead_coerced", pa.int64()),
+        ("vec_state", pa.list_(pa.int16())),
+        ("vec_coerced", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _encode_mentions_fn(mtype_idx):
+    """(tag, source) string pair -> dense int16 mention-type code, applied
+    BEFORE the range sort so the sort exchanges (entity_id, order_key,
+    int16) instead of two extra string columns — the sort is chem_status's
+    dominant shuffle, so its payload width is the lever. The per-row work is
+    one dictionary_encode; only the FEW DISTINCT pairs go through Python."""
+    from ..functions.decision_tables import pfas_status_from_tag
+
+    def encode(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("tag"), t.column("source"), "\x1f"
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = pc.dictionary_encode(key)
+        lut = np.empty(len(enc.dictionary), np.int16)
+        for i, pair in enumerate(enc.dictionary.to_pylist()):
+            tag, _, src = pair.partition("\x1f")
+            lut[i] = mtype_idx[(pfas_status_from_tag(tag), src)]
+        mt = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "entity_id": t.column("entity_id"),
+                "order_key": t.column("order_key"),
+                "mtype": pa.array(mt, pa.int16()),
+            }
+        )
+
+    return encode
+
 
 def _segment_summary_fn(fold_tables):
     states, state_idx, mtype_idx, step, coer, init = fold_tables
     n_s = len(states)
 
-    def summarize(df: pd.DataFrame) -> pa.Table:
-        from ..functions.decision_tables import pfas_status_from_tag
-
-        ent = df["entity_id"].to_numpy()
-        orders = df["order_key"].to_numpy()
-        mt = np.fromiter(
-            (
-                mtype_idx[(pfas_status_from_tag(t), s)]
-                for t, s in zip(df["tag"].to_numpy(), df["source"].to_numpy())
-            ),
-            dtype=np.int64,
-            count=len(df),
+    def summarize(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return SEGMENT_SCHEMA.empty_table()
+        ent = t.column("entity_id").combine_chunks()
+        mt = t.column("mtype").to_numpy(zero_copy_only=False).astype(np.int64)
+        diff = pc.not_equal(ent.slice(0, n - 1), ent.slice(1)).to_numpy(
+            zero_copy_only=False
         )
-        n = len(ent)
-        bounds = [0] + [i for i in range(1, n) if ent[i] != ent[i - 1]] + [n]
+        starts = np.r_[0, np.flatnonzero(diff) + 1]
+        lens = np.diff(np.r_[starts, n])
+        n_runs = len(starts)
 
-        out = {k: [] for k in SEGMENT_SCHEMA_NAMES}
-        n_runs = len(bounds) - 1
-        for bi in range(n_runs):
-            lo, hi = bounds[bi], bounds[bi + 1]
-            seg = mt[lo:hi]
-            lead = int(init[seg[0]])
-            lead_c = 0
-            for m in seg[1:]:
-                lead_c += int(coer[lead, m])
-                lead = int(step[lead, m])
-            # transfer vectors are only consulted for NON-FIRST segments of a
-            # block-spanning entity; an entity can span blocks only if its
-            # run touches this batch's edge, so interior runs skip the
-            # vector build (and its list-serialization cost) entirely
-            if bi == 0 or bi == n_runs - 1:
-                v = np.arange(n_s, dtype=np.int16)
-                c = np.zeros(n_s, np.int64)
-                for m in seg:
-                    c += coer[v, m]
-                    v = step[v, m]
-                vec_state, vec_coerced = v.tolist(), c.tolist()
-            else:
-                vec_state, vec_coerced = None, None
-            out["entity_id"].append(ent[lo])
-            out["min_order"].append(orders[lo])
-            out["n_mentions"].append(hi - lo)
-            out["lead_state"].append(lead)
-            out["lead_coerced"].append(lead_c)
-            out["vec_state"].append(vec_state)
-            out["vec_coerced"].append(vec_coerced)
+        # lead scan, LOCKSTEP-VECTORIZED across runs: advance position j of
+        # every still-active run with one gather per step instead of a
+        # per-mention Python loop (the round-3 hot spot). Runs are processed
+        # longest-first so the active set is a shrinking prefix; total
+        # gather work is exactly sum(lens) - n_runs.
+        order = np.argsort(-lens, kind="stable")
+        slens = lens[order]
+        sstarts = starts[order]
+        slead = init[mt[sstarts]].astype(np.int64)
+        slead_c = np.zeros(n_runs, np.int64)
+        for j in range(1, int(slens[0])):
+            cnt = int(np.searchsorted(-slens, -j, side="left"))
+            if cnt == 0:
+                break
+            m = mt[sstarts[:cnt] + j]
+            lc = slead[:cnt]
+            slead_c[:cnt] += coer[lc, m]
+            slead[:cnt] = step[lc, m]
+        lead = np.empty(n_runs, np.int64)
+        lead_c = np.zeros(n_runs, np.int64)
+        lead[order] = slead
+        lead_c[order] = slead_c
+
+        # transfer vectors are only consulted for NON-FIRST segments of a
+        # block-spanning entity; an entity can span blocks only if its run
+        # touches this batch's edge, so interior runs skip the vector build
+        # (and its list-serialization cost) entirely
+        vec_state = [None] * n_runs
+        vec_coerced = [None] * n_runs
+        for bi in {0, n_runs - 1}:
+            lo, hi = int(starts[bi]), int(starts[bi] + lens[bi])
+            v = np.arange(n_s, dtype=np.int64)
+            c = np.zeros(n_s, np.int64)
+            for m in mt[lo:hi]:
+                c += coer[v, m]
+                v = step[v, m]
+            vec_state[bi] = v.tolist()
+            vec_coerced[bi] = c.tolist()
+
+        starts_idx = pa.array(starts, pa.int64())
         return pa.table(
             {
-                "entity_id": pa.array(out["entity_id"], pa.string()),
-                "min_order": pa.array(out["min_order"], pa.string()),
-                "n_mentions": pa.array(out["n_mentions"], pa.int64()),
-                "lead_state": pa.array(out["lead_state"], pa.int16()),
-                "lead_coerced": pa.array(out["lead_coerced"], pa.int64()),
-                "vec_state": pa.array(out["vec_state"], pa.list_(pa.int16())),
-                "vec_coerced": pa.array(out["vec_coerced"], pa.list_(pa.int64())),
+                "entity_id": ent.take(starts_idx),
+                "min_order": t.column("order_key").combine_chunks().take(starts_idx),
+                "n_mentions": pa.array(lens, pa.int64()),
+                "lead_state": pa.array(lead.astype(np.int16), pa.int16()),
+                "lead_coerced": pa.array(lead_c, pa.int64()),
+                "vec_state": pa.array(vec_state, pa.list_(pa.int16())),
+                "vec_coerced": pa.array(vec_coerced, pa.list_(pa.int64())),
             }
         )
 
@@ -942,12 +992,24 @@ def fold_chemical_states(linked_ds, n_buckets: int = 64):
     identical to fold_chemical_states_simple (pinned by
     tests/test_fold_associative.py and the e2e-exact oracle suite)."""
     slim = linked_ds.select_columns(["entity_id", "order_key", "tag", "source"])
-    input_sources = [s for s in slim.unique("source") if s is not None]
+    # alphabet discovery: per-batch unique PARTIAL first, so the distinct
+    # exchange carries ≤ |alphabet| rows per batch instead of every mention
+    # (the round-3 slim.unique shuffled the full single-column table)
+    src_partials = slim.select_columns(["source"]).map_batches(
+        lambda t: pa.table({"source": t.column("source").unique()}),
+        batch_format="pyarrow",
+    )
+    input_sources = [s for s in src_partials.unique("source") if s is not None]
     fold_tables = _build_fold_tables(input_sources)
     states = fold_tables[0]
+    mtype_idx = fold_tables[2]
 
-    segs = slim.sort(["entity_id", "order_key"]).map_batches(
-        _segment_summary_fn(fold_tables), batch_format="pandas"
+    # encode (tag, source) -> int16 BEFORE the sort (narrow exchange), then
+    # whole-block batches (batch_size=None) so entities split across the
+    # fewest possible segment boundaries
+    encoded = slim.map_batches(_encode_mentions_fn(mtype_idx), batch_format="pyarrow")
+    segs = encoded.sort(["entity_id", "order_key"]).map_batches(
+        _segment_summary_fn(fold_tables), batch_format="pyarrow", batch_size=None
     )
 
     status_by_state = np.array([st for st, _ in states], dtype=object)

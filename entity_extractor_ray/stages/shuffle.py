@@ -116,6 +116,7 @@ def bucket_group_apply_partitioned(
     parts_dir: str,
     fingerprint: str,
     empty_schema: pa.Schema,
+    arrow_groups: bool = False,
 ):
     """``bucket_group_apply`` with PER-BUCKET resumable commits (the pattern
     assemble.assemble_records_partitioned introduced, generalized): each
@@ -165,9 +166,7 @@ def bucket_group_apply_partitioned(
 
             bucketed = bucketed.map_batches(keep_missing, batch_format="pyarrow")
 
-        def apply_and_commit(group: pd.DataFrame) -> pa.Table:
-            b = int(group[BUCKET_COL].iloc[0])
-            table = bucket_fn(group.drop(columns=[BUCKET_COL]), b)
+        def _commit(b: int, table: pa.Table) -> pa.Table:
             tmp = part_path(b) + f".tmp-{os.getpid()}"
             pq.write_table(table, tmp)
             os.replace(tmp, part_path(b))  # atomic per-bucket commit
@@ -176,8 +175,26 @@ def bucket_group_apply_partitioned(
                  "rows": pa.array([table.num_rows], pa.int64())}
             )
 
+        if arrow_groups:
+            # flat-column bucket fns take the group as an Arrow table —
+            # no pandas object-dtype round trip on the shuffled volume
+
+            def apply_and_commit_arrow(group: pa.Table) -> pa.Table:
+                b = int(group.column(BUCKET_COL)[0].as_py())
+                idx = group.schema.get_field_index(BUCKET_COL)
+                return _commit(b, bucket_fn(group.remove_column(idx), b))
+
+            runner, fmt = apply_and_commit_arrow, "pyarrow"
+        else:
+
+            def apply_and_commit(group: pd.DataFrame) -> pa.Table:
+                b = int(group[BUCKET_COL].iloc[0])
+                return _commit(b, bucket_fn(group.drop(columns=[BUCKET_COL]), b))
+
+            runner, fmt = apply_and_commit, "pandas"
+
         bucketed.groupby(BUCKET_COL).map_groups(
-            apply_and_commit, batch_format="pandas"
+            runner, batch_format=fmt
         ).materialize()
         # zero-row buckets never reach a group task; commit explicit empty
         # parts so they read as done, not missing
