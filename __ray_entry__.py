@@ -55,20 +55,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import similarity as sim
     from entity_extractor_ray.stages import textstats as ts
 
-    def _docs(sf_dir):
-        import ray.data as rd
+    # metadata-clean scans: the testdata parquet carries a pandas schema
+    # blob that makes schemas unhashable inside every downstream shuffle
+    # (sources/cleanscan.py)
+    from entity_extractor_ray.sources.cleanscan import read_parquet_clean as _rpc
 
-        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    def _docs(sf_dir):
+        return _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _embs(sf_dir):
-        import ray.data as rd
-
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return _rpc(f"{sf_dir}/embeddings.parquet")
 
     def _docs_cols(sf_dir, cols):
-        import ray.data as rd
-
-        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+        return _rpc(f"{sf_dir}/documents.parquet", columns=cols)
 
     from entity_extractor_ray.pipelines import analytics as ana
 
@@ -115,21 +114,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import profile as prof
 
     def _profile_orders(sf):
-        import ray.data as rd
-
-        return prof.profile_table(rd.read_parquet(f"{sf}/orders.parquet"))
+        return prof.profile_table(_rpc(f"{sf}/orders.parquet"))
 
     q["profile_orders"] = _profile_orders
     # eval-set decontamination: broadcast snippet scan, map-only (no shuffle)
     from entity_extractor_ray.stages import decontam as dc
 
     def _decontam(sf):
-        import ray.data as rd
-
         return dc.decontaminate(
-            rd.read_parquet(
-                f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
-            )
+            _rpc(f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"])
         )
 
     q["decontaminate_docs"] = _decontam
@@ -146,12 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     def _pack(sf):
-        import ray.data as rd
-
         return ts.pack_documents(
-            rd.read_parquet(
-                f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
-            )
+            _rpc(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
         )
 
     q["pack_documents"] = _pack

@@ -37,6 +37,56 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "120000"))
 CORPUS_DIR = f"/tmp/eer_bench_corpus_{BENCH_CONVS}"
 
+# Host-weather canary (VERDICT r3 #1): this sandbox VM has multi-hour slow
+# phases where every stage runs 2-3x its quiet-window time (BASELINE.md
+# "Measurement variance note"), which round 3's official bench landed in.
+# Before the headline measurement, a fixed 8-CPU mini-build (6k convs) runs
+# in a fresh subprocess; if it exceeds the best-known quiet-host time by
+# >25% it retries once, and a persistent excess is recorded as a LOUD
+# weather flag in the bench JSON so a slow headline is never mistaken for a
+# code regression. Quiet reference calibrated from the fastest observed
+# sample (override with GRAFT_CANARY_QUIET after recalibration).
+CANARY_CONVS = 6000
+CANARY_QUIET_SEC = float(os.environ.get("GRAFT_CANARY_QUIET", "12.0"))
+CANARY_TOLERANCE = 1.25
+
+
+def _run_canary() -> dict:
+    def probe() -> float:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS="8",
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_NO_CANARY="1",
+            GRAFT_BENCH_CONVS=str(CANARY_CONVS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return float(json.loads(out.strip().splitlines()[-1])["value"])
+
+    sec = probe()
+    retried = False
+    if sec > CANARY_QUIET_SEC * CANARY_TOLERANCE:
+        time.sleep(20)
+        sec, retried = probe(), True
+    flagged = sec > CANARY_QUIET_SEC * CANARY_TOLERANCE
+    result = {
+        "canary_sec": round(sec, 2),
+        "quiet_sec": CANARY_QUIET_SEC,
+        "retried": retried,
+        "weather_flag": flagged,
+    }
+    if flagged:
+        print(
+            f"WEATHER: canary mini-build {sec:.1f}s exceeds quiet-host "
+            f"{CANARY_QUIET_SEC:.1f}s by >{int((CANARY_TOLERANCE - 1) * 100)}% — "
+            "headline numbers below are weather-inflated, not code",
+            file=sys.stderr,
+        )
+    return result
+
 
 def _prepare_corpus() -> str:
     from entity_extractor_ray.sources.transcripts import TurnCorpusSpec, write_turns
@@ -55,6 +105,13 @@ def _count_turns(path: str) -> int:
 
 def run_once() -> dict:
     import ray
+
+    # canary BEFORE the session: the probe is its own subprocess; skipped
+    # for scaling legs (they are already interleaved-pair instruments) and
+    # inside the canary itself
+    weather = None
+    if not (os.environ.get("GRAFT_NO_CANARY") or os.environ.get("GRAFT_SKIP_QUERIES")):
+        weather = _run_canary()
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
@@ -100,11 +157,13 @@ def run_once() -> dict:
     from entity_extractor_ray.stages import dedup as dd
     from entity_extractor_ray.stages import similarity as sim
 
+    from entity_extractor_ray.sources.cleanscan import read_parquet_clean as _rpc
+
     def _docs():
-        return rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
 
     def _embs():
-        return rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        return _rpc(f"{SF_DIR}/embeddings.parquet")
 
     def _consume(result):
         if hasattr(result, "count"):
@@ -134,6 +193,7 @@ def run_once() -> dict:
             "turns": n_turns,
             "turns_per_sec": round(n_turns / headline, 1),
             "stages": stages,
+            "weather": weather,
         }
 
     from entity_extractor_ray.stages import sketches as sk
@@ -156,13 +216,11 @@ def run_once() -> dict:
         "q17_small_quantity": lambda: rel.q17_small_quantity_revenue(SF_DIR),
         "duplicate_ngram_spans": lambda: dd.duplicate_ngram_spans(_docs()),
         "curate_documents": lambda: ts.curate_by_quality(
-            rd.read_parquet(
-                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
-            )
+            _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
         ),
         "profile_orders": lambda: __import__(
             "entity_extractor_ray.stages.profile", fromlist=["profile_table"]
-        ).profile_table(rd.read_parquet(f"{SF_DIR}/orders.parquet")),
+        ).profile_table(_rpc(f"{SF_DIR}/orders.parquet")),
         "q5_local_supplier_revenue": lambda: ana.q5_local_supplier_revenue(SF_DIR),
         "events_funnel": lambda: ana.events_funnel(SF_DIR),
         "embedding_centroids": lambda: ana.embedding_centroids(SF_DIR),
@@ -184,6 +242,7 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        "weather": weather,
     }
 
 

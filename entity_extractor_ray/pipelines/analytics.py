@@ -19,11 +19,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sources.cleanscan import read_parquet_clean as _rpc
+
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..sources.cleanscan import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col) -> pa.ChunkedArray:
@@ -142,7 +144,7 @@ def q14_promo_revenue(sf_dir: str):
     hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
     # date window pushes down into the scan (row-group pruning at scale);
     # the per-batch mask below stays authoritative
-    items = rd.read_parquet(
+    items = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
@@ -729,7 +731,7 @@ def q5_local_supplier_revenue(sf_dir: str):
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
     # date window pushes down into the scan; per-batch filter kept
-    orders = rd.read_parquet(
+    orders = _rpc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
@@ -1215,7 +1217,7 @@ def embedding_centroids(sf_dir: str):
 
     from ..stages.similarity import list_column_to_matrix
 
-    ds = rd.read_parquet(
+    ds = _rpc(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
 
@@ -1909,7 +1911,7 @@ def q10_returned_revenue(sf_dir: str, top_n: int = 20):
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1996-07-01", "us"), pa.timestamp("us"))
 
-    items = rd.read_parquet(
+    items = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_returnflag") == "R"),
@@ -1926,7 +1928,7 @@ def q10_returned_revenue(sf_dir: str, top_n: int = 20):
             }
         )
 
-    orders = rd.read_parquet(
+    orders = _rpc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),

@@ -18,11 +18,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sources.cleanscan import read_parquet_clean as _rpc
+
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..sources.cleanscan import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -114,7 +116,7 @@ def q6_revenue_filter(sf_dir: str):
 
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
-    ds = rd.read_parquet(
+    ds = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
@@ -158,7 +160,7 @@ def filter_scan_orders(sf_dir: str):
     import ray.data as rd
 
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
-    ds = rd.read_parquet(
+    ds = _rpc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                  "o_orderdate"],

@@ -37,9 +37,14 @@ class EmptyFillerSchemaFilter(logging.Filter):
 
     def filter(self, record: logging.LogRecord) -> bool:  # True = keep
         msg = record.getMessage()
+        if "produced a RefBundle with a different schema" not in msg:
+            return True
         return not (
-            "produced a RefBundle with a different schema" in msg
-            and "new schema: . This may lead" in msg
+            # arrow filler: zero-column schema prints as nothing
+            "new schema: . This may lead" in msg
+            # pandas filler: empty PandasBlockSchema
+            or "new schema: PandasBlockSchema(names=[], types=[]). This may lead"
+            in msg
         )
 
 

@@ -1,0 +1,187 @@
+"""Optional REAL-model adapters behind the existing warm-actor interfaces.
+
+The deterministic stand-ins (chunk.HashingEmbedder, extract.MentionDetector)
+are the oracle-testable defaults; these adapters swap in a true neural
+encoder / NER model with the SAME Ray plumbing and the SAME output schemas:
+
+  * SentenceTransformerEmbedder — reference ST3/M16 semantics (a remote
+    encoder warmed once per process, embedding_service.py:30-40): loads a
+    sentence-transformers model ONCE per actor in ``__init__``, encodes each
+    batch vectorized, emits ``embedding`` as fixed_size_list<float32, dim>
+    exactly like HashingEmbedder.
+  * GLiNERMentionDetector — reference ST1/M1 semantics (a warm vision/NER
+    client, entity_extractor/constants.py:66-78 label vocabulary): loads a
+    GLiNER model once per actor, emits MENTIONS_SCHEMA rows exactly like the
+    rule-based MentionDetector (confidence = model score).
+
+Neither package ships in this container, so both classes import their model
+lazily inside ``__init__`` and raise ``ImportError`` with an actionable
+message when absent; the pipeline helpers below take ``num_gpus`` /
+``concurrency`` and pass them straight to ``map_batches`` so a GPU pool is a
+call-site decision, not a code change. A ``model_factory`` hook lets tests
+inject a fake heavy model and assert the one-load-per-actor contract without
+the real dependency (tests/test_adapters.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .extract import MENTIONS_SCHEMA
+
+
+def _load_sentence_transformer(model_name: str):
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError as e:  # pragma: no cover - package absent here
+        raise ImportError(
+            "SentenceTransformerEmbedder needs the 'sentence-transformers' "
+            "package (pip install sentence-transformers); for a dependency-"
+            "free deterministic embedder use chunk.HashingEmbedder"
+        ) from e
+    return SentenceTransformer(model_name)
+
+
+class SentenceTransformerEmbedder:
+    """Actor-pool embedding stage hosting a real sentence-transformers
+    encoder. Model load happens ONCE per actor (``__init__``); ``__call__``
+    encodes one batch. Output schema is identical to HashingEmbedder:
+    input columns minus the text column, plus ``embedding``
+    fixed_size_list<float32, dim>."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2",
+                 model_factory: Optional[Callable] = None):
+        factory = model_factory or (lambda: _load_sentence_transformer(model_name))
+        self.model = factory()
+        # probe the output width once so the batch path never guesses
+        self.dim = int(np.asarray(self.model.encode(["probe"])).shape[1])
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        vecs = np.asarray(
+            self.model.encode([t or "" for t in texts]), dtype=np.float32
+        )
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return vecs / norms
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        text_col = "chunk_text" if "chunk_text" in batch.columns else "text"
+        vecs = self.encode_texts(list(batch[text_col]))
+        cols = {}
+        for c in batch.columns:
+            if c != text_col:
+                cols[c] = pa.array(batch[c])
+        cols["embedding"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), self.dim
+        )
+        return pa.table(cols)
+
+
+def embed_documents_with_model(docs_ds, model_name: str = "all-MiniLM-L6-v2",
+                               concurrency: int = 2, batch_size: int = 256,
+                               num_gpus: float = 0,
+                               model_factory: Optional[Callable] = None):
+    """M16 with a real encoder: a FIXED actor pool (heavy model => never the
+    elastic task path), ``num_gpus`` forwarded per actor. Size
+    ``concurrency`` to leave CPU headroom for the read operator — an actor
+    pool at num_cpus starves the scan (see ray_guide actor-pool pitfall)."""
+    kwargs = {"model_name": model_name}
+    if model_factory is not None:
+        kwargs["model_factory"] = model_factory
+    return docs_ds.map_batches(
+        SentenceTransformerEmbedder,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_gpus=num_gpus or None,
+    )
+
+
+DEFAULT_NER_LABELS = ("MATERIAL", "MANUFACTURER", "CHEMICAL", "CAS",
+                      "PERCENT", "TAG")
+
+
+def _load_gliner(model_name: str):
+    try:
+        from gliner import GLiNER
+    except ImportError as e:  # pragma: no cover - package absent here
+        raise ImportError(
+            "GLiNERMentionDetector needs the 'gliner' package (pip install "
+            "gliner); for the dependency-free rule-based detector use "
+            "extract.MentionDetector"
+        ) from e
+    return GLiNER.from_pretrained(model_name)
+
+
+class GLiNERMentionDetector:
+    """Actor-pool NER stage hosting a real GLiNER model. The model and the
+    label vocabulary load once per actor; ``__call__`` turns one turns batch
+    into MENTIONS_SCHEMA rows (same schema as the rule-based
+    MentionDetector; confidence carries the model score).
+
+    The injected model must provide
+    ``predict_entities(text, labels) -> [{start, end, text, label, score}]``
+    (the GLiNER API)."""
+
+    def __init__(self, model_name: str = "urchade/gliner_small-v2.1",
+                 labels: Sequence[str] = DEFAULT_NER_LABELS,
+                 model_factory: Optional[Callable] = None):
+        factory = model_factory or (lambda: _load_gliner(model_name))
+        self.model = factory()
+        self.labels: List[str] = list(labels)
+        self._empty = MENTIONS_SCHEMA.empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        out = {k: [] for k in ("conv", "tidx", "m", "l", "s", "e", "c")}
+        for i, text in enumerate(texts):
+            for ent in self.model.predict_entities(text, self.labels):
+                out["conv"].append(conv[i])
+                out["tidx"].append(tidx[i])
+                out["m"].append(ent["text"])
+                out["l"].append(ent["label"])
+                out["s"].append(int(ent["start"]))
+                out["e"].append(int(ent["end"]))
+                out["c"].append(float(ent.get("score", 1.0)))
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv"], pa.string()),
+                "turn_idx": pa.array(out["tidx"], pa.int32()),
+                "mention": pa.array(out["m"], pa.string()),
+                "label": pa.array(out["l"], pa.string()),
+                "span_start": pa.array(out["s"], pa.int32()),
+                "span_end": pa.array(out["e"], pa.int32()),
+                "confidence": pa.array(out["c"], pa.float64()),
+            },
+            schema=MENTIONS_SCHEMA,
+        )
+
+
+def detect_mentions_with_model(turns_ds,
+                               model_name: str = "urchade/gliner_small-v2.1",
+                               labels: Sequence[str] = DEFAULT_NER_LABELS,
+                               concurrency: int = 2, batch_size: int = 64,
+                               num_gpus: float = 0,
+                               model_factory: Optional[Callable] = None):
+    """M1/ST1 with a real NER model: fixed actor pool, ``num_gpus``
+    forwarded per actor, small batches (transformer inference memory)."""
+    kwargs = {"model_name": model_name, "labels": list(labels)}
+    if model_factory is not None:
+        kwargs["model_factory"] = model_factory
+    return turns_ds.map_batches(
+        GLiNERMentionDetector,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_gpus=num_gpus or None,
+    )

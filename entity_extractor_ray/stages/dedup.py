@@ -164,13 +164,24 @@ def minhash_candidate_pairs(docs_ds, concurrency: int = None, n_buckets: int = 3
 
     # distinct via the bucket shuffle (int keys, drop_duplicates in-bucket):
     # measured ~4x cheaper than Ray's sort-based groupby().count() at the
-    # same result
-    return bucket_group_apply(pairs, ["id_a", "id_b"], distinct_pairs, n_buckets)
+    # same result. compact_blocks drops the empty stale-schema filler blocks
+    # both bucket stages emit — the pair list is tiny, so this natural
+    # materialization boundary costs nothing and every downstream join/
+    # verify plan sees only row-bearing Arrow blocks.
+    from .shuffle import compact_blocks
+
+    return compact_blocks(
+        bucket_group_apply(pairs, ["id_a", "id_b"], distinct_pairs, n_buckets)
+    )
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = JACCARD_THRESHOLD,
-                         use_words: bool = False):
+                         use_words: bool = False, keep_jaccard: bool = True):
     """Keep candidate pairs whose TRUE Jaccard >= threshold.
+    ``keep_jaccard=False`` projects to (id_a, id_b) INSIDE the verify map —
+    batches that filter to zero rows then still carry the final 2-column
+    schema, instead of riding a downstream Project op unprojected (empty
+    blocks skip map operators, which mixes schemas in the bundle stream).
 
     Fully distributed: the candidate pairs JOIN the docs table on each side
     (shuffle.lookup_join auto-broadcasts a dimension-sized docs table and
@@ -210,7 +221,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = JACCARD_THRESHOLD
         ]
         out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = sims
-        return out[out["jaccard"] >= threshold]
+        out = out[out["jaccard"] >= threshold]
+        return out if keep_jaccard else out[["id_a", "id_b"]]
 
     return joined.map_batches(verify, batch_format="pandas")
 
@@ -381,9 +393,18 @@ def minhash_dedup(docs_ds, threshold: float = JACCARD_THRESHOLD,
 
     from .shuffle import lookup_join
 
-    pairs = verify_jaccard_pairs(
-        minhash_candidate_pairs(docs_ds, concurrency, n_buckets), docs_ds, threshold
-    ).select_columns(["id_a", "id_b"]).materialize()
+    from .shuffle import compact_blocks
+
+    # compact_blocks doubles as the materialization: it drops zero-row
+    # filler blocks so the clustering paths see only row-bearing Arrow
+    # blocks; keep_jaccard=False projects inside the verify map (no Project
+    # op for empty filtered batches to skip)
+    pairs = compact_blocks(
+        verify_jaccard_pairs(
+            minhash_candidate_pairs(docs_ds, concurrency, n_buckets),
+            docs_ds, threshold, keep_jaccard=False,
+        )
+    )
     n_pairs = pairs.count()
     if n_pairs <= driver_cluster_limit:
         labels = _driver_union_find_labels(pairs)

@@ -553,6 +553,58 @@ def lookup_join(
     return left.map_batches(probe, batch_format="pyarrow")
 
 
+_block_as_arrow = None  # ray.remote converter, built lazily (same pattern
+# as _project_key_col: nested def ships by value so workers need no repo
+# sys.path)
+
+
+def _init_block_remote():
+    global _block_as_arrow
+    if _block_as_arrow is None:
+        import ray
+
+        def _impl(tbl):
+            """(n_rows, arrow_block): worker-side row probe + Arrow
+            conversion; the converted block stays in the object store.
+            pandas->arrow conversion re-attaches a pandas metadata blob that
+            makes the schema unhashable downstream — strip it."""
+            import pyarrow as _pa
+
+            if not isinstance(tbl, _pa.Table):
+                from ray.data.block import BlockAccessor
+
+                tbl = BlockAccessor.for_block(tbl).to_arrow()
+            if tbl.schema.metadata:
+                tbl = tbl.replace_schema_metadata(None)
+            return tbl.num_rows, tbl
+
+        _block_as_arrow = ray.remote(num_cpus=0.25, num_returns=2)(_impl)
+
+
+def compact_blocks(ds):
+    """Materialize ``ds`` and rebuild it from only its row-bearing blocks,
+    converted to Arrow on the workers. Drops the zero-row filler blocks
+    Ray's sort/shuffle reduce emits for empty partitions — map operators
+    forward those WITHOUT invoking the UDF, so they carry stale
+    pre-projection schemas through the rest of the plan (the mixed-schema
+    RefBundle warnings). Use at small materialization boundaries (e.g. the
+    verified near-dup pair list), never on a raw fact table: only the row
+    COUNT returns to the driver, but the dataset stops streaming here."""
+    import ray
+    import ray.data as rd
+
+    _init_block_remote()
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    pairs = [_block_as_arrow.remote(r) for r in refs]
+    counts = ray.get([n for n, _ in pairs])
+    keep = [t for (_, t), n in zip(pairs, counts) if n > 0]
+    if not keep:  # fully empty dataset: keep one block so the schema survives
+        keep = [pairs[0][1]]
+    return rd.from_arrow_refs(keep)
+
+
 def _as_arrow_block(tbl):
     """Blocks from to_arrow_refs arrive in their native format — a pandas
     DataFrame when the producing map returned pandas. Normalize via Ray's

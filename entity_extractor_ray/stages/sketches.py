@@ -302,9 +302,9 @@ def frequent_tokens(docs_ds, top_n: int = 20, k: int = 65536):
 
     from .textstats import _VOCAB_RE
 
-    def partial(batch: pd.DataFrame) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
-        for text in batch["text"]:
+        for text in batch.column("text").to_pylist():
             c.update(_VOCAB_RE.findall((text or "").lower()))
         if len(c) > k:
             items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -322,8 +322,11 @@ def frequent_tokens(docs_ds, top_n: int = 20, k: int = 65536):
             }
         )
 
+    # arrow format end-to-end: pandas-format partials made the aggregate's
+    # reduce emit PandasBlock partials (object-dtype tokens) and empty
+    # PandasBlockSchema filler blocks
     sums = (
-        docs_ds.map_batches(partial, batch_format="pandas")
+        docs_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
     )
