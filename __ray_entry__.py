@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = dict(rel.relational_queries())
     q.update(ana.analytics_queries())
+    from entity_extractor_ray.pipelines import tpch_extra as tx
+
+    q.update(tx.tpch_extra_queries())
 
     # --- text analysis (SURVEY §2.2 M-ops generalized to documents)
     q["token_counts"] = lambda sf: _docs(sf).map_batches(ts.token_counts, batch_format="pandas")
@@ -487,10 +490,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows+schema+hash check), then rows-only ones; the three placed at
     # positions 51-53 (rag_section_context, kg_mapping_nameblocked,
     # kg_delta_nodes) are the ones already pinned by the strongest local
-    # equality tests, so losing the driver row there costs least. All 132
+    # equality tests, so losing the driver row there costs least. All 140
     # queries pass the identical local harness (tests/parity.py) at sf0.001
-    # and sf0.01 — this is coverage rotation, not risk.
+    # and sf0.01 — this is coverage rotation, not risk. The 8 round-4
+    # TPC-H additions lead (newest code gets the strongest check).
     _LEAD = [
+        # -- round-4 additions (oracled, newest — strongest claim on the
+        #    driver's 50-query window)
+        "q4_order_priority", "q8_market_share", "q9_product_profit",
+        "q11_important_parts", "q15_top_supplier", "q16_supplier_counts",
+        "q20_heavy_suppliers", "q21_waiting_suppliers",
         # -- oracled, never driver-checked (38)
         "q22_idle_customers", "events_funnel", "user_cohort_retention",
         "customers_fuzzy_pairs", "q5_local_supplier_revenue",
@@ -529,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql: dict[str, str] = dict(rel.relational_oracle_sql())
     sql.update(ana.analytics_oracle_sql())
+    from entity_extractor_ray.pipelines import tpch_extra as tx
+
+    sql.update(tx.tpch_extra_oracle_sql())
     sql["token_counts"] = ts.token_counts_sql()
     sql["quality_features"] = ts.quality_features_sql()
     sql["lang_id"] = ts.lang_id_sql()
