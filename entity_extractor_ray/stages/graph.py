@@ -373,14 +373,108 @@ def _resolve_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
     )
 
 
+_ROLLUP_AGGS = [
+    ("r", "max"), ("pp0", "min"), ("po0", "min"),
+    ("pp1", "min"), ("po1", "min"), ("pp2", "min"), ("po2", "min"),
+]
+_ROLLUP_COLS = ["src", "r", "pp0", "po0", "pp1", "po1", "pp2", "po2"]
+_ROLLUP_SCHEMA = pa.schema(
+    [("entity_id", pa.string()), ("pfas_status", pa.string()),
+     ("pfas_information_source", pa.string())]
+)
+# index_in order: OECD→0, VAI→1, MANUAL→2, unlisted/null→3
+_PP_LUT = np.array([0, 1, 2, 99], dtype=np.int8)   # _PREF_PENDING by index
+_PO_LUT = np.array([1, 0, 2, 99], dtype=np.int8)   # _PREF_OTHER by index
+_SRC_SET = pa.array(["OECD", "VAI", "MANUAL"], pa.string())
+_STATUS_SET = pa.array(["NO", "PENDING", "YES"], pa.string())
+
+
+def _rollup_partial(t: pa.Table) -> pa.Table:
+    """Map-side mergeable sufficient statistics of the parent resolution:
+    per (parent, child-rank r∈{NO,PENDING,YES}) only the MIN preference
+    under each of the two source tables matters (the winner's NAME is
+    recovered from the rank-matched inverse table), and the parent's status
+    is the MAX rank — all max/min, hence combinable per batch before the
+    shuffle. Exchange rows drop from one-per-CONTAINS-edge to
+    one-per-distinct-parent-per-batch, and the strings shrink to int8s."""
+    import pyarrow.compute as pc2
+
+    r = pc2.fill_null(
+        pc2.cast(pc2.index_in(t.column("pfas_status"), value_set=_STATUS_SET),
+                 pa.int8()),
+        1,  # unknown/null status counts as PENDING (reference semantics)
+    )
+    idx = pc2.fill_null(
+        pc2.cast(
+            pc2.index_in(t.column("pfas_information_source"), value_set=_SRC_SET),
+            pa.int8(),
+        ),
+        3,
+    ).to_numpy(zero_copy_only=False)
+    pp = _PP_LUT[idx]
+    po = _PO_LUT[idx]
+    r_np = r.to_numpy(zero_copy_only=False)
+    cols: dict = {"src": t.column("src"), "r": r}
+    for rank in (0, 1, 2):
+        mask = r_np == rank
+        cols[f"pp{rank}"] = pa.array(np.where(mask, pp, 99), pa.int8())
+        cols[f"po{rank}"] = pa.array(np.where(mask, po, 99), pa.int8())
+    part = pa.table(cols)
+    return pa.TableGroupBy(part, "src").aggregate(_ROLLUP_AGGS).rename_columns(
+        _ROLLUP_COLS
+    )
+
+
+def _rollup_merge_bucket(t: pa.Table, bucket_id: int) -> pa.Table:
+    """Merge the per-batch partials of one parent-hash bucket and decode:
+    status = inverse of the max rank; source = the rank-matched min
+    preference through the parent-state-specific inverse table (99 = no
+    listed source voted → SRC_NONE)."""
+    if t.num_rows == 0:
+        return _ROLLUP_SCHEMA.empty_table()
+    agg = pa.TableGroupBy(t, "src").aggregate(_ROLLUP_AGGS).rename_columns(
+        _ROLLUP_COLS
+    )
+    r = agg.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(r)
+    pp = np.stack(
+        [agg.column(f"pp{k}").to_numpy(zero_copy_only=False) for k in (0, 1, 2)],
+        axis=1,
+    )
+    po = np.stack(
+        [agg.column(f"po{k}").to_numpy(zero_copy_only=False) for k in (0, 1, 2)],
+        axis=1,
+    )
+    rows = np.arange(n)
+    pref = np.where(r == 1, pp[rows, r], po[rows, r]).astype(np.int64)
+    status_lut = np.array(["NO", "PENDING", "YES"], dtype=object)
+    inv_pend = np.full(100, SRC_NONE, dtype=object)
+    inv_pend[:3] = ["OECD", "VAI", "MANUAL"]
+    inv_oth = np.full(100, SRC_NONE, dtype=object)
+    inv_oth[:3] = ["VAI", "OECD", "MANUAL"]
+    source = np.where(r == 1, inv_pend[pref], inv_oth[pref])
+    return pa.table(
+        {
+            "entity_id": agg.column("src"),
+            "pfas_status": pa.array(status_lut[r], pa.string()),
+            "pfas_information_source": pa.array(source, pa.string()),
+        }
+    )
+
+
 def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions: int = 16):
     """One rollup pass: parent status from child (status, source) multisets.
 
     edges_ds: (src, dst, pred) with pred == CONTAINS rows used;
     child_status_ds: (entity_id, pfas_status, pfas_information_source).
     Returns (entity_id, pfas_status, pfas_information_source) for parents.
-    """
-    from .shuffle import lookup_join
+
+    Round 4: the resolution now travels as mergeable max/min sufficient
+    statistics (``_rollup_partial``) combined map-side per batch BEFORE the
+    parent shuffle — semantics identical to the row-level
+    ``_resolve_bucket`` (kept above as the executable spec; equality pinned
+    by tests/test_rollup_fixed_point.py and the kg e2e oracle tests)."""
+    from .shuffle import bucket_group_apply_arrow, lookup_join
 
     contains = edges_ds.filter(expr="pred == 'CONTAINS'").select_columns(["src", "dst"])
     child = child_status_ds.select_columns(
@@ -388,12 +482,12 @@ def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions
     )
     joined = lookup_join(contains, child, key="dst", right_key="entity_id",
                          n_buckets=num_partitions)
-    # NB children-per-parent is bounded (distinct chemicals of one material),
-    # so shipping the joined edge rows directly into the per-parent bucket is
-    # skew-safe; a grouped pre-count would only matter for pathological
-    # fan-outs and costs an extra multi-string-key shuffle.
+    # children-per-parent is bounded (distinct chemicals of one material),
+    # and the map-side partial combine bounds the exchange at one int8-row
+    # per distinct parent per batch regardless.
     slim = joined.select_columns(["src", "pfas_status", "pfas_information_source"])
-    return bucket_group_apply(slim, ["src"], _resolve_bucket, n_buckets)
+    partials = slim.map_batches(_rollup_partial, batch_format="pyarrow")
+    return bucket_group_apply_arrow(partials, ["src"], _rollup_merge_bucket, n_buckets)
 
 
 def _status_checksum(status_ds) -> int:
