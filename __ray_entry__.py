@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(tx.tpch_extra_queries())
 
     # --- text analysis (SURVEY §2.2 M-ops generalized to documents)
+    q["skipgram_pairs"] = lambda sf: ts.skipgram_pairs(_docs(sf))
+    q["token_pmi"] = lambda sf: ts.token_pmi(_docs(sf))
     q["token_counts"] = lambda sf: _docs(sf).map_batches(ts.token_counts, batch_format="pandas")
     q["quality_features"] = lambda sf: _docs(sf).map_batches(ts.quality_features, batch_format="pandas")
     q["lang_id"] = lambda sf: _docs(sf).map_batches(ts.lang_id, batch_format="pandas")
@@ -343,6 +345,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_triangles"] = _kg_triangles
 
+    # k-core decomposition of the co-mention graph (iterative BSP peel);
+    # rows-only — pinned vs the serial Batagelj–Zaveršnik peel in
+    # tests/test_kcore.py
+    def _kg_kcore(sf):
+        from entity_extractor_ray.stages.graph import k_core, material_comentions
+
+        return k_core(material_comentions(_kg(sf).edges), k=2)
+
+    q["kg_kcore"] = _kg_kcore
+
     # PageRank over the produced graph — iterative BSP (one edges⋈ranks
     # join + one dst aggregate per round); rows-only — pinned against a
     # dense numpy reference on planted graphs in tests/test_pagerank.py
@@ -490,7 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows+schema+hash check), then rows-only ones; the three placed at
     # positions 51-53 (rag_section_context, kg_mapping_nameblocked,
     # kg_delta_nodes) are the ones already pinned by the strongest local
-    # equality tests, so losing the driver row there costs least. All 140
+    # equality tests, so losing the driver row there costs least. All 143
     # queries pass the identical local harness (tests/parity.py) at sf0.001
     # and sf0.01 — this is coverage rotation, not risk. The 8 round-4
     # TPC-H additions lead (newest code gets the strongest check).
@@ -500,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority", "q8_market_share", "q9_product_profit",
         "q11_important_parts", "q15_top_supplier", "q16_supplier_counts",
         "q20_heavy_suppliers", "q21_waiting_suppliers",
+        "skipgram_pairs", "token_pmi",
         # -- oracled, never driver-checked (38)
         "q22_idle_customers", "events_funnel", "user_cohort_retention",
         "customers_fuzzy_pairs", "q5_local_supplier_revenue",
@@ -541,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.pipelines import tpch_extra as tx
 
     sql.update(tx.tpch_extra_oracle_sql())
+    sql["skipgram_pairs"] = ts.skipgram_pairs_sql()
+    sql["token_pmi"] = ts.token_pmi_sql()
     sql["token_counts"] = ts.token_counts_sql()
     sql["quality_features"] = ts.quality_features_sql()
     sql["lang_id"] = ts.lang_id_sql()

@@ -1172,6 +1172,100 @@ def label_propagation(pairs_ds, a_col: str = "mat_a", b_col: str = "mat_b",
     return labels
 
 
+# ------------------------------------------------------------------ k-core
+
+def k_core(pairs_ds, k: int = 2, a_col: str = "mat_a", b_col: str = "mat_b",
+           n_buckets: int = 16, max_iters: int = 50):
+    """Distributed k-core decomposition of an undirected pair list: the
+    maximal subgraph where every node has degree ≥ k, via synchronous
+    iterative peeling (Batagelj–Zaveršnik semantics, BSP schedule): each
+    round computes live degrees (ONE groupby over the doubled edge list),
+    drops every node below k, and semi-joins the edge list down to
+    survivors (TWO lookup_joins whose right side is the node-dimension
+    survivor set — broadcast under the gate, bucket exchange past it).
+    Rounds = peel depth of the graph, each touching only LIVE edges, which
+    shrink monotonically. Non-convergence within ``max_iters`` raises
+    loudly (the dedup.py:353 discipline). Returns (node, core_deg) for
+    members, core_deg = the node's degree inside the k-core."""
+    from .shuffle import lookup_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {
+                "a": pc.cast(t.column(a_col), pa.string()),
+                "b": pc.cast(t.column(b_col), pa.string()),
+            }
+        )
+        sub = sub.filter(pc.invert(pc.equal(sub.column("a"), sub.column("b"))))
+        a, b = sub.column("a"), sub.column("b")
+        a_lt = pc.less(a, b)
+        return pa.table(
+            {"lo": pc.if_else(a_lt, a, b), "hi": pc.if_else(a_lt, b, a)}
+        )
+
+    edges = (
+        pairs_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .count()
+        .select_columns(["lo", "hi"])
+        .materialize()
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        # map-side partial degree: one int row per distinct endpoint per batch
+        both = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("lo").combine_chunks(),
+                        t.column("hi").combine_chunks(),
+                    ]
+                )
+            }
+        )
+        agg = pa.TableGroupBy(both, "node").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "node": agg.column("node"),
+                "d": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(max_iters):
+        degrees = (
+            edges.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("d", alias_name="core_deg"))
+            .materialize()
+        )
+        n_nodes = degrees.count()
+        live = degrees.filter(expr=f"core_deg >= {int(k)}")
+        n_live = live.count()
+        if n_live == n_nodes:
+            return live.select_columns(["node", "core_deg"])
+        if n_live == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.schema([("node", pa.string()),
+                           ("core_deg", pa.int64())]).empty_table()
+            )
+        survivors = live.select_columns(["node"])
+        edges = lookup_join(
+            edges, survivors, key="lo", right_key="node", n_buckets=n_buckets
+        )
+        edges = lookup_join(
+            edges, survivors, key="hi", right_key="node", n_buckets=n_buckets
+        ).select_columns(["lo", "hi"]).materialize()
+    raise RuntimeError(
+        f"k_core did not converge in {max_iters} peel rounds (k={k}); "
+        "raise max_iters — every round strictly shrinks the node set, so "
+        "this bounds peel depth, not correctness"
+    )
+
+
 # ------------------------------------------------------------------ BFS depths
 
 def bfs_depths(edges_ds, seeds, max_depth: int = 4, n_buckets: int = 16,

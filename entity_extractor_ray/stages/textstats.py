@@ -736,3 +736,190 @@ def lm_quality_scores(docs_ds, max_vocab: int = LM_MAX_VOCAB,
         )
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ skipgrams
+
+def skipgram_pairs(docs_ds, window: int = 3, min_count: int = 5):
+    """Windowed co-occurrence (skip-gram) pair counts — the word2vec /
+    collocation-mining preprocessing step: ordered pairs (w1, w2) with w2
+    at most ``window`` positions after w1 in the same document, counted
+    corpus-wide, filtered to >= min_count.
+
+    Scale shape: pair generation is pure array shifting on the flattened
+    word array (offsets buffer gives doc boundaries — no per-row Python,
+    no join); per-batch pre-count collapses the exchange to distinct pairs
+    per batch before the ONE pair-keyed groupby."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        parts = pc2.split_pattern(t.column("text"), pattern=" ").combine_chunks()
+        offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = parts.flatten().to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(widths), dtype=np.int64), widths)
+        w1_parts, w2_parts = [], []
+        n = len(words)
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            same = doc_idx[:-d] == doc_idx[d:]
+            w1_parts.append(words[:-d][same])
+            w2_parts.append(words[d:][same])
+        if not w1_parts:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        raw = pa.table(
+            {
+                "w1": pa.array(np.concatenate(w1_parts), pa.string()),
+                "w2": pa.array(np.concatenate(w2_parts), pa.string()),
+            }
+        )
+        agg = pa.TableGroupBy(raw, ["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "w1": agg.column("w1"),
+                "w2": agg.column("w2"),
+                "partial": pc2.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t.column("n"), min_count)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def skipgram_pairs_sql(window: int = 3, min_count: int = 5) -> str:
+    return f"""
+    WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+    w AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(parts))) AS BIGINT) AS pos,
+             unnest(parts) AS word
+      FROM p
+    )
+    SELECT a.word AS w1, b.word AS w2, count(*) AS n
+    FROM w a
+    JOIN w b ON a.doc_id = b.doc_id
+            AND b.pos - a.pos BETWEEN 1 AND {window}
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_count}
+    """
+
+
+def token_pmi(docs_ds, window: int = 3, min_count: int = 5):
+    """Pointwise mutual information of skipgram pairs: pmi = ln(P(w1,w2) /
+    (P(w1)·P(w2))) with P from pair / unigram occurrence counts. All counts
+    stay exact integers; the single float is ln of one exact-integer ratio,
+    floor-truncated to 6 dp for cross-engine hash parity (the vocab_stats
+    discipline). Unigram totals ride a broadcast lookup_join (vocab-sized
+    right side); scalar totals are two driver aggregates."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    from .shuffle import lookup_join
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        parts = pc2.split_pattern(t.column("text"), pattern=" ")
+        flat = pa.table({"word": parts.combine_chunks().flatten()})
+        agg = pa.TableGroupBy(flat, "word").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "word": agg.column("word"),
+                "partial": pc2.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    unigrams = (
+        docs_ds.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="cnt"))
+        .materialize()  # reused: total + two joins
+    )
+    n_words = int(unigrams.sum("cnt") or 0)
+
+    pairs = skipgram_pairs(docs_ds, window=window, min_count=0).materialize()
+    n_pairs = int(pairs.sum("n") or 0)
+    kept = pairs.map_batches(
+        lambda t: t.filter(pc2.greater_equal(t.column("n"), min_count)),
+        batch_format="pyarrow",
+    )
+
+    j1 = lookup_join(
+        kept,
+        unigrams.map_batches(
+            lambda t: t.rename_columns(["w1", "c1"]), batch_format="pyarrow"
+        ),
+        key="w1",
+    )
+    j2 = lookup_join(
+        j1,
+        unigrams.map_batches(
+            lambda t: t.rename_columns(["w2", "c2"]), batch_format="pyarrow"
+        ),
+        key="w2",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n12 = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = (n12 * float(n_words) * float(n_words)) / (
+            float(n_pairs) * c1 * c2
+        )
+        pmi = np.floor(np.log(ratio) * 1e6) / 1e6
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n": t.column("n"),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+def token_pmi_sql(window: int = 3, min_count: int = 5) -> str:
+    return f"""
+    WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+    w AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(parts))) AS BIGINT) AS pos,
+             unnest(parts) AS word
+      FROM p
+    ),
+    uni AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+    nw AS (SELECT sum(cnt) AS total FROM uni),
+    pr AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS n
+      FROM w a
+      JOIN w b ON a.doc_id = b.doc_id
+              AND b.pos - a.pos BETWEEN 1 AND {window}
+      GROUP BY 1, 2
+    ),
+    np AS (SELECT sum(n) AS total FROM pr)
+    SELECT pr.w1, pr.w2, pr.n,
+           floor(ln((CAST(pr.n AS DOUBLE) * CAST(nw.total AS DOUBLE)
+                     * CAST(nw.total AS DOUBLE))
+                    / (CAST(np.total AS DOUBLE)
+                       * CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)))
+                 * 1e6) / 1e6 AS pmi
+    FROM pr
+    CROSS JOIN nw
+    CROSS JOIN np
+    JOIN uni u1 ON u1.word = pr.w1
+    JOIN uni u2 ON u2.word = pr.w2
+    WHERE pr.n >= {min_count}
+    """
