@@ -7,8 +7,15 @@ metadata is non-empty is UNHASHABLE (``hash()`` raises ``unhashable type:
 downstream sort/hash exchange — the ``Failed to hash the schemas (for
 deduplication)`` warnings in the round-3 bench tail came from
 ``HashShuffleAggregator`` and sort-reduce workers concatenating scan blocks
-that still carried the blob. Stripping it at the scan is a zero-copy schema
-swap that fuses into the read task.
+that still carried the blob.
+
+Round 4: stripping INSIDE the read matters too — when Ray splits a
+single-file read (``ReadParquet->SplitBlocks(n)``), the split path unifies
+the raw fragment schemas BEFORE any fused map runs, so the strip map alone
+still left one warning per read task. The fix is to hand ``read_parquet``
+an explicit metadata-free ``schema`` (projected to ``columns`` when given):
+every fragment then conforms to the clean schema at scan time. The fused
+strip map stays as the fallback for multi-file dirs whose footers disagree.
 """
 
 from __future__ import annotations
@@ -20,11 +27,43 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def _first_parquet(paths) -> str | None:
+    import os
+
+    p = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if not isinstance(p, str):
+        return None
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            if name.endswith(".parquet"):
+                return os.path.join(p, name)
+        return None
+    return p if p.endswith(".parquet") else None
+
+
 def read_parquet_clean(paths, **kwargs):
     """ray.data.read_parquet with file-embedded schema metadata stripped.
     Accepts the same kwargs (columns=, filter=, ... — pushdowns are applied
-    by read_parquet itself, before the strip map fuses onto the read)."""
+    by read_parquet itself). When the caller gave no ``schema``, a clean one
+    is derived from the first footer so even the intra-read SplitBlocks
+    schema unification sees hashable schemas."""
     import ray.data as rd
+
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.parquet as pq
+
+            f = _first_parquet(paths)
+            if f is not None:
+                full = pq.read_schema(f).remove_metadata()
+                cols = kwargs.get("columns")
+                kwargs["schema"] = (
+                    pa.schema([full.field(c) for c in cols]) if cols else full
+                )
+        except Exception:
+            # any footer/projection surprise: fall back to the bare read +
+            # fused strip (correct, just noisier)
+            kwargs.pop("schema", None)
 
     return rd.read_parquet(paths, **kwargs).map_batches(
         strip_schema_metadata, batch_format="pyarrow"

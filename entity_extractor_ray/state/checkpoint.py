@@ -21,6 +21,8 @@ from typing import Callable, Optional
 
 import pyarrow.parquet as pq
 
+from ..sources.cleanscan import read_parquet_clean
+
 MANIFEST = "_SUCCESS"
 
 
@@ -107,7 +109,7 @@ class CheckpointManager:
             self.stage_metrics.append(
                 {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0, "skipped": True}
             )
-            return rd.read_parquet(out)
+            return read_parquet_clean(out)
 
         t0 = time.perf_counter()
         tmp = out + ".tmp"
@@ -157,7 +159,7 @@ class CheckpointManager:
         self.stage_metrics.append(
             {"stage": name, "rows_out": rows, "duration_ms": duration_ms, "skipped": False}
         )
-        return rd.read_parquet(out)
+        return read_parquet_clean(out)
 
     def run_partitioned(self, name: str, build_parts):
         """Stage whose builder commits per-BUCKET part files directly into
@@ -178,7 +180,7 @@ class CheckpointManager:
             self.stage_metrics.append(
                 {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0, "skipped": True}
             )
-            return rd.read_parquet(out)
+            return read_parquet_clean(out)
 
         t0 = time.perf_counter()
         mpath = os.path.join(out, MANIFEST)
@@ -233,7 +235,7 @@ class CheckpointManager:
             self.stage_metrics.append(
                 {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0, "skipped": True}
             )
-            return rd.read_parquet(out)
+            return read_parquet_clean(out)
 
         t0 = time.perf_counter()
         os.makedirs(out, exist_ok=True)
@@ -290,7 +292,7 @@ class CheckpointManager:
         self.stage_metrics.append(
             {"stage": name, "rows_out": rows, "duration_ms": duration_ms, "skipped": False}
         )
-        return rd.read_parquet(out)
+        return read_parquet_clean(out)
 
 
 def status(out_dir: str) -> list:
