@@ -462,7 +462,8 @@ def _rollup_merge_bucket(t: pa.Table, bucket_id: int) -> pa.Table:
     )
 
 
-def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions: int = 16):
+def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions: int = 16,
+                  child_unique: bool = True):
     """One rollup pass: parent status from child (status, source) multisets.
 
     edges_ds: (src, dst, pred) with pred == CONTAINS rows used;
@@ -480,8 +481,12 @@ def rollup_status(edges_ds, child_status_ds, n_buckets: int = 64, num_partitions
     child = child_status_ds.select_columns(
         ["entity_id", "pfas_status", "pfas_information_source"]
     )
+    # child_unique: the per-entity fold emits ONE row per entity_id, so the
+    # main pipeline skips the driver-side uniqueness probe; rollup_fixed_point
+    # passes False because its leaves ∪ parents union may legitimately carry
+    # an entity twice in deep DAGs
     joined = lookup_join(contains, child, key="dst", right_key="entity_id",
-                         n_buckets=num_partitions)
+                         n_buckets=num_partitions, unique_right=child_unique)
     # children-per-parent is bounded (distinct chemicals of one material),
     # and the map-side partial combine bounds the exchange at one int8-row
     # per distinct parent per batch regardless.
@@ -522,7 +527,8 @@ def rollup_fixed_point(edges_ds, leaf_status_ds, n_buckets: int = 32,
     parent = None
     prev_sum = None
     for _ in range(max_iters):
-        parent = rollup_status(edges_ds, current, n_buckets, num_partitions).materialize()
+        parent = rollup_status(edges_ds, current, n_buckets, num_partitions,
+                               child_unique=False).materialize()
         check = _status_checksum(parent)
         if check == prev_sum:
             break

@@ -416,13 +416,16 @@ def _bloom_prefilter(left, key: str, key_tbls, how: str):
     key cannot exist on the right never enter the exchange. Sound ONLY for
     inner/semi (every surviving row is re-verified by the real join, so
     false positives are harmless; left/outer/anti must keep non-matching
-    lefts). The filter is built driver-side from the key columns the
-    broadcast probe already fetched, so pruning costs no extra right-side
+    lefts). ``key_tbls`` may be Arrow tables or ObjectRefs of them (the
+    round-4 lookup_join defers the key pull to here — the only remaining
+    consumer on the bucket path), so pruning costs no extra right-side
     pass."""
     import ray
 
     if how not in ("inner", "semi") or not key_tbls:
         return left
+    if not isinstance(key_tbls[0], pa.Table):
+        key_tbls = ray.get(list(key_tbls))
     keys = pa.concat_tables(key_tbls).column(key_tbls[0].column_names[0])
     bits, m, k = build_bloom(keys.to_numpy(zero_copy_only=False))
     bloom_ref = ray.put((bits, m, k))
@@ -445,6 +448,7 @@ def lookup_join(
     suffix: str = "_r",
     broadcast_limit: int = 3_000_000,
     broadcast_bytes_limit: int = 256 * 1024 * 1024,
+    unique_right: bool = False,
 ):
     """Join with automatic strategy choice: when the right side is small
     enough — BOTH under ``broadcast_limit`` rows AND under
@@ -457,27 +461,38 @@ def lookup_join(
     get_indexer probe time, with an opaque InvalidIndexError) — and
     non-unique right sides fall back to bucket_hash_join, which handles
     multiplicity. This mirrors the guide's rule: broadcast dimension-sized
-    sides, shuffle fact-sized ones."""
+    sides, shuffle fact-sized ones.
+
+    ``unique_right=True`` asserts the right keys are STRUCTURALLY unique
+    (a groupby output, a primary-keyed dimension): the driver then reads
+    only per-block metadata — zero key bytes cross to the driver on the
+    broadcast path, removing its serial O(right) term. A false assertion
+    fails LOUDLY at probe time (pandas raises InvalidIndexError on a
+    duplicate-keyed get_indexer), never silently."""
     right_key = right_key or key
 
     import pyarrow as pa2
     import ray
 
-    # Execute the right side ONCE into object-store blocks; only the KEY
-    # column ever reaches the driver (for the size + uniqueness probe). The
-    # earlier design pulled the WHOLE right table through the driver before
-    # re-putting it — a serial, driver-bound term that inflated every join-
-    # bearing stage under load and did not scale with CPUs.
+    # Execute the right side ONCE into object-store blocks; the driver
+    # reads per-block METADATA (rows/bytes/schema) and leaves the projected
+    # key columns in the object store — they are pulled only if needed (the
+    # uniqueness probe when not asserted, or the Bloom build on the bucket
+    # path). The earlier designs pulled the whole right table (round 2),
+    # then the whole key column (round 3), through the driver — a serial
+    # term in every join-bearing stage that did not scale with CPUs.
     _init_remote()
     refs = right.to_arrow_refs()
-    probed = ray.get([_project_key_col.remote(r, right_key) for r in refs]) if refs else []
-    key_tbls = [kt for kt, _, _, _ in probed if kt is not None]
-    # schema only from blocks that actually carry rows: Ray passes zero-row
-    # blocks through fused filter+project with their PRE-projection schema
-    schemas = [s for kt, s, _, _ in probed if kt is not None]
-    all_arrow = all(a for _, _, a, _ in probed)
-    n_rows = sum(t.num_rows for t in key_tbls)
-    n_bytes = sum(b for _, _, _, b in probed)
+    pairs = [_project_key_col.remote(r, right_key) for r in refs]
+    metas = ray.get([m for m, _ in pairs]) if refs else []
+    # schema only from blocks that actually carry the key: Ray passes
+    # zero-row blocks through fused filter+project with their
+    # PRE-projection schema
+    key_refs = [kr for (_, kr), m in zip(pairs, metas) if m[0]]
+    schemas = [m[2] for m in metas if m[0]]
+    all_arrow = all(m[3] for m in metas)
+    n_rows = sum(m[1] for m in metas)
+    n_bytes = sum(m[4] for m in metas)
     import ray.data as rd
 
     # refs-backed dataset: lets the bucket-join fallback reuse the already-
@@ -487,11 +502,12 @@ def lookup_join(
     if n_rows > broadcast_limit or n_bytes > broadcast_bytes_limit:
         # too big to broadcast whole — but its ~10-bits/key Bloom filter is
         # not: prune the left map-side so only maybe-matching rows shuffle
-        left = _bloom_prefilter(left, key, key_tbls, how)
+        left = _bloom_prefilter(left, key, key_refs, how)
         return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
-    if n_rows > 0:
+    if n_rows > 0 and not unique_right:
         import pyarrow.compute as pc
 
+        key_tbls = ray.get(key_refs)
         keys_concat = pa2.concat_tables(key_tbls).column(right_key)
         if pc.count_distinct(keys_concat).as_py() != n_rows:
             # non-unique right keys: the broadcast index would mis-probe;
@@ -632,8 +648,11 @@ def _init_remote():
         import ray
 
         def _impl(tbl, k: str):
-            """(key column, block schema, was_arrow, block_nbytes) — None
-            key for the zero-column empty blocks Ray emits from empty
+            """Two returns: a metadata tuple (key_present, n_rows, schema,
+            was_arrow, block_nbytes) that the driver fetches, and the
+            projected key column that STAYS in the object store (pulled only
+            by the uniqueness probe or the Bloom build). key_present is
+            False for the zero-column empty blocks Ray emits from empty
             map_groups buckets; was_arrow tells the driver whether
             from_arrow_refs may reuse the raw refs; block_nbytes feeds the
             broadcast BYTE gate (a row-count gate alone lets a sub-3M-row
@@ -646,15 +665,16 @@ def _init_remote():
 
                 tbl = BlockAccessor.for_block(tbl).to_arrow()
             if tbl.num_rows == 0 or k not in tbl.schema.names:
-                return None, (tbl.schema if tbl.num_columns else None), was_arrow, 0
+                return (
+                    (False, 0, (tbl.schema if tbl.num_columns else None), was_arrow, 0),
+                    None,
+                )
             return (
+                (True, tbl.num_rows, tbl.schema, was_arrow, int(tbl.nbytes)),
                 tbl.select([k]).combine_chunks(),
-                tbl.schema,
-                was_arrow,
-                int(tbl.nbytes),
             )
 
-        _project_key_col = ray.remote(num_cpus=0.25)(_impl)
+        _project_key_col = ray.remote(num_cpus=0.25, num_returns=2)(_impl)
 
 
 _BROADCAST_INDEX_CACHE: dict = {}
