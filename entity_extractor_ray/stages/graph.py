@@ -549,9 +549,12 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
     the reference Manufacturer ORM has none, models/manufacturer.py:6-18)."""
     from .shuffle import lookup_join
 
+    # material_status is a rollup output (one row per parent) — structurally
+    # unique, so both assembly joins skip the driver uniqueness probe
     mat = lookup_join(
         material_ids_ds, material_status_ds, key="material_id",
         right_key="entity_id", how="left", n_buckets=num_partitions,
+        unique_right=True,
     )
 
     def mat_nodes(t: pa.Table) -> pa.Table:
@@ -580,6 +583,7 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
         chem_status_ds.select_columns(["entity_id", "pfas_status", "pfas_information_source"]),
         key="entity_id",
         n_buckets=num_partitions,
+        unique_right=True,  # per-entity fold output: one row per entity_id
     )
 
     def chem_nodes(t: pa.Table) -> pa.Table:
