@@ -23,14 +23,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.cleanscan import read_parquet_clean as _rpc
-
-
-def _read(sf_dir: str, table: str, columns=None):
-    return _rpc(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-def _cents(col) -> pa.ChunkedArray:
-    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+# ONE _cents implementation engine-wide: its rounding mode must stay
+# bit-identical to the SQL oracles' round() (review finding: a third copy
+# here could silently drift from analytics/relational on a future fix)
+from .analytics import _cents, _read
 
 
 CENTS_SQL = "CAST(round({c}*100) AS BIGINT)"
@@ -449,6 +445,13 @@ def q11_important_parts(sf_dir: str):
     )
     total = per_part.sum("cents")
     n_parts = per_part.count()
+    if not n_parts:  # empty lineitem: mirror the oracle's empty result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema([("l_partkey", pa.int64()),
+                       ("value", pa.float64())]).empty_table()
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
         keep = pc.greater(
@@ -518,6 +521,13 @@ def q15_top_supplier(sf_dir: str):
         .materialize()  # supplier-cardinality; reused by max AND filter
     )
     best = per_supp.max("cents")
+    if best is None:  # no lineitem in the window: oracle returns 0 rows
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                       ("total_rev", pa.float64())]).empty_table()
+        )
 
     winners = per_supp.map_batches(
         lambda t: t.filter(pc.equal(t.column("cents"), pa.scalar(int(best), pa.int64()))),
@@ -607,6 +617,9 @@ def q16_supplier_counts(sf_dir: str):
         joined.map_batches(dedup_pairs, batch_format="pyarrow")
         .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
         .aggregate(Count(alias_name="_n"))
+        # drop the count payload so only the 4 key columns ride the second
+        # keyed exchange (the count's only job was forcing the dedup)
+        .select_columns(["p_brand", "p_type", "p_size", "l_suppkey"])
     )
     counts = distinct.groupby(["p_brand", "p_type", "p_size"]).aggregate(
         Count(alias_name="supplier_cnt")

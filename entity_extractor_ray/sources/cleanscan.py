@@ -13,9 +13,10 @@ Round 4: stripping INSIDE the read matters too — when Ray splits a
 single-file read (``ReadParquet->SplitBlocks(n)``), the split path unifies
 the raw fragment schemas BEFORE any fused map runs, so the strip map alone
 still left one warning per read task. The fix is to hand ``read_parquet``
-an explicit metadata-free ``schema`` (projected to ``columns`` when given):
-every fragment then conforms to the clean schema at scan time. The fused
-strip map stays as the fallback for multi-file dirs whose footers disagree.
+an explicit metadata-free ``schema`` (projected to ``columns`` when given)
+for SINGLE-FILE paths — the case the warnings came from, and the only case
+where one footer is authoritative. Multi-file dirs keep the bare read (its
+fragment-schema unification is a feature) + the fused strip map.
 """
 
 from __future__ import annotations
@@ -27,18 +28,22 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
-def _first_parquet(paths) -> str | None:
+def _single_parquet(paths) -> str | None:
+    """The one case where deriving an explicit schema is SOUND: a single
+    .parquet file path. Multi-file dirs/lists keep the bare read (fragment
+    schemas may legitimately disagree and read_parquet unifies them; the
+    fused strip map still cleans the metadata — review finding: an
+    explicit first-footer schema would turn a benign disagreement into a
+    read-time failure)."""
+    if isinstance(paths, (list, tuple)):
+        if len(paths) != 1:
+            return None
+        paths = paths[0]
+    if not isinstance(paths, str):
+        return None
     import os
 
-    p = paths[0] if isinstance(paths, (list, tuple)) else paths
-    if not isinstance(p, str):
-        return None
-    if os.path.isdir(p):
-        for name in sorted(os.listdir(p)):
-            if name.endswith(".parquet"):
-                return os.path.join(p, name)
-        return None
-    return p if p.endswith(".parquet") else None
+    return paths if paths.endswith(".parquet") and os.path.isfile(paths) else None
 
 
 def read_parquet_clean(paths, **kwargs):
@@ -53,7 +58,7 @@ def read_parquet_clean(paths, **kwargs):
         try:
             import pyarrow.parquet as pq
 
-            f = _first_parquet(paths)
+            f = _single_parquet(paths)
             if f is not None:
                 full = pq.read_schema(f).remove_metadata()
                 cols = kwargs.get("columns")

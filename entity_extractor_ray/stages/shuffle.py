@@ -243,9 +243,16 @@ def bucket_hash_join(
     n_buckets: int = 32,
     suffix: str = "_r",
     left_distinct: bool = False,
+    unique_right: bool = False,
 ):
     """Task-based distributed hash join: tag + union both sides, ONE shuffle
     on the key's hash bucket, pandas merge within each bucket.
+
+    ``unique_right=True`` asserts right-key uniqueness: each bucket's merge
+    runs with ``validate="m:1"``, so a violated assertion raises
+    pandas.errors.MergeError inside the bucket task instead of silently
+    multiplying output rows — the distributed backstop for lookup_join's
+    asserted fast path when the right side exceeds the broadcast gates.
 
     Compared to Dataset.join (which spins up an aggregator actor pool per
     call), this reuses the plain sort-shuffle machinery — no actor startup,
@@ -346,7 +353,10 @@ def bucket_hash_join(
             mask = lhs[key].isin(rhs[key].unique()) & ~lnull
             merged = lhs[mask if how == "semi" else ~mask]
         else:
-            merged = lhs[~lnull].merge(rhs, on=key, how=how)
+            merged = lhs[~lnull].merge(
+                rhs, on=key, how=how,
+                validate="m:1" if unique_right else None,
+            )
             if how in ("left", "outer") and lnull.any():
                 # unmatched-by-definition left rows, null right columns
                 merged = pd.concat([merged, lhs[lnull]], ignore_index=True)
@@ -467,8 +477,9 @@ def lookup_join(
     (a groupby output, a primary-keyed dimension): the driver then reads
     only per-block metadata — zero key bytes cross to the driver on the
     broadcast path, removing its serial O(right) term. A false assertion
-    fails LOUDLY at probe time (pandas raises InvalidIndexError on a
-    duplicate-keyed get_indexer), never silently."""
+    fails LOUDLY — InvalidIndexError at probe time on the broadcast path,
+    MergeError (validate="m:1") inside the bucket fallback — never
+    silently."""
     right_key = right_key or key
 
     import pyarrow as pa2
@@ -503,7 +514,8 @@ def lookup_join(
         # too big to broadcast whole — but its ~10-bits/key Bloom filter is
         # not: prune the left map-side so only maybe-matching rows shuffle
         left = _bloom_prefilter(left, key, key_refs, how)
-        return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets, suffix)
+        return bucket_hash_join(left, right_mat, key, right_key, how, n_buckets,
+                                suffix, unique_right=unique_right)
     if n_rows > 0 and not unique_right:
         import pyarrow.compute as pc
 
