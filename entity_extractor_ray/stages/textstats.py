@@ -923,3 +923,94 @@ def token_pmi_sql(window: int = 3, min_count: int = 5) -> str:
     JOIN uni u2 ON u2.word = pr.w2
     WHERE pr.n >= {min_count}
     """
+
+
+# ------------------------------------------------------------------ tf-idf keywords
+
+def doc_tfidf_topk(docs_ds, k: int = 3, min_df: int = 2):
+    """Per-document keyword extraction: the top-k terms by tf·idf (ties
+    broken by term asc — deterministic across engines). idf is the smoothed
+    sklearn-style value from ``vocab_stats`` (already floor-truncated to
+    6 dp, so the product tf·idf is bit-identical in both engines).
+
+    Scale shape: tf is computed ENTIRELY map-side (a document is one row —
+    its term counts never cross a shuffle); the only exchange is the
+    vocabulary df groupby that vocab_stats already performs; idf broadcasts
+    (vocab-sized, ray.put once) and the top-k selection happens inside the
+    same map over documents. One shuffle total, O(k) output rows per doc."""
+    import ray
+
+    idf_tbl = vocab_stats(docs_ds, min_df=min_df).materialize()
+
+    def to_map(t: pa.Table) -> dict:
+        return dict(
+            zip(t.column("term").to_pylist(),
+                t.column("idf").to_numpy(zero_copy_only=False))
+        )
+
+    idf_map: dict = {}
+    for batch in idf_tbl.iter_batches(batch_format="pyarrow"):
+        idf_map.update(to_map(batch))
+    idf_ref = ray.put(idf_map)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        out_doc, out_term, out_tf, out_score, out_rank = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            counts: dict = {}
+            for term in _VOCAB_RE.findall((text or "").lower()):
+                counts[term] = counts.get(term, 0) + 1
+            scored = [
+                (-(tf * idf[term]), term, tf)
+                for term, tf in counts.items()
+                if term in idf
+            ]
+            scored.sort()
+            for rank, (neg, term, tf) in enumerate(scored[:k], start=1):
+                out_doc.append(doc_id)
+                out_term.append(term)
+                out_tf.append(tf)
+                out_score.append(-neg)
+                out_rank.append(rank)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "term": pd.Series(out_term, dtype="object"),
+                "tf": pd.Series(out_tf, dtype="int64"),
+                "score": pd.Series(out_score, dtype="float64"),
+                "rank": pd.Series(out_rank, dtype="int64"),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def doc_tfidf_topk_sql(k: int = 3, min_df: int = 2) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    idf AS (
+      SELECT term,
+             floor((ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0)
+                   * 1000000) / 1000000 AS idf
+      FROM d WHERE df >= {min_df}
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * idf.idf AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.idf DESC, tf.term) AS rank
+      FROM tf JOIN idf ON idf.term = tf.term
+    )
+    SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {k}
+    """
