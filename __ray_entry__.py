@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.pipelines import tpch_extra as tx
 
     q.update(tx.tpch_extra_queries())
+    from entity_extractor_ray.pipelines import mining as mi
+
+    q.update(mi.mining_queries())
 
     # --- text analysis (SURVEY §2.2 M-ops generalized to documents)
     q["skipgram_pairs"] = lambda sf: ts.skipgram_pairs(_docs(sf))
@@ -555,6 +558,9 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.pipelines import tpch_extra as tx
 
     sql.update(tx.tpch_extra_oracle_sql())
+    from entity_extractor_ray.pipelines import mining as mi
+
+    sql.update(mi.mining_oracle_sql())
     sql["skipgram_pairs"] = ts.skipgram_pairs_sql()
     sql["doc_tfidf_topk"] = ts.doc_tfidf_topk_sql()
     sql["token_pmi"] = ts.token_pmi_sql()

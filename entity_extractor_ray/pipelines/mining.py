@@ -1,0 +1,618 @@
+"""Pattern-mining and econometric operators beyond the reference surface.
+
+Four operator families a large-scale training-data / analytics pipeline
+needs that the reference (a per-record extraction service) never had:
+
+- ``regression_by_flag`` — grouped ordinary-least-squares (slope,
+  intercept, R²) from ONE pass of mergeable integer sufficient statistics
+  (the lineitem_corr_by_flag discipline extended to the regression
+  closed form). Exact-int partials, one double expression mirrored
+  verbatim in the SQL oracle.
+- ``basket_pair_lift`` — market-basket co-occurrence mining: unordered
+  part pairs co-purchased in the same order, with support counts and
+  lift, via an order-bucketed shuffle (pairs generated inside the bucket
+  with the skipgram shift trick — no self-join of the fact table).
+- ``events_band_join`` — keyed interval/band join: for every purchase
+  event, the count and cents-exact value sum of SAME-USER click events in
+  the half-open window [ts-30min, ts). As-of (events_asof_click) returns
+  the single nearest predecessor; this returns ALL matches in a band —
+  the range-join class. One user-bucketed shuffle, then per-user
+  vectorized binary search (no composite-key overflow risk).
+- ``bpe_merges`` — byte-pair-encoding merge-table training (Sennrich et
+  al. 2016): the corpus-scale pass is ONE word-count groupby; each merge
+  round is a vocab-sized pair-count reduce (driver sees exactly one row)
+  plus a vectorized map-side merge application. Non-SQL-expressible
+  (iterative argmax); pinned against a serial reference implementation in
+  tests/test_mining.py including overlap ('aaaa') greedy-leftmost cases.
+
+Reference parity note: these generalize SURVEY §2 families A6/A7
+(metric rollups), J8 (retrieval scoring), and M15/M16 (tokenizer-adjacent
+preprocessing) to the mining shapes the reference's downstream consumers
+run outside the engine; reference has no analog (service code only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analytics import _cents, _read
+
+# ------------------------------------------------------------- grouped OLS
+
+
+def regression_by_flag(sf_dir: str):
+    """Grouped simple linear regression price ~ quantity per returnflag.
+
+    Same exact-integer sufficient statistics as lineitem_corr_by_flag
+    (qty rounded to int, price to whole dollars via cents // 100 — tie-free
+    integer division on both engines); slope/intercept/r2 are each ONE
+    double expression written identically in REGRESSION_SQL, so parity is
+    bit-exact without trusting either engine's regr_* kernels."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        y = pc.divide(_cents(t.column("l_extendedprice")), pa.scalar(100, pa.int64()))
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        agg = tt.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        return agg.rename_columns(["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.float64)
+        sx = t.column("sx").to_numpy().astype(np.float64)
+        sy = t.column("sy").to_numpy().astype(np.float64)
+        sxx = t.column("sxx").to_numpy().astype(np.float64)
+        syy = t.column("syy").to_numpy().astype(np.float64)
+        sxy = t.column("sxy").to_numpy().astype(np.float64)
+        num = n * sxy - sx * sy
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        slope = num / dxx
+        intercept = (sy - slope * sx) / n
+        r2 = (num * num) / (dxx * dyy)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(intercept, pa.float64()),
+                "r2": pa.array(r2, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+REGRESSION_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) // 100) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum((CAST(round(l_extendedprice*100) AS BIGINT) // 100)
+                  * (CAST(round(l_extendedprice*100) AS BIGINT) // 100)) AS BIGINT) AS syy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * (CAST(round(l_extendedprice*100) AS BIGINT) // 100)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nf, CAST(sx AS DOUBLE) AS sxf, CAST(sy AS DOUBLE) AS syf,
+         CAST(sxx AS DOUBLE) AS sxxf, CAST(syy AS DOUBLE) AS syyf, CAST(sxy AS DOUBLE) AS sxyf
+  FROM s
+)
+SELECT l_returnflag, n,
+       (nf*sxyf - sxf*syf) / (nf*sxxf - sxf*sxf) AS slope,
+       (syf - ((nf*sxyf - sxf*syf) / (nf*sxxf - sxf*sxf)) * sxf) / nf AS intercept,
+       ((nf*sxyf - sxf*syf) * (nf*sxyf - sxf*syf))
+         / ((nf*sxxf - sxf*sxf) * (nf*syyf - syf*syf)) AS r2
+FROM d
+"""
+
+
+# --------------------------------------------------------- basket pair lift
+
+
+def basket_pair_lift(sf_dir: str, min_pairs: int = 3):
+    """Market-basket mining over orders: unordered part pairs (p1 < p2)
+    co-occurring in the same order, with pair support, per-item support,
+    and lift = n_orders * pair_n / (n_p1 * n_p2).
+
+    Scale shape: ONE order-bucketed shuffle of the 2-column (orderkey,
+    partkey) projection co-locates each basket; inside the bucket the
+    (order, part) set is deduped by sort + adjacent-compare and pairs come
+    from the skipgram shift trick (d = 1..max basket width — TPC-H baskets
+    are ≤7 items, so this is a handful of array ops, never a self-join of
+    the fact table). Pair counts, per-part order counts and the distinct
+    order count ride ONE tagged groupby ((kind, a, b) keys) — the exchange
+    carries pre-reduced partials only. Item supports broadcast back onto
+    the pair relation via lookup_join (part-dimension-sized). All counts
+    are exact int64; lift is one double expression floor-truncated to 6 dp
+    (the vocab_stats discipline) identically in BASKET_LIFT_SQL.
+    n_orders * pair_n stays far inside int64 (n_orders ≤ ~1e10 even at
+    100 TB; pair_n ≤ n_orders)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply_arrow, lookup_join
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    EMPTY = pa.schema(
+        [("kind", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+         ("partial", pa.int64())]
+    )
+
+    def bucket_fn(t: pa.Table, bucket_id: int) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # dedupe (order, part): an order can hold the same part on several
+        # lines; distinct-set semantics for support counts
+        keep = np.ones(len(ok), dtype=bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        if len(ok) == 0:
+            return EMPTY.empty_table()
+        # basket widths bound the shift distance
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        widths = np.diff(np.r_[starts, len(ok)])
+        p1_parts, p2_parts = [], []
+        for d in range(1, int(widths.max())):
+            same = ok[:-d] == ok[d:]
+            p1_parts.append(pk[:-d][same])
+            p2_parts.append(pk[d:][same])
+        rows = [
+            # kind=2: distinct orders seen by this bucket (orders never
+            # straddle buckets — the shuffle key IS the order key)
+            pa.table(
+                {
+                    "kind": pa.array([2], pa.int64()),
+                    "a": pa.array([-1], pa.int64()),
+                    "b": pa.array([-1], pa.int64()),
+                    "partial": pa.array([len(starts)], pa.int64()),
+                }
+            )
+        ]
+        # kind=1: per-part order support (deduped above, so count_all works)
+        item = pa.TableGroupBy(pa.table({"a": pa.array(pk, pa.int64())}), "a").aggregate(
+            [([], "count_all")]
+        )
+        rows.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.ones(item.num_rows, dtype=np.int64)),
+                    "a": item.column("a"),
+                    "b": pa.array(np.full(item.num_rows, -1), pa.int64()),
+                    "partial": pc.cast(item.column("count_all"), pa.int64()),
+                }
+            )
+        )
+        if p1_parts:
+            raw = pa.table(
+                {
+                    "a": pa.array(np.concatenate(p1_parts), pa.int64()),
+                    "b": pa.array(np.concatenate(p2_parts), pa.int64()),
+                }
+            )
+            pair = pa.TableGroupBy(raw, ["a", "b"]).aggregate([([], "count_all")])
+            rows.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(pair.num_rows, dtype=np.int64)),
+                        "a": pair.column("a"),
+                        "b": pair.column("b"),
+                        "partial": pc.cast(pair.column("count_all"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    counts = (
+        bucket_group_apply_arrow(ds, ["l_orderkey"], bucket_fn, n_buckets=64)
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .materialize()  # reused three ways below (pair/item/order splits)
+    )
+
+    n_orders = int(
+        counts.filter(expr="kind == 2").sum("n")  # single tagged scalar row
+    )
+
+    items = counts.filter(expr="kind == 1").map_batches(
+        lambda t: pa.table({"pk": t.column("a"), "item_n": t.column("n")}),
+        batch_format="pyarrow",
+    )
+
+    pairs = counts.filter(expr="kind == 0").map_batches(
+        lambda t: (
+            lambda kept: pa.table(
+                {"p1": kept.column("a"), "p2": kept.column("b"), "pair_n": kept.column("n")}
+            )
+        )(t.filter(pc.greater_equal(t.column("n"), min_pairs))),
+        batch_format="pyarrow",
+    )
+
+    j1 = lookup_join(pairs, items, key="p1", right_key="pk", unique_right=True)
+    j2 = lookup_join(
+        j1.map_batches(
+            lambda t: t.rename_columns(
+                ["p1", "p2", "pair_n", "n1"]
+            ),
+            batch_format="pyarrow",
+        ),
+        items,
+        key="p2",
+        right_key="pk",
+        unique_right=True,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        pair_n = t.column("pair_n").to_numpy()
+        n1 = t.column("n1").to_numpy()
+        n2 = t.column("item_n").to_numpy()
+        lift = (
+            np.floor(
+                1e6 * ((n_orders * pair_n).astype(np.float64) / (n1 * n2).astype(np.float64))
+            )
+            / 1e6
+        )
+        return pa.table(
+            {
+                "p1": t.column("p1"),
+                "p2": t.column("p2"),
+                "pair_n": pair_n,
+                "lift": pa.array(lift, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+def basket_lift_sql(min_pairs: int = 3) -> str:
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n FROM op GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS pair_n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_pairs}
+    )
+    SELECT p1, p2, pair_n,
+           floor(1e6 * (CAST(t.n_orders * pair_n AS DOUBLE)
+                        / CAST(ia.item_n * ib.item_n AS DOUBLE))) / 1e6 AS lift
+    FROM pc, t
+    JOIN ic ia ON ia.l_partkey = pc.p1
+    JOIN ic ib ON ib.l_partkey = pc.p2
+    """
+
+
+# ---------------------------------------------------------- keyed band join
+
+
+BAND_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def events_band_join(sf_dir: str):
+    """Keyed interval (band) join: for EVERY purchase event, the count and
+    cents-exact value sum of same-user click events in [ts-30min, ts).
+
+    The range-join class (join on equi-key AND a time band) — distinct
+    from events_asof_click, which keeps only the single nearest
+    predecessor. Scale shape: one user-bucketed shuffle of the filtered
+    4-column projection (both event families land in the same bucket by
+    key, the partitioning assumption this operator relies on); inside the
+    bucket, clicks and purchases are each sorted by (user, ts) once and a
+    per-user loop issues VECTORIZED np.searchsorted window probes plus a
+    prefix-sum for the value rollup — per-element work is O(log clicks),
+    the Python loop is over users in the bucket, not rows, and avoids the
+    composite user*span+ts key whose int64 product can overflow at
+    cluster scale. Purchases with zero in-window clicks are preserved
+    (LEFT semantics), matching BAND_JOIN_SQL's LEFT JOIN."""
+    from ..stages.shuffle import bucket_group_apply_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"), value_set=pa.array(["purchase", "click"]))
+        return t.filter(m)
+
+    EMPTY = pa.schema(
+        [("purchase_id", pa.int64()), ("n_clicks", pa.int64()),
+         ("click_cents", pa.int64())]
+    )
+
+    def bucket_fn(t: pa.Table, bucket_id: int) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+        is_p = et == "purchase"
+        if not is_p.any():
+            return EMPTY.empty_table()
+        is_c = et == "click"
+
+        po = np.lexsort((ts[is_p], uid[is_p]))
+        p_uid, p_ts, p_eid = uid[is_p][po], ts[is_p][po], eid[is_p][po]
+        co = np.lexsort((ts[is_c], uid[is_c]))
+        c_uid, c_ts = uid[is_c][co], ts[is_c][co]
+        c_psum = np.r_[0, np.cumsum(cents[is_c][co])]
+
+        n_clicks = np.zeros(len(p_eid), dtype=np.int64)
+        c_sum = np.zeros(len(p_eid), dtype=np.int64)
+        # user segment bounds on both sorted arrays
+        uniq = np.unique(p_uid)
+        p_lo = np.searchsorted(p_uid, uniq, "left")
+        p_hi = np.searchsorted(p_uid, uniq, "right")
+        c_lo = np.searchsorted(c_uid, uniq, "left")
+        c_hi = np.searchsorted(c_uid, uniq, "right")
+        for i in range(len(uniq)):
+            ps, pe, cs, ce = p_lo[i], p_hi[i], c_lo[i], c_hi[i]
+            seg = c_ts[cs:ce]
+            lo = cs + np.searchsorted(seg, p_ts[ps:pe] - BAND_US, "left")
+            hi = cs + np.searchsorted(seg, p_ts[ps:pe], "left")
+            n_clicks[ps:pe] = hi - lo
+            c_sum[ps:pe] = c_psum[hi] - c_psum[lo]
+        return pa.table(
+            {
+                "purchase_id": pa.array(p_eid, pa.int64()),
+                "n_clicks": pa.array(n_clicks, pa.int64()),
+                "click_cents": pa.array(c_sum, pa.int64()),
+            }
+        )
+
+    filtered = ds.map_batches(prefilter, batch_format="pyarrow")
+    return bucket_group_apply_arrow(filtered, ["user_id"], bucket_fn, n_buckets=32)
+
+
+BAND_JOIN_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(sum(CAST(round(c.value*100) AS BIGINT)), 0) AS BIGINT) AS click_cents
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+# --------------------------------------------------------------- BPE merges
+
+
+def _apply_merge_np(flat: np.ndarray, offsets: np.ndarray, left: str, right: str):
+    """Greedy leftmost-first application of ONE merge (left,right)->leftright
+    over a flattened symbol array with word offsets. Vectorized: match
+    positions that fall in consecutive runs (the 'aaaa' overlap case) keep
+    alternating members starting at each run head — exactly the serial
+    left-to-right scan's choice. Returns (new_flat, new_offsets)."""
+    n = len(flat)
+    if n < 2:
+        return flat, offsets
+    widths = np.diff(offsets)
+    word_idx = np.repeat(np.arange(len(widths), dtype=np.int64), widths)
+    match = (flat[:-1] == left) & (flat[1:] == right) & (word_idx[:-1] == word_idx[1:])
+    pos = np.flatnonzero(match)
+    if len(pos) == 0:
+        return flat, offsets
+    # consecutive positions form runs; keep run head, then every other one
+    run_id = pos - np.arange(len(pos))
+    _, run_start_idx = np.unique(run_id, return_index=True)
+    run_start = np.repeat(pos[run_start_idx], np.diff(np.r_[run_start_idx, len(pos)]))
+    kept = pos[(pos - run_start) % 2 == 0]
+
+    merged = left + right
+    out = flat.copy()
+    out[kept] = merged
+    drop = np.zeros(n, dtype=bool)
+    drop[kept + 1] = True
+    new_flat = out[~drop]
+    removed_per_word = np.bincount(word_idx[kept], minlength=len(widths))
+    new_offsets = np.r_[0, np.cumsum(widths - removed_per_word)]
+    return new_flat, new_offsets
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 20, min_pair: int = 2):
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016) over
+    the documents corpus — the tokenizer-training step of an LLM data
+    pipeline.
+
+    Scale shape: the only corpus-scale pass is the word-frequency groupby
+    (pre-reduced per batch). Every merge round then runs over the VOCAB
+    dataset (unique words — sublinear in corpus size): a per-batch
+    adjacent-pair count weighted by word frequency (offsets shift trick,
+    no row loops), a (l, r)-keyed Sum, and a sort+limit(1) whose single
+    row is all the driver sees; the merge itself is a vectorized map-side
+    rewrite (_apply_merge_np) with greedy-leftmost overlap semantics. The
+    vocab is re-materialized per round to keep the lazy plan flat (20
+    rounds × vocab-sized blocks). Returns the learned merge table
+    (rank, left, right, pair_n) — inherently driver-sized (n_merges
+    rows). Non-SQL-expressible (iterative argmax); pinned against a
+    serial reference in tests/test_mining.py."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import TOKEN_PATTERN  # noqa: F401  (tokenizer note)
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pa.table({"word": parts.combine_chunks().flatten()})
+        agg = pa.TableGroupBy(flat, "word").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "word": agg.column("word"),
+                "cnt": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    vocab_words = (
+        docs.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def to_symbols(t: pa.Table) -> pa.Table:
+        words = t.column("word").to_pylist()
+        # vocab-sized one-time char split (unique words, not the corpus)
+        syms = [list(w) for w in words]
+        return pa.table(
+            {
+                "syms": pa.array(syms, pa.list_(pa.string())),
+                "cnt": t.column("cnt"),
+            }
+        )
+
+    vocab = vocab_words.map_batches(to_symbols, batch_format="pyarrow").materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        lists = t.column("syms").combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        word_idx = np.repeat(np.arange(len(widths), dtype=np.int64), widths)
+        if len(flat) < 2:
+            return pa.table(
+                {"l": pa.array([], pa.string()), "r": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        same = word_idx[:-1] == word_idx[1:]
+        raw = pa.table(
+            {
+                "l": pa.array(flat[:-1][same], pa.string()),
+                "r": pa.array(flat[1:][same], pa.string()),
+                "w": pa.array(cnt[word_idx[:-1][same]], pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(raw, ["l", "r"]).aggregate([("w", "sum")])
+        return pa.table(
+            {"l": agg.column("l"), "r": agg.column("r"),
+             "partial": agg.column("w_sum")}
+        )
+
+    merges = []
+    for rank in range(n_merges):
+        top = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Sum("partial", alias_name="n"))
+            .sort(["n", "l", "r"], descending=[True, False, False])
+            .limit(1)
+            .take(1)
+        )
+        if not top or int(top[0]["n"]) < min_pair:
+            break
+        left, right, pair_n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((rank, left, right, pair_n))
+
+        def apply_merge(t: pa.Table, left=left, right=right) -> pa.Table:
+            lists = t.column("syms").combine_chunks()
+            offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            new_flat, new_offs = _apply_merge_np(flat, offs, left, right)
+            return pa.table(
+                {
+                    "syms": pa.ListArray.from_arrays(
+                        pa.array(new_offs, pa.int32()), pa.array(new_flat, pa.string())
+                    ),
+                    "cnt": t.column("cnt"),
+                }
+            )
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_n": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
+def bpe_merges_serial(word_counts: dict, n_merges: int = 20, min_pair: int = 2):
+    """Serial reference: classic dict-based BPE training with greedy
+    leftmost-first merge application. Used only by tests to pin
+    bpe_merges; deterministic tiebreak (max count, then lexicographic
+    (l, r))."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pair_counts: dict = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pair_counts[k] = pair_counts.get(k, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), n = best
+        if n < min_pair:
+            break
+        merges.append((rank, left, right, n))
+        merged = left + right
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def mining_queries():
+    return {
+        "regression_by_flag": regression_by_flag,
+        "basket_pair_lift": basket_pair_lift,
+        "events_band_join": events_band_join,
+        "bpe_merges": bpe_merges,
+    }
+
+
+def mining_oracle_sql():
+    return {
+        "regression_by_flag": REGRESSION_SQL,
+        "basket_pair_lift": basket_lift_sql(),
+        "events_band_join": BAND_JOIN_SQL,
+        # bpe_merges: rows-only (iterative argmax, non-SQL-expressible);
+        # pinned vs bpe_merges_serial in tests/test_mining.py
+    }

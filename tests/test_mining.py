@@ -1,0 +1,179 @@
+"""Pinning tests for pipelines/mining.py: BPE merge training vs a serial
+reference (incl. greedy-leftmost overlap semantics), the band join's
+boundary inclusivity on planted timestamps, and basket lift on a planted
+corpus with duplicate (order, part) lines."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from entity_extractor_ray.pipelines.mining import (
+    _apply_merge_np,
+    basket_pair_lift,
+    bpe_merges,
+    bpe_merges_serial,
+    events_band_join,
+)
+
+
+# ------------------------------------------------------ merge kernel units
+
+
+def _roundtrip(words, left, right):
+    flat = np.array([s for w in words for s in w], dtype=object)
+    offs = np.r_[0, np.cumsum([len(w) for w in words])]
+    nf, no = _apply_merge_np(flat, offs, left, right)
+    return [list(nf[no[i]:no[i + 1]]) for i in range(len(words))]
+
+
+def test_merge_overlap_even_run():
+    # 'aaaa' -> (aa)(aa): greedy leftmost takes positions 0 and 2
+    assert _roundtrip([list("aaaa")], "a", "a") == [["aa", "aa"]]
+
+
+def test_merge_overlap_odd_run():
+    # 'aaa' -> (aa)a
+    assert _roundtrip([list("aaa")], "a", "a") == [["aa", "a"]]
+
+
+def test_merge_never_crosses_word_boundary():
+    # last symbol of word 1 + first of word 2 must NOT merge
+    out = _roundtrip([list("xa"), list("ax")], "a", "a")
+    assert out == [["x", "a"], ["a", "x"]]
+
+
+def test_merge_distinct_pair():
+    assert _roundtrip([list("abab"), list("ba")], "a", "b") == [
+        ["ab", "ab"],
+        ["b", "a"],
+    ]
+
+
+def test_merge_matches_serial_on_adversarial_words():
+    words = ["aaaa", "aaab", "abab", "bbaa", "aabbaabb", "a", "", "ab"]
+    counts = {w: i + 1 for i, w in enumerate(words)}
+    serial = bpe_merges_serial(counts, n_merges=6, min_pair=1)
+    # replay the serial merge sequence through the numpy kernel
+    flat = np.array([s for w in words for s in w], dtype=object)
+    offs = np.r_[0, np.cumsum([len(w) for w in words])].astype(np.int64)
+    vocab = {w: list(w) for w in words}
+    for _, left, right, _n in serial:
+        flat, offs = _apply_merge_np(flat, offs, left, right)
+        merged = left + right
+        for w in vocab:
+            out, i = [], 0
+            s = vocab[w]
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+        got = [list(flat[offs[i]:offs[i + 1]]) for i in range(len(words))]
+        assert got == [vocab[w] for w in words]
+
+
+# ------------------------------------------------- distributed BPE vs serial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_merges_matches_serial_reference():
+    import duckdb
+
+    wc = duckdb.sql(
+        f"""SELECT word, CAST(count(*) AS BIGINT) AS c FROM
+        (SELECT unnest(string_split(text, ' ')) AS word
+         FROM '/root/testdata/sf0.001/documents.parquet') GROUP BY 1"""
+    ).fetchall()
+    serial = bpe_merges_serial({w: c for w, c in wc}, n_merges=12)
+    got = bpe_merges("/root/testdata/sf0.001", n_merges=12).to_pylist()
+    assert [(m["rank"], m["left"], m["right"], m["pair_n"]) for m in got] == serial
+
+
+# ----------------------------------------------------- band join boundaries
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_join_boundary_inclusivity(tmp_path):
+    us = 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    band = 30 * 60 * us
+    rows = [
+        # user 1: purchase at T; clicks exactly at T-30min (IN), T-30min-1us
+        # (OUT), T-1us (IN), T (OUT: half-open), T+1 (OUT)
+        (1, 1, "purchase", base + band, 0.0),
+        (2, 1, "click", base, 1.00),
+        (3, 1, "click", base - 1, 2.00),
+        (4, 1, "click", base + band - 1, 4.00),
+        (5, 1, "click", base + band, 8.00),
+        (6, 1, "click", base + band + 1, 16.00),
+        # user 2's click must not leak into user 1's window
+        (7, 2, "click", base + band - 5, 32.00),
+        # user 2: purchase with zero clicks in window -> LEFT row preserved
+        (8, 2, "purchase", base, 0.0),
+        # non-click types never count
+        (9, 1, "view", base + band - 2, 64.00),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        events_band_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"purchase_id": [1, 8], "n_clicks": [2, 0], "click_cents": [100 + 400, 0]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------------------- basket lift plant
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_basket_lift_planted(tmp_path):
+    # orders: 1:{10,20} ×2 lines of part 10 (dedup!), 2:{10,20,30}, 3:{10,30},
+    # 4:{20}; n_orders=4; pair (10,20) in orders 1,2; (10,30) in 2,3;
+    # (20,30) in 2 only (below min_pairs=2)
+    ok = [1, 1, 1, 2, 2, 2, 3, 3, 4]
+    pk = [10, 10, 20, 10, 20, 30, 10, 30, 20]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = (
+        basket_pair_lift(str(tmp_path), min_pairs=2)
+        .to_pandas()
+        .sort_values(["p1", "p2"])
+        .reset_index(drop=True)
+    )
+    # supports: 10 -> 3 orders, 20 -> 3, 30 -> 2
+    want = pd.DataFrame(
+        {
+            "p1": [10, 10],
+            "p2": [20, 30],
+            "pair_n": [2, 2],
+            "lift": [
+                np.floor(1e6 * (4 * 2) / (3 * 3)) / 1e6,
+                np.floor(1e6 * (4 * 2) / (3 * 2)) / 1e6,
+            ],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
