@@ -599,12 +599,305 @@ def bpe_merges_serial(word_counts: dict, n_merges: int = 20, min_pair: int = 2):
     return merges
 
 
+# ------------------------------------------------- bipartite Jaccard pairs
+
+
+def supplier_jaccard(sf_dir: str, min_common: int = 2):
+    """Supplier similarity by shared parts: the bipartite-projection
+    similarity join (who supplies like whom), jaccard = |A∩B| / |A∪B|
+    over each supplier's distinct part set.
+
+    Scale shape: the inverted-index pair generation — ONE part-bucketed
+    shuffle of the deduped (part, supplier) projection; pairs (s1 < s2)
+    are generated per part posting list with the shift trick, so the
+    candidate count is Σ C(fanout, 2) bounded by suppliers-per-part (a
+    capped posting list at web scale), never a supplier self-join.
+    Intersection counts and per-supplier set sizes ride one tagged
+    groupby; sizes broadcast back via lookup_join (supplier-dimension
+    sized). All counts exact int64; jaccard is one double division
+    floor-truncated to 6 dp identically in SUPPLIER_JACCARD_SQL."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply_arrow, lookup_join
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    EMPTY = pa.schema(
+        [("kind", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+         ("partial", pa.int64())]
+    )
+
+    def bucket_fn(t: pa.Table, bucket_id: int) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        keep = np.ones(len(pk), dtype=bool)
+        keep[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        pk, sk = pk[keep], sk[keep]
+        if len(pk) == 0:
+            return EMPTY.empty_table()
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        widths = np.diff(np.r_[starts, len(pk)])
+        s1_parts, s2_parts = [], []
+        for d in range(1, int(widths.max())):
+            same = pk[:-d] == pk[d:]
+            s1_parts.append(sk[:-d][same])
+            s2_parts.append(sk[d:][same])
+        rows = []
+        sizes = pa.TableGroupBy(pa.table({"a": pa.array(sk, pa.int64())}), "a").aggregate(
+            [([], "count_all")]
+        )
+        rows.append(
+            pa.table(
+                {
+                    "kind": pa.array(np.ones(sizes.num_rows, dtype=np.int64)),
+                    "a": sizes.column("a"),
+                    "b": pa.array(np.full(sizes.num_rows, -1), pa.int64()),
+                    "partial": pc.cast(sizes.column("count_all"), pa.int64()),
+                }
+            )
+        )
+        if s1_parts:
+            raw = pa.table(
+                {
+                    "a": pa.array(np.concatenate(s1_parts), pa.int64()),
+                    "b": pa.array(np.concatenate(s2_parts), pa.int64()),
+                }
+            )
+            inter = pa.TableGroupBy(raw, ["a", "b"]).aggregate([([], "count_all")])
+            rows.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(inter.num_rows, dtype=np.int64)),
+                        "a": inter.column("a"),
+                        "b": inter.column("b"),
+                        "partial": pc.cast(inter.column("count_all"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    counts = (
+        bucket_group_apply_arrow(ds, ["l_partkey"], bucket_fn, n_buckets=64)
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .materialize()  # reused: sizes + intersections
+    )
+
+    sizes = counts.filter(expr="kind == 1").map_batches(
+        lambda t: pa.table({"sk": t.column("a"), "set_n": t.column("n")}),
+        batch_format="pyarrow",
+    )
+    inter = counts.filter(expr="kind == 0").map_batches(
+        lambda t: (
+            lambda kept: pa.table(
+                {"s1": kept.column("a"), "s2": kept.column("b"),
+                 "inter_n": kept.column("n")}
+            )
+        )(t.filter(pc.greater_equal(t.column("n"), min_common))),
+        batch_format="pyarrow",
+    )
+
+    j1 = lookup_join(inter, sizes, key="s1", right_key="sk", unique_right=True)
+    j2 = lookup_join(
+        j1.map_batches(
+            lambda t: t.rename_columns(["s1", "s2", "inter_n", "n1"]),
+            batch_format="pyarrow",
+        ),
+        sizes,
+        key="s2",
+        right_key="sk",
+        unique_right=True,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        inter_n = t.column("inter_n").to_numpy()
+        n1 = t.column("n1").to_numpy()
+        n2 = t.column("set_n").to_numpy()
+        jac = (
+            np.floor(1e6 * (inter_n.astype(np.float64) / (n1 + n2 - inter_n).astype(np.float64)))
+            / 1e6
+        )
+        return pa.table(
+            {
+                "s1": t.column("s1"),
+                "s2": t.column("s2"),
+                "inter_n": inter_n,
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+def supplier_jaccard_sql(min_common: int = 2) -> str:
+    return f"""
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    sz AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY 1),
+    ix AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, CAST(count(*) AS BIGINT) AS inter_n
+      FROM sp a JOIN sp b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_common}
+    )
+    SELECT s1, s2, inter_n,
+           floor(1e6 * (CAST(inter_n AS DOUBLE)
+                        / CAST(za.n + zb.n - inter_n AS DOUBLE))) / 1e6 AS jaccard
+    FROM ix
+    JOIN sz za ON za.l_suppkey = ix.s1
+    JOIN sz zb ON zb.l_suppkey = ix.s2
+    """
+
+
+# --------------------------------------------- distinctive terms per group
+
+
+def distinctive_terms_llr(sf_dir: str, min_count: int = 10, top_k: int = 15):
+    """Dunning (1993) log-likelihood-ratio keyword extraction: for each
+    language, the top-k terms most over/under-represented vs the rest of
+    the corpus — the corpus-linguistics 'distinctive vocabulary' operator.
+
+    All contingency cells (a = term-in-lang, b = term-elsewhere, c =
+    other-terms-in-lang, d = rest) are exact int64 from ONE (lang, word)
+    groupby; per-lang and per-word totals are vocab-sized reduces joined
+    back via broadcast lookup_join. The statistic uses the
+    well-conditioned per-cell form 2·Σ O·ln(O·N / (rowtot·coltot)) —
+    each ln argument is a ratio near 1, so cross-engine libm ulp noise
+    stays ~1e-10 — and is floor-truncated at 3 dp (not 6: the 9-term
+    expression carries more float noise than a single-ln PMI) identically
+    in DISTINCTIVE_LLR_SQL. Ranking ties break on (llr desc, word asc);
+    the final per-lang top-k runs in map_groups over ~5 lang groups of
+    vocab-sized rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def lw_partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("text"), pattern=" ").combine_chunks()
+        offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = parts.flatten()
+        widths = np.diff(offs)
+        langs = pc.take(
+            t.column("lang"),
+            pa.array(np.repeat(np.arange(len(widths), dtype=np.int64), widths)),
+        )
+        raw = pa.table({"lang": langs, "word": words})
+        agg = pa.TableGroupBy(raw, ["lang", "word"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "word": agg.column("word"),
+                "partial": pc.cast(agg.column("count_all"), pa.int64()),
+            }
+        )
+
+    lw = (
+        docs.map_batches(lw_partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("partial", alias_name="a"))
+        .materialize()  # reused: totals + the scored relation
+    )
+
+    lang_tot = lw.groupby("lang").aggregate(Sum("a", alias_name="t"))
+    word_tot = lw.groupby("word").aggregate(Sum("a", alias_name="g"))
+    n_total = int(lw.sum("a") or 0)
+
+    j1 = lookup_join(
+        lw.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("a"), min_count)),
+            batch_format="pyarrow",
+        ),
+        lang_tot, key="lang", unique_right=True,
+    )
+    j2 = lookup_join(j1, word_tot, key="word", unique_right=True)
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.float64)
+        tt = t.column("t").to_numpy().astype(np.float64)
+        g = t.column("g").to_numpy().astype(np.float64)
+        n = float(n_total)
+        b = g - a
+        c = tt - a
+        d = n - g - tt + a
+
+        def term(o, row, col):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = o * np.log(o * n / (row * col))
+            return np.where(o == 0.0, 0.0, v)
+
+        llr = 2.0 * (
+            term(a, tt, g) + term(b, n - tt, g) + term(c, tt, n - g) + term(d, n - tt, n - g)
+        )
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "word": t.column("word"),
+                "a": t.column("a"),
+                "llr": pa.array(np.floor(1e3 * llr) / 1e3, pa.float64()),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("llr", "descending"), ("word", "ascending")]
+        )
+        return g.take(order[:top_k])
+
+    return scored.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def distinctive_llr_sql(min_count: int = 10, top_k: int = 15) -> str:
+    def term(o, row, col):
+        return (
+            f"CASE WHEN {o} = 0 THEN 0.0 ELSE CAST({o} AS DOUBLE) * "
+            f"ln(CAST({o} AS DOUBLE) * nf / (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE))) END"
+        )
+
+    return f"""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS a FROM w GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(sum(a) AS BIGINT) AS t FROM lw GROUP BY 1),
+    wt AS (SELECT word, CAST(sum(a) AS BIGINT) AS g FROM lw GROUP BY 1),
+    nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM lw),
+    x AS (
+      SELECT lw.lang, lw.word, lw.a, lt.t, wt.g, nn.n,
+             CAST(nn.n AS DOUBLE) AS nf,
+             wt.g - lw.a AS b, lt.t - lw.a AS c, nn.n - wt.g - lt.t + lw.a AS d
+      FROM lw JOIN lt USING (lang) JOIN wt USING (word), nn
+      WHERE lw.a >= {min_count}
+    ),
+    scored AS (
+      SELECT lang, word, a,
+             floor(1e3 * (2.0 * ({term('a', 't', 'g')}
+                                 + {term('b', 'n - t', 'g')}
+                                 + {term('c', 't', 'n - g')}
+                                 + {term('d', 'n - t', 'n - g')}))) / 1e3 AS llr
+      FROM x
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY llr DESC, word ASC) AS rn
+      FROM scored
+    )
+    SELECT lang, word, a, llr FROM ranked WHERE rn <= {top_k}
+    """
+
+
 def mining_queries():
     return {
         "regression_by_flag": regression_by_flag,
         "basket_pair_lift": basket_pair_lift,
         "events_band_join": events_band_join,
         "bpe_merges": bpe_merges,
+        "supplier_jaccard": supplier_jaccard,
+        "distinctive_terms_llr": distinctive_terms_llr,
     }
 
 
@@ -613,6 +906,8 @@ def mining_oracle_sql():
         "regression_by_flag": REGRESSION_SQL,
         "basket_pair_lift": basket_lift_sql(),
         "events_band_join": BAND_JOIN_SQL,
+        "supplier_jaccard": supplier_jaccard_sql(),
+        "distinctive_terms_llr": distinctive_llr_sql(),
         # bpe_merges: rows-only (iterative argmax, non-SQL-expressible);
         # pinned vs bpe_merges_serial in tests/test_mining.py
     }

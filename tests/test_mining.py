@@ -15,6 +15,7 @@ from entity_extractor_ray.pipelines.mining import (
     bpe_merges,
     bpe_merges_serial,
     events_band_join,
+    supplier_jaccard,
 )
 
 
@@ -173,6 +174,40 @@ def test_basket_lift_planted(tmp_path):
             "lift": [
                 np.floor(1e6 * (4 * 2) / (3 * 3)) / 1e6,
                 np.floor(1e6 * (4 * 2) / (3 * 2)) / 1e6,
+            ],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supplier_jaccard_planted(tmp_path):
+    # part 1 -> suppliers {1,2} (supplier 1 listed twice: dedupe),
+    # part 2 -> {1,2,3}, part 3 -> {1}; sets: s1={1,2,3}, s2={1,2}, s3={2}
+    pk = [1, 1, 1, 2, 2, 2, 3]
+    sk = [1, 1, 2, 1, 2, 3, 1]
+    t = pa.table(
+        {
+            "l_partkey": pa.array(pk, pa.int64()),
+            "l_suppkey": pa.array(sk, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = (
+        supplier_jaccard(str(tmp_path), min_common=1)
+        .to_pandas()
+        .sort_values(["s1", "s2"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "s1": [1, 1, 2],
+            "s2": [2, 3, 3],
+            "inter_n": [2, 1, 1],
+            "jaccard": [
+                np.floor(1e6 * 2 / (3 + 2 - 2)) / 1e6,
+                np.floor(1e6 * 1 / (3 + 1 - 1)) / 1e6,
+                np.floor(1e6 * 1 / (2 + 1 - 1)) / 1e6,
             ],
         }
     )
