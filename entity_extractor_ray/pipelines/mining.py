@@ -751,6 +751,95 @@ def supplier_jaccard_sql(min_common: int = 2) -> str:
     """
 
 
+# -------------------------------------------------- reciprocal-rank fusion
+
+
+RRF_K = 60
+RRF_QUERY = "window merge join"
+RRF_VEC_QUERY = 0
+
+
+def rrf_retrieval(sf_dir: str, k_each: int = 50, top_n: int = 20):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the dense ranking (exact cosine kNN for query vector RRF_VEC_QUERY
+    over the embeddings table) with the sparse ranking (BM25 for RRF_QUERY
+    over documents) by rrf = Σ 1/(60 + rank), the standard RAG two-tower
+    merge. Ids are fused on the shared vec_id/doc_id key space of the
+    synthetic tables.
+
+    Scale shape: both legs end in a global top-``k_each`` (kNN's per-batch
+    heap merge; BM25's sort+limit), so the fusion itself is a k-sized
+    driver merge — never a corpus join. Ranks derive from each leg's
+    ALREADY hash-verified truncated scores with id tiebreaks, the fused
+    score is two exact double terms added in a fixed order and
+    floor-truncated to 6 dp, and the final top-``top_n`` orders by
+    (truncated rrf desc, id asc) — all mirrored in RRF_SQL."""
+    from ..sources.cleanscan import read_parquet_clean
+    from ..stages import similarity as sim
+    from ..stages import textstats as ts
+
+    embs = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    knn = sim.knn_cosine(embs, query_ids=[RRF_VEC_QUERY], k=k_each)
+    if not hasattr(knn, "sort_values"):  # Dataset/Table -> DataFrame
+        knn = knn.to_pandas()
+    knn_df = knn.sort_values(
+        ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    bm = ts.bm25_scores(docs, RRF_QUERY)
+    bm_df = (
+        bm.sort(["score", "doc_id"], descending=[True, False])
+        .limit(k_each)
+        .to_pandas()
+    )
+
+    scores: dict[int, float] = {}
+    for rank, vid in enumerate(knn_df["vec_id"], start=1):
+        scores[int(vid)] = scores.get(int(vid), 0.0) + 1.0 / (RRF_K + rank)
+    for rank, did in enumerate(bm_df["doc_id"], start=1):
+        scores[int(did)] = scores.get(int(did), 0.0) + 1.0 / (RRF_K + rank)
+
+    ids = sorted(scores)
+    rrf = np.floor(1e6 * np.array([scores[i] for i in ids], dtype=np.float64)) / 1e6
+    order = np.lexsort((ids, -rrf))[:top_n]
+    return pa.table(
+        {
+            "id": pa.array(np.array(ids, dtype=np.int64)[order], pa.int64()),
+            "rrf_score": pa.array(rrf[order], pa.float64()),
+        }
+    )
+
+
+def rrf_sql(k_each: int = 50, top_n: int = 20) -> str:
+    from ..stages.similarity import knn_cosine_sql
+    from ..stages.textstats import bm25_scores_sql
+
+    return f"""
+    WITH knn AS ({knn_cosine_sql(query_ids=[RRF_VEC_QUERY], k=k_each)}),
+    knn_r AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r
+      FROM knn
+    ),
+    bm AS ({bm25_scores_sql(RRF_QUERY)}),
+    bm_r AS (
+      SELECT id, r FROM (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM bm
+      ) WHERE r <= {k_each}
+    ),
+    f AS (
+      SELECT COALESCE(k.id, b.id) AS id,
+             floor(1e6 * (COALESCE(1.0 / ({RRF_K} + k.r), 0.0)
+                          + COALESCE(1.0 / ({RRF_K} + b.r), 0.0))) / 1e6 AS rrf_score
+      FROM knn_r k FULL OUTER JOIN bm_r b ON k.id = b.id
+    )
+    SELECT id, rrf_score FROM f ORDER BY rrf_score DESC, id ASC LIMIT {top_n}
+    """
+
+
 # --------------------------------------------- distinctive terms per group
 
 
@@ -890,6 +979,42 @@ def distinctive_llr_sql(min_count: int = 10, top_k: int = 15) -> str:
     """
 
 
+# ------------------------------------------------ CMS probe query wrapper
+
+CMS_PROBES = (
+    "the", "and", "data", "window", "merge", "join", "of", "to", "a", "zzzznever"
+)
+
+
+def _cms_query(sf_dir: str):
+    """Count-Min estimates for a fixed probe list. The oracle is EXACT
+    counts: at the test tiers the corpus vocabulary is far below the
+    8192-column width, and the md5 hash is fixed, so collision-freedom for
+    these probes is a deterministic property of the corpus (verified by the
+    parity gate itself) — the same 'exact below k, estimate beyond'
+    discipline the KMV sketch documents. At 100-TB vocabularies the SAME
+    operator degrades gracefully to a bounded overestimate."""
+    from ..sources.cleanscan import read_parquet_clean
+    from ..stages.sketches import cms_token_estimates
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cms_token_estimates(docs, CMS_PROBES)
+
+
+def cms_probe_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS t
+      FROM documents
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+    SELECT p.token, CAST(COALESCE(c.n, 0) AS BIGINT) AS est_count
+    FROM (VALUES {vals}) p(token)
+    LEFT JOIN c ON c.t = p.token
+    """
+
+
 def mining_queries():
     return {
         "regression_by_flag": regression_by_flag,
@@ -898,6 +1023,8 @@ def mining_queries():
         "bpe_merges": bpe_merges,
         "supplier_jaccard": supplier_jaccard,
         "distinctive_terms_llr": distinctive_terms_llr,
+        "rrf_retrieval": rrf_retrieval,
+        "cms_token_counts": _cms_query,
     }
 
 
@@ -908,6 +1035,8 @@ def mining_oracle_sql():
         "events_band_join": BAND_JOIN_SQL,
         "supplier_jaccard": supplier_jaccard_sql(),
         "distinctive_terms_llr": distinctive_llr_sql(),
+        "rrf_retrieval": rrf_sql(),
+        "cms_token_counts": cms_probe_sql(),
         # bpe_merges: rows-only (iterative argmax, non-SQL-expressible);
         # pinned vs bpe_merges_serial in tests/test_mining.py
     }

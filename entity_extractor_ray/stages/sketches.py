@@ -355,3 +355,101 @@ def frequent_tokens_sql(top_n: int = 20) -> str:
     FROM toks GROUP BY token
     ORDER BY n DESC, token ASC LIMIT {top_n}
     """
+
+
+# -------------------------------------------------------- Count-Min sketch
+
+
+CMS_WIDTH = 8192
+CMS_DEPTH = 4
+
+
+def _cms_cols(tokens, depth: int, width: int) -> np.ndarray:
+    """(depth, n_tokens) column indices: row d uses the md5-stable hash of
+    'd:token'. Called on per-batch DISTINCT tokens only (vocab-sized, the
+    BPE to_symbols discipline), never per occurrence."""
+    return np.stack(
+        [hash63([f"{d}:{t}" for t in tokens]) % np.uint64(width) for d in range(depth)]
+    ).astype(np.int64)
+
+
+def cms_token_estimates(
+    docs_ds,
+    probe_tokens,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for ``probe_tokens`` over the corpus token stream — the bounded-memory
+    point-query companion to the KMV (distinct) and Misra-Gries (top-k)
+    sketches.
+
+    Properties the tests pin: estimates NEVER undercount (min over depth
+    rows of non-negative sums), est <= exact + eps*N with prob 1-delta for
+    eps = e/width, delta = e^-depth, and the sketch is MERGEABLE — triples
+    summed across any batch split equal the single-pass sketch, which is
+    what makes it an engine aggregate.
+
+    Scale shape: each batch counts its tokens exactly (vectorized split +
+    TableGroupBy), hashes only the batch-distinct tokens, and emits
+    pre-summed sparse (row, col, cnt) triples; ONE (row, col)-keyed Sum
+    bounds the exchange at depth*width rows per batch; the driver pulls at
+    most the depth*width dense sketch (256 KB at defaults) plus the probe
+    lookups. rows-only as a query (an estimator by construction); pinned
+    by unit tests in tests/test_cms.py."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    probe_tokens = list(probe_tokens)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # [a-z0-9]+ extraction (the _VOCAB_RE pretokenizer all corpus stats
+        # share) expressed as its complement split so it stays in Arrow
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(pc.coalesce(batch.column("text"), pa.scalar(""))),
+                pattern="[^a-z0-9]+",
+            )
+        )
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        if len(flat) == 0:
+            return pa.table(
+                {"row": pa.array([], pa.int64()), "col": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        agg = pa.TableGroupBy(pa.table({"t": flat}), "t").aggregate([([], "count_all")])
+        toks = agg.column("t").to_pylist()
+        cnts = agg.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = _cms_cols(toks, depth, width)  # (depth, vocab)
+        rows = np.repeat(np.arange(depth, dtype=np.int64), len(toks))
+        tri = pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols.ravel(), pa.int64()),
+                "cnt": pa.array(np.tile(cnts, depth), pa.int64()),
+            }
+        )
+        out = pa.TableGroupBy(tri, ["row", "col"]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {"row": out.column("row"), "col": out.column("col"),
+             "cnt": out.column("cnt_sum")}
+        )
+
+    triples = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: <= depth*width rows by construction
+    )
+    dense = np.zeros((depth, width), dtype=np.int64)
+    for r in triples:
+        dense[r["row"], r["col"]] = r["cnt"]
+
+    pcols = _cms_cols(probe_tokens, depth, width)
+    est = dense[np.arange(depth)[:, None], pcols].min(axis=0)
+    return pa.table(
+        {
+            "token": pa.array(probe_tokens, pa.string()),
+            "est_count": pa.array(est, pa.int64()),
+        }
+    )
