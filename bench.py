@@ -225,6 +225,12 @@ def run_once() -> dict:
         "events_funnel": lambda: ana.events_funnel(SF_DIR),
         "embedding_centroids": lambda: ana.embedding_centroids(SF_DIR),
         "customers_fuzzy_pairs": lambda: ana.customers_fuzzy_pairs(SF_DIR),
+        "basket_pair_lift": lambda: __import__(
+            "entity_extractor_ray.pipelines.mining", fromlist=["basket_pair_lift"]
+        ).basket_pair_lift(SF_DIR),
+        "supplier_jaccard": lambda: __import__(
+            "entity_extractor_ray.pipelines.mining", fromlist=["supplier_jaccard"]
+        ).supplier_jaccard(SF_DIR),
     }
     queries = {}
     for name, fn in query_fns.items():

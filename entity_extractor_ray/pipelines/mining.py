@@ -979,6 +979,67 @@ def distinctive_llr_sql(min_count: int = 10, top_k: int = 15) -> str:
     """
 
 
+# ----------------------------------------------------------- per-user EWMA
+
+
+EWMA_ALPHA = 0.25
+
+
+def events_user_ewma(sf_dir: str, alpha: float = EWMA_ALPHA):
+    """Final exponentially-weighted moving average of event value per user
+    (events in ts order, recursive form s_i = α·x_i + (1-α)·s_{i-1},
+    s_0 = x_0 — pandas ewm(adjust=False) semantics), the online
+    feature-engineering staple (recency-weighted user state).
+
+    Scale shape: one user-bucketed shuffle; inside the bucket the whole
+    batch is ONE weighted reduction — sort by (user, ts), build
+    segment-relative positions, and compute s = Σ x_i·w_i per user via
+    np.add.reduceat, where w_i = α(1-α)^(n-1-i) except w_0 = (1-α)^(n-1)
+    — no per-row recurrence, no per-user Python loop. Weights use exact
+    float exponent arithmetic; rows-only (a float recurrence has no
+    deterministic SQL twin — DuckDB's sum order is unspecified), pinned
+    against pandas ewm on planted and real slices in tests/test_mining.py.
+    Events deeper than ~1500 positions from the end contribute below
+    double precision; the power underflows to 0 harmlessly."""
+    from ..stages.shuffle import bucket_group_apply_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    EMPTY = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()), ("ewma", pa.float64())]
+    )
+
+    def bucket_fn(t: pa.Table, bucket_id: int) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return EMPTY.empty_table()
+        # event_id tiebreak: the bucket shuffle does not preserve row order,
+        # so equal-ts rows need a total order for a deterministic result
+        order = np.lexsort((eid, ts, uid))
+        uid, val = uid[order], val[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        widths = np.diff(np.r_[starts, len(uid)])
+        # position from segment END: n-1-i
+        idx = np.arange(len(uid), dtype=np.int64)
+        from_end = np.repeat(starts + widths, widths) - 1 - idx
+        w = alpha * np.power(1.0 - alpha, from_end.astype(np.float64))
+        # first element of each segment: weight (1-a)^(n-1), not a*(1-a)^(n-1)
+        w[starts] = np.power(1.0 - alpha, (widths - 1).astype(np.float64))
+        s = np.add.reduceat(val * w, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(widths, pa.int64()),
+                "ewma": pa.array(s, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply_arrow(ds, ["user_id"], bucket_fn, n_buckets=32)
+
+
 # ------------------------------------------------ CMS probe query wrapper
 
 CMS_PROBES = (
@@ -1025,6 +1086,7 @@ def mining_queries():
         "distinctive_terms_llr": distinctive_terms_llr,
         "rrf_retrieval": rrf_retrieval,
         "cms_token_counts": _cms_query,
+        "events_user_ewma": events_user_ewma,
     }
 
 

@@ -212,3 +212,29 @@ def test_supplier_jaccard_planted(tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------------------ EWMA pinning
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_user_ewma_matches_pandas():
+    from entity_extractor_ray.pipelines.mining import EWMA_ALPHA, events_user_ewma
+
+    got = (
+        events_user_ewma("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    want = (
+        ev.sort_values(["user_id", "ts"], kind="mergesort")
+        .groupby("user_id")["value"]
+        .apply(lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1])
+        .rename("ewma")
+        .reset_index()
+    )
+    counts = ev.groupby("user_id").size().rename("n_events").reset_index()
+    want = want.merge(counts, on="user_id")[["user_id", "n_events", "ewma"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=1e-9)
