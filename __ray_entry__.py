@@ -284,6 +284,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["media_features"] = _media_features
 
+    def _media_resize(sf):
+        import ray.data as rd
+
+        media = rd.from_arrow(mm.synth_media_table(n_items=128))
+        return mm.resize_media(media, target_w=8, target_h=8,
+                               concurrency=2, batch_size=16).select_columns(
+            ["item_id", "mime", "src_bytes", "out_w", "out_h"]
+        )
+
+    q["media_resize"] = _media_resize
+
     # real binary ingestion: read_binary_files over an on-disk corpus ->
     # actor-pool decode; oracle-backed via DuckDB read_blob
     def _media_file_features(sf):

@@ -271,3 +271,109 @@ def frame_sample(media_ds, every_n: int = 4):
         return batch.filter(pa.array(ids % every_n == 0))
 
     return media_ds.map_batches(sample, batch_format="pyarrow")
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("mime", pa.string()),
+        ("src_bytes", pa.int64()),
+        ("out_w", pa.int64()),
+        ("out_h", pa.int64()),
+        ("thumb", pa.binary()),
+    ]
+)
+
+
+class ImageResizeStub:
+    """Actor-pool resize/thumbnail stage (the third multimodal kernel next
+    to decode and frame-sample; reference renders fixed-dpi page pixmaps at
+    file_analysis_service.py:566-583 — resize-to-target is the same
+    shape). __init__ fixes the target box once per actor; __call__ emits a
+    bounded-size thumbnail payload per item, so downstream batches have a
+    PREDICTABLE byte budget regardless of source payload size — the
+    property that lets the scheduler size batch_size * concurrency.
+
+    Real path: PIL thumbnail((w, h)) preserving aspect, re-encoded PNG.
+    Stub path (this container): deterministic byte-stride downsample of
+    the payload to exactly out_w*out_h bytes with the same schema, so all
+    Ray-side plumbing (actor warmup, batch sizing, schema, byte-budget
+    contract) is real and tested. strict=True raises where the real codec
+    would plug in."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, strict: bool = False):
+        self.w, self.h, self.strict = int(target_w), int(target_h), strict
+        try:
+            import PIL.Image  # noqa: F401
+
+            self.pil = True
+        except ImportError:
+            self.pil = False
+
+    def _resize(self, payload: bytes, mime: str):
+        if self.pil and mime.startswith("image/"):
+            import io
+
+            import PIL.Image
+
+            try:
+                img = PIL.Image.open(io.BytesIO(payload))
+                img.thumbnail((self.w, self.h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return img.width, img.height, buf.getvalue()
+            except Exception:
+                if self.strict:
+                    raise
+        if self.strict and not self.pil:
+            raise NotImplementedError(
+                "image resize requires PIL; not available in this container"
+            )
+        # deterministic stub: stride-sample the byte stream into a w*h
+        # pseudo-thumbnail (empty payloads produce an empty thumb)
+        n = self.w * self.h
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return self.w, self.h, b""
+        idx = (np.arange(n, dtype=np.int64) * arr.size) // n
+        return self.w, self.h, arr[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        ws, hs, thumbs, sizes = [], [], [], []
+        for payload, mime in zip(payloads, mimes):
+            w, h, tb = self._resize(payload, mime)
+            ws.append(w)
+            hs.append(h)
+            thumbs.append(tb)
+            sizes.append(len(payload))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "src_bytes": pa.array(sizes, pa.int64()),
+                "out_w": pa.array(ws, pa.int64()),
+                "out_h": pa.array(hs, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            },
+            schema=RESIZED_SCHEMA,
+        )
+
+
+def resize_media(media_ds, target_w: int = 32, target_h: int = 32,
+                 concurrency: int = 2, batch_size: int = 16,
+                 strict: bool = False):
+    """Same small-batch discipline as decode_media: batch_size * payload *
+    concurrency must fit worker heaps; output rows are bounded at
+    target_w*target_h bytes each by construction."""
+    return media_ds.map_batches(
+        ImageResizeStub,
+        fn_constructor_kwargs={
+            "target_w": target_w, "target_h": target_h, "strict": strict
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

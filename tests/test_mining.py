@@ -238,3 +238,53 @@ def test_events_user_ewma_matches_pandas():
     counts = ev.groupby("user_id").size().rename("n_events").reset_index()
     want = want.merge(counts, on="user_id")[["user_id", "n_events", "ewma"]]
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9, rtol=1e-9)
+
+
+# ------------------------------------------------------- multimodal resize
+
+
+class TestResizeStage:
+    def test_stub_deterministic_and_bounded(self):
+        from entity_extractor_ray.stages.multimodal import (
+            ImageResizeStub,
+            RESIZED_SCHEMA,
+            synth_media_table,
+        )
+
+        t = synth_media_table(n_items=8)
+        stub = ImageResizeStub(target_w=8, target_h=4, strict=False)
+        out1, out2 = stub(t), stub(t)
+        assert out1.schema == RESIZED_SCHEMA
+        assert out1.equals(out2)  # deterministic
+        for row in out1.to_pylist():
+            assert row["out_w"] == 8 and row["out_h"] == 4
+            assert len(row["thumb"]) <= 8 * 4  # bounded byte budget
+            assert row["src_bytes"] > 0
+
+    def test_strict_raises_without_codec(self):
+        from entity_extractor_ray.stages.multimodal import (
+            ImageResizeStub,
+            synth_media_table,
+        )
+
+        stub = ImageResizeStub(strict=True)
+        if stub.pil:
+            pytest.skip("PIL present: strict path exercises the real codec")
+        with pytest.raises(NotImplementedError):
+            stub(synth_media_table(n_items=1))
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_actor_pool_plumbing(self, tmp_path):
+        from entity_extractor_ray.stages.multimodal import (
+            read_media_files,
+            resize_media,
+            write_media_corpus,
+        )
+
+        d = write_media_corpus(str(tmp_path / "media"), n_items=12)
+        out = resize_media(read_media_files(d), target_w=4, target_h=4,
+                           concurrency=1, batch_size=4).to_pandas()
+        assert len(out) == 12
+        assert set(out.columns) == {"item_id", "mime", "src_bytes", "out_w",
+                                    "out_h", "thumb"}
+        assert (out["out_w"] == 4).all()
