@@ -526,7 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    driver's 50-query window)
         "regression_by_flag", "basket_pair_lift", "events_band_join",
         "supplier_jaccard", "distinctive_terms_llr",
-        "rrf_retrieval", "cms_token_counts",
+        "rrf_retrieval", "cms_token_counts", "fd_audit",
         "q4_order_priority", "q8_market_share", "q9_product_profit",
         "q11_important_parts", "q15_top_supplier", "q16_supplier_counts",
         "q20_heavy_suppliers", "q21_waiting_suppliers",

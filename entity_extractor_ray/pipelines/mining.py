@@ -979,6 +979,93 @@ def distinctive_llr_sql(min_count: int = 10, top_k: int = 15) -> str:
     """
 
 
+# ------------------------------------------------------------- FD audit
+
+
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),      # PK -> attr: must hold
+    ("orders", "o_custkey", "o_orderpriority"),  # expected violated
+    ("lineitem", "l_partkey", "l_suppkey"),      # expected violated
+)
+
+
+def fd_audit(sf_dir: str):
+    """Functional-dependency audit (the profiling companion to
+    fk_integrity_audit): for each candidate LHS -> RHS, the number of
+    distinct LHS values and how many of them map to MORE than one RHS
+    (violations). A data-quality gate a pipeline runs before trusting a
+    column as a join/dedup key.
+
+    Scale shape per candidate: per-batch distinct (lhs, rhs) projection →
+    ONE pair-keyed groupby (the exchange is bounded by the DISTINCT PAIR
+    count, never the fact rows) → per-batch partial (lhs, n_rhs_part,
+    viol) → one lhs-keyed reduce → two driver scalars. Counts exact
+    int64; mirrored in FD_AUDIT_SQL as UNION ALL of per-candidate
+    census blocks."""
+    from ray.data.aggregate import Count, Sum
+
+    rows = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        pairs = (
+            _read(sf_dir, table, [lhs, rhs])
+            .map_batches(
+                lambda t, lhs=lhs, rhs=rhs: pa.TableGroupBy(
+                    t.select([lhs, rhs]), [lhs, rhs]
+                ).aggregate([]),
+                batch_format="pyarrow",
+            )
+            .groupby([lhs, rhs])
+            .count()
+        )
+        per_lhs = (
+            pairs.map_batches(
+                lambda t, lhs=lhs: pa.table(
+                    {
+                        "l": t.column(lhs),
+                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("l")
+            .aggregate(Sum("one", alias_name="n_rhs"))
+        )
+        g = per_lhs.map_batches(
+            lambda t: pa.table(
+                {
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "viol": pc.cast(pc.greater(t.column("n_rhs"), 1), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Count(alias_name="n_lhs"), Sum("viol", alias_name="n_violating"))
+        rows.append(
+            (f"{table}.{lhs}->{rhs}", int(g["n_lhs"]), int(g["n_violating"] or 0))
+        )
+    return pa.table(
+        {
+            "dependency": pa.array([r[0] for r in rows], pa.string()),
+            "n_lhs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_violating": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def fd_audit_sql() -> str:
+    blocks = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        blocks.append(f"""
+        SELECT '{table}.{lhs}->{rhs}' AS dependency,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        FROM (
+          SELECT {lhs}, count(*) AS c
+          FROM (SELECT DISTINCT {lhs}, {rhs} FROM {table})
+          GROUP BY {lhs}
+        )""")
+    return " UNION ALL ".join(blocks)
+
+
 # ----------------------------------------------------------- per-user EWMA
 
 
@@ -1087,6 +1174,7 @@ def mining_queries():
         "rrf_retrieval": rrf_retrieval,
         "cms_token_counts": _cms_query,
         "events_user_ewma": events_user_ewma,
+        "fd_audit": fd_audit,
     }
 
 
@@ -1099,6 +1187,7 @@ def mining_oracle_sql():
         "distinctive_terms_llr": distinctive_llr_sql(),
         "rrf_retrieval": rrf_sql(),
         "cms_token_counts": cms_probe_sql(),
+        "fd_audit": fd_audit_sql(),
         # bpe_merges: rows-only (iterative argmax, non-SQL-expressible);
         # pinned vs bpe_merges_serial in tests/test_mining.py
     }
