@@ -575,9 +575,21 @@ def assemble_nodes(material_ids_ds, material_status_ds, chem_mapping_ds, chem_st
 
     mat_nodes_ds = mat.map_batches(mat_nodes, batch_format="pyarrow")
 
-    chem_base = chem_mapping_ds.filter(expr="row_kind == 'NODE'").select_columns(
-        ["entity_id", "name", "cas"]
+    # one Arrow fn with a declared schema instead of Filter->Project (the
+    # split chain emits schema-divergent RefBundles; see linking._probe_rows)
+    _CHEM_BASE_SCHEMA = pa.schema(
+        [("entity_id", pa.string()), ("name", pa.string()), ("cas", pa.string())]
     )
+
+    def _node_rows(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("row_kind"), "NODE"))
+        return pa.table(
+            {"entity_id": kept.column("entity_id"), "name": kept.column("name"),
+             "cas": kept.column("cas")},
+            schema=_CHEM_BASE_SCHEMA,
+        )
+
+    chem_base = chem_mapping_ds.map_batches(_node_rows, batch_format="pyarrow")
     chem = lookup_join(
         chem_base,
         chem_status_ds.select_columns(["entity_id", "pfas_status", "pfas_information_source"]),

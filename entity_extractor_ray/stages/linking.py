@@ -761,10 +761,21 @@ def link_chem_mentions(chem_mentions_ds, mapping_ds, num_partitions: int = 16):
     from .shuffle import lookup_join
 
     probes = chem_mentions_ds.map_batches(add_probe_and_material_keys, batch_format="pyarrow")
-    probe_map = (
-        mapping_ds.filter(expr="row_kind == 'PROBE'")
-        .select_columns(["probe_key", "entity_id"])
-    )
+
+    # one Arrow fn with a declared schema instead of Filter->Project: the
+    # split chain emits schema-divergent bundles (projected vs source) that
+    # trip the executor's RefBundle schema check — the bench-log hygiene
+    # rule every bucket kernel follows
+    _PROBE_MAP_SCHEMA = pa.schema([("probe_key", pa.int64()), ("entity_id", pa.string())])
+
+    def _probe_rows(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("row_kind"), "PROBE"))
+        return pa.table(
+            {"probe_key": kept.column("probe_key"), "entity_id": kept.column("entity_id")},
+            schema=_PROBE_MAP_SCHEMA,
+        )
+
+    probe_map = mapping_ds.map_batches(_probe_rows, batch_format="pyarrow")
     # probe keys are unique by construction: union-find merges any shared
     # (mfr, name/cas) key into ONE component, and emission dedups within a
     # component (seen_probes above) — so the driver-side uniqueness probe
