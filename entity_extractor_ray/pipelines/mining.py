@@ -1016,49 +1016,46 @@ def fd_audit(sf_dir: str):
     (violations). A data-quality gate a pipeline runs before trusting a
     column as a join/dedup key.
 
-    Scale shape per candidate: per-batch distinct (lhs, rhs) projection →
-    ONE pair-keyed groupby (the exchange is bounded by the DISTINCT PAIR
-    count, never the fact rows) → per-batch partial (lhs, n_rhs_part,
-    viol) → one lhs-keyed reduce → two driver scalars. Counts exact
-    int64; mirrored in FD_AUDIT_SQL as UNION ALL of per-candidate
-    census blocks."""
-    from ray.data.aggregate import Count, Sum
+    Scale shape per candidate: per-batch distinct (lhs, rhs) projection
+    cuts the exchange toward the distinct-pair relation, ONE lhs-bucketed
+    shuffle co-locates every lhs (so the per-bucket Arrow census —
+    distinct pairs → rhs-count per lhs → two scalars — is EXACT and
+    final), and the driver sums one 2-int row per bucket. No Ray
+    multi-key sort aggregate anywhere (the _tagged_sum_reduce lesson).
+    Counts exact int64; mirrored in FD_AUDIT_SQL as UNION ALL of
+    per-candidate census blocks."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply_arrow
 
     rows = []
     for table, lhs, rhs in FD_CANDIDATES:
-        pairs = (
-            _read(sf_dir, table, [lhs, rhs])
-            .map_batches(
-                lambda t, lhs=lhs, rhs=rhs: pa.TableGroupBy(
-                    t.select([lhs, rhs]), [lhs, rhs]
-                ).aggregate([]),
-                batch_format="pyarrow",
-            )
-            .groupby([lhs, rhs])
-            .count()
-        )
-        per_lhs = (
-            pairs.map_batches(
-                lambda t, lhs=lhs: pa.table(
-                    {
-                        "l": t.column(lhs),
-                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("l")
-            .aggregate(Sum("one", alias_name="n_rhs"))
-        )
-        g = per_lhs.map_batches(
-            lambda t: pa.table(
-                {
-                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                    "viol": pc.cast(pc.greater(t.column("n_rhs"), 1), pa.int64()),
-                }
-            ),
+        dedup = _read(sf_dir, table, [lhs, rhs]).map_batches(
+            lambda t, lhs=lhs, rhs=rhs: pa.TableGroupBy(
+                t.select([lhs, rhs]), [lhs, rhs]
+            ).aggregate([]),
             batch_format="pyarrow",
-        ).aggregate(Count(alias_name="n_lhs"), Sum("viol", alias_name="n_violating"))
+        )
+
+        def census(t: pa.Table, bucket_id: int, lhs=lhs, rhs=rhs) -> pa.Table:
+            distinct = pa.TableGroupBy(t.select([lhs, rhs]), [lhs, rhs]).aggregate([])
+            per_l = pa.TableGroupBy(distinct, [lhs]).aggregate([([], "count_all")])
+            viol = int(
+                pc.sum(
+                    pc.cast(pc.greater(per_l.column("count_all"), 1), pa.int64())
+                ).as_py()
+                or 0
+            )
+            return pa.table(
+                {
+                    "n_lhs": pa.array([per_l.num_rows], pa.int64()),
+                    "viol": pa.array([viol], pa.int64()),
+                }
+            )
+
+        g = bucket_group_apply_arrow(dedup, [lhs], census, n_buckets=16).aggregate(
+            Sum("n_lhs", alias_name="n_lhs"), Sum("viol", alias_name="n_violating")
+        )
         rows.append(
             (f"{table}.{lhs}->{rhs}", int(g["n_lhs"]), int(g["n_violating"] or 0))
         )
