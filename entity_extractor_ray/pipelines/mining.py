@@ -1,7 +1,14 @@
 """Pattern-mining and econometric operators beyond the reference surface.
 
-Four operator families a large-scale training-data / analytics pipeline
-needs that the reference (a per-record extraction service) never had:
+Operator families a large-scale training-data / analytics pipeline needs
+that the reference (a per-record extraction service) never had. Besides
+the four below: ``supplier_jaccard`` (bipartite-projection similarity
+join), ``distinctive_terms_llr`` (Dunning log-likelihood keywords per
+group), ``rrf_retrieval`` (reciprocal-rank fusion of the kNN and BM25
+legs), ``fd_audit`` (functional-dependency census), ``events_user_ewma``
+(recency-weighted user state), and the ``_tagged_sum_reduce`` helper that
+routes every multi-million-row pair-count reduce through the engine's
+bucket shuffle instead of Ray's multi-key sort aggregate (~27x at sf0.1).
 
 - ``regression_by_flag`` — grouped ordinary-least-squares (slope,
   intercept, R²) from ONE pass of mergeable integer sufficient statistics
@@ -176,8 +183,8 @@ def basket_pair_lift(sf_dir: str, min_pairs: int = 3):
     from the skipgram shift trick (d = 1..max basket width — TPC-H baskets
     are ≤7 items, so this is a handful of array ops, never a self-join of
     the fact table). Pair counts, per-part order counts and the distinct
-    order count ride ONE tagged groupby ((kind, a, b) keys) — the exchange
-    carries pre-reduced partials only. Item supports broadcast back onto
+    order count ride ONE tagged (kind, a, b) bucket reduce
+    (_tagged_sum_reduce) — the exchange carries pre-reduced partials only. Item supports broadcast back onto
     the pair relation via lookup_join (part-dimension-sized). All counts
     are exact int64; lift is one double expression floor-truncated to 6 dp
     (the vocab_stats discipline) identically in BASKET_LIFT_SQL.
@@ -638,7 +645,7 @@ def supplier_jaccard(sf_dir: str, min_common: int = 2):
     candidate count is Σ C(fanout, 2) bounded by suppliers-per-part (a
     capped posting list at web scale), never a supplier self-join.
     Intersection counts and per-supplier set sizes ride one tagged
-    groupby; sizes broadcast back via lookup_join (supplier-dimension
+    bucket reduce (_tagged_sum_reduce); sizes broadcast back via lookup_join (supplier-dimension
     sized). All counts exact int64; jaccard is one double division
     floor-truncated to 6 dp identically in SUPPLIER_JACCARD_SQL."""
     from ..stages.shuffle import bucket_group_apply_arrow, lookup_join
