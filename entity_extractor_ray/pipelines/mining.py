@@ -495,8 +495,6 @@ def bpe_merges(sf_dir: str, n_merges: int = 20, min_pair: int = 2):
     serial reference in tests/test_mining.py."""
     from ray.data.aggregate import Sum
 
-    from ..stages.textstats import TOKEN_PATTERN  # noqa: F401  (tokenizer note)
-
     docs = _read(sf_dir, "documents", ["text"])
 
     def word_partial(t: pa.Table) -> pa.Table:
