@@ -288,3 +288,43 @@ class TestResizeStage:
         assert set(out.columns) == {"item_id", "mime", "src_bytes", "out_w",
                                     "out_h", "thumb"}
         assert (out["out_w"] == 4).all()
+
+
+# ------------------------------------------------- tagged bucket reduce pin
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tagged_sum_reduce_equals_ray_groupby():
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from entity_extractor_ray.pipelines.mining import _tagged_sum_reduce
+
+    # deterministic skewed relation: duplicate keys across many blocks,
+    # negative sentinels, one hot key
+    rng = np.random.RandomState(7)
+    n = 20000
+    t = pa.table(
+        {
+            "kind": pa.array(rng.randint(0, 3, n), pa.int64()),
+            "a": pa.array(np.where(rng.rand(n) < 0.3, -1, rng.randint(0, 50, n)), pa.int64()),
+            "b": pa.array(rng.randint(-1, 40, n), pa.int64()),
+            "partial": pa.array(rng.randint(1, 9, n), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    got = (
+        _tagged_sum_reduce(ds, n_buckets=8)
+        .to_pandas()
+        .sort_values(["kind", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rd.from_arrow(t)
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("partial", alias_name="n"))
+        .to_pandas()
+        .sort_values(["kind", "a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["kind", "a", "b", "n"]], want, check_dtype=False)
