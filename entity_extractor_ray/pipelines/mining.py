@@ -44,6 +44,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.arrowutil import rename_agg
 from .analytics import _cents, _read
 
 # ------------------------------------------------------------- grouped OLS
@@ -78,7 +79,9 @@ def regression_by_flag(sf_dir: str):
         agg = tt.group_by("l_returnflag").aggregate(
             [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
         )
-        return agg.rename_columns(["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+        mapping = {"l_returnflag": "l_returnflag"}
+        mapping.update({f"{c}_sum": c for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+        return rename_agg(agg, mapping)
 
     sums = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -384,9 +387,7 @@ def events_band_join(sf_dir: str):
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100)), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
 
         is_p = et == "purchase"
         if not is_p.any():
@@ -1060,9 +1061,10 @@ def fd_audit(sf_dir: str):
 
         g = bucket_group_apply_arrow(dedup, [lhs], census, n_buckets=16).aggregate(
             Sum("n_lhs", alias_name="n_lhs"), Sum("viol", alias_name="n_violating")
-        )
+        ) or {}  # Dataset.aggregate yields None on an empty candidate relation
         rows.append(
-            (f"{table}.{lhs}->{rhs}", int(g["n_lhs"]), int(g["n_violating"] or 0))
+            (f"{table}.{lhs}->{rhs}", int(g.get("n_lhs") or 0),
+             int(g.get("n_violating") or 0))
         )
     return pa.table(
         {

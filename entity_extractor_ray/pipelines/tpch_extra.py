@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.arrowutil import rename_agg
 from ..sources.cleanscan import read_parquet_clean as _rpc
 # ONE _cents implementation engine-wide: its rounding mode must stay
 # bit-identical to the SQL oracles' round() (review finding: a third copy
@@ -89,8 +90,9 @@ def q4_order_priority(sf_dir: str):
         t = t.filter(pc.greater(t.column("l_shipdate"), t.column("o_orderdate")))
         t = t.select(["l_orderkey", "pri"])
         # per-batch dedup: the exchange carries at most one row per order
-        return pa.TableGroupBy(t, "l_orderkey").aggregate([("pri", "max")]).rename_columns(
-            ["l_orderkey", "pri"]
+        return rename_agg(
+            pa.TableGroupBy(t, "l_orderkey").aggregate([("pri", "max")]),
+            {"l_orderkey": "l_orderkey", "pri_max": "pri"},
         )
 
     per_order = (
@@ -433,9 +435,10 @@ def q11_important_parts(sf_dir: str):
         disc = _cents(t.column("l_discount"))
         rev = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc))
         part = pa.table({"l_partkey": t.column("l_partkey"), "rev": rev})
-        return pa.TableGroupBy(part, "l_partkey").aggregate(
-            [("rev", "sum")]
-        ).rename_columns(["l_partkey", "rev"])
+        return rename_agg(
+            pa.TableGroupBy(part, "l_partkey").aggregate([("rev", "sum")]),
+            {"l_partkey": "l_partkey", "rev_sum": "rev"},
+        )
 
     per_part = (
         items.map_batches(l_prep, batch_format="pyarrow")
@@ -510,9 +513,10 @@ def q15_top_supplier(sf_dir: str):
         disc = _cents(t.column("l_discount"))
         rev = pc.multiply(ext, pc.subtract(pa.scalar(100, pa.int64()), disc))
         part = pa.table({"l_suppkey": t.column("l_suppkey"), "rev": rev})
-        return pa.TableGroupBy(part, "l_suppkey").aggregate(
-            [("rev", "sum")]
-        ).rename_columns(["l_suppkey", "rev"])
+        return rename_agg(
+            pa.TableGroupBy(part, "l_suppkey").aggregate([("rev", "sum")]),
+            {"l_suppkey": "l_suppkey", "rev_sum": "rev"},
+        )
 
     per_supp = (
         items.map_batches(l_prep, batch_format="pyarrow")
@@ -694,9 +698,10 @@ def q20_heavy_suppliers(sf_dir: str, qty_floor: int = 150):
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select(["l_suppkey", "qty"])
-        return pa.TableGroupBy(t, "l_suppkey").aggregate(
-            [("qty", "sum")]
-        ).rename_columns(["l_suppkey", "qty"])
+        return rename_agg(
+            pa.TableGroupBy(t, "l_suppkey").aggregate([("qty", "sum")]),
+            {"l_suppkey": "l_suppkey", "qty_sum": "qty"},
+        )
 
     per_supp = (
         joined.map_batches(partial, batch_format="pyarrow")
@@ -764,9 +769,10 @@ def q21_waiting_suppliers(sf_dir: str):
                 "ship": pc.cast(t.column("l_shipdate"), pa.int64()),
             }
         )
-        return pa.TableGroupBy(t, ["ok", "sk"]).aggregate(
-            [("ship", "max")]
-        ).rename_columns(["ok", "sk", "ship"])
+        return rename_agg(
+            pa.TableGroupBy(t, ["ok", "sk"]).aggregate([("ship", "max")]),
+            {"ok": "ok", "sk": "sk", "ship_max": "ship"},
+        )
 
     pairs = (
         items.map_batches(pair_max, batch_format="pyarrow")

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+_FALLBACK_LOGGED = False  # log the schema-derivation fallback once per proc
+
 
 def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
@@ -65,9 +67,21 @@ def read_parquet_clean(paths, **kwargs):
                 kwargs["schema"] = (
                     pa.schema([full.field(c) for c in cols]) if cols else full
                 )
-        except Exception:
-            # any footer/projection surprise: fall back to the bare read +
-            # fused strip (correct, just noisier)
+        except (KeyError, pa.ArrowInvalid, OSError):
+            # expected footer/projection failures only (ADVICE r4: a blanket
+            # except would hide genuine schema-derivation bugs): KeyError =
+            # a `columns` name absent from the footer, ArrowInvalid/OSError =
+            # unreadable/corrupt footer. Fall back to the bare read + fused
+            # strip (correct, just noisier) — and say so once.
+            global _FALLBACK_LOGGED
+            if not _FALLBACK_LOGGED:
+                import logging
+
+                logging.getLogger("entity_extractor_ray.cleanscan").warning(
+                    "read_parquet_clean: explicit-schema derivation failed for"
+                    " %s; falling back to bare read + strip map", paths,
+                )
+                _FALLBACK_LOGGED = True
             kwargs.pop("schema", None)
 
     return rd.read_parquet(paths, **kwargs).map_batches(

@@ -36,6 +36,7 @@ from ..functions.decision_tables import (
     SRC_NONE,
     parent_pfas_resolution,
 )
+from ..functions.arrowutil import rename_agg
 from ..functions.textnorm import stable_id
 from .linking import order_key_array
 from .shuffle import bucket_group_apply, stable_bucket_array
@@ -377,7 +378,12 @@ _ROLLUP_AGGS = [
     ("r", "max"), ("pp0", "min"), ("po0", "min"),
     ("pp1", "min"), ("po1", "min"), ("pp2", "min"), ("po2", "min"),
 ]
-_ROLLUP_COLS = ["src", "r", "pp0", "po0", "pp1", "po1", "pp2", "po2"]
+# by-name mapping from the aggregate's output names (rename_agg: positional
+# rename assumed keys-first ordering — version-fragile, ADVICE r4)
+_ROLLUP_MAP = {"src": "src", "r_max": "r"}
+_ROLLUP_MAP.update(
+    {f"{c}_min": c for c in ("pp0", "po0", "pp1", "po1", "pp2", "po2")}
+)
 _ROLLUP_SCHEMA = pa.schema(
     [("entity_id", pa.string()), ("pfas_status", pa.string()),
      ("pfas_information_source", pa.string())]
@@ -420,8 +426,8 @@ def _rollup_partial(t: pa.Table) -> pa.Table:
         cols[f"pp{rank}"] = pa.array(np.where(mask, pp, 99), pa.int8())
         cols[f"po{rank}"] = pa.array(np.where(mask, po, 99), pa.int8())
     part = pa.table(cols)
-    return pa.TableGroupBy(part, "src").aggregate(_ROLLUP_AGGS).rename_columns(
-        _ROLLUP_COLS
+    return rename_agg(
+        pa.TableGroupBy(part, "src").aggregate(_ROLLUP_AGGS), _ROLLUP_MAP
     )
 
 
@@ -432,9 +438,7 @@ def _rollup_merge_bucket(t: pa.Table, bucket_id: int) -> pa.Table:
     listed source voted → SRC_NONE)."""
     if t.num_rows == 0:
         return _ROLLUP_SCHEMA.empty_table()
-    agg = pa.TableGroupBy(t, "src").aggregate(_ROLLUP_AGGS).rename_columns(
-        _ROLLUP_COLS
-    )
+    agg = rename_agg(pa.TableGroupBy(t, "src").aggregate(_ROLLUP_AGGS), _ROLLUP_MAP)
     r = agg.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(r)
     pp = np.stack(
@@ -819,7 +823,9 @@ def material_comentions(edges_ds, n_buckets: int = 32,
     pairs = bucket_group_apply(slim, ["dst"], pairs_bucket, n_buckets)
     counted = pairs.groupby(["mat_a", "mat_b"]).count()
     return counted.map_batches(
-        lambda t: t.rename_columns(["mat_a", "mat_b", "n_shared"]),
+        lambda t: rename_agg(
+            t, {"mat_a": "mat_a", "mat_b": "mat_b", "count()": "n_shared"}
+        ),
         batch_format="pyarrow",
     )
 
