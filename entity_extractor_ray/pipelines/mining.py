@@ -172,10 +172,55 @@ def _tagged_sum_reduce(pre_ds, n_buckets: int = 32):
     return bucket_group_apply_arrow(pre_ds, ["kind", "a", "b"], _sum_fn, n_buckets=n_buckets)
 
 
+# --------------------------------------------- hot-posting-list truncation
+
+POSTING_CAP = 1000  # pairs per key bounded by C(cap, 2); far above TPC-H fanout
+
+
+def _cap_posting_lists(keys: np.ndarray, vals: np.ndarray, cap: int,
+                       op_name: str, bucket_id: int):
+    """Seeded-hash UNIFORM truncation of hot posting lists / baskets before
+    pair generation — the material_comentions hot-key policy
+    (graph.py:797-824) shared by both bipartite miners: without it, ONE hot
+    key (a part supplied by 10^5 suppliers, a degenerate mega-basket) makes
+    a single bucket emit ~C(fanout, 2) ≈ 10^10 rows (VERDICT r4 #1).
+
+    ``keys``/``vals`` must be sorted by (key, val) with distinct rows; any
+    key whose segment exceeds ``cap`` keeps the ``cap`` members with the
+    smallest process-stable hash (uniform, seed-free, deterministic), and
+    the drop is counted and LOGGED. Returns (keys, vals) with the sort
+    order preserved. Per-key supports/sizes stay EXACT (computed from the
+    full arrays by the callers); only pair generation is truncated."""
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    widths = np.diff(np.r_[starts, len(keys)])
+    if len(widths) == 0 or int(widths.max()) <= cap:
+        return keys, vals
+    import logging
+
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(pd.Series(vals), index=False).to_numpy()
+    seg_id = np.repeat(np.arange(len(widths), dtype=np.int64), widths)
+    order = np.lexsort((h, seg_id))
+    seg_starts = np.r_[0, np.cumsum(widths)[:-1]]
+    rank_in_seg = np.arange(len(vals), dtype=np.int64) - np.repeat(seg_starts, widths)
+    keep = np.zeros(len(vals), dtype=bool)
+    keep[order[rank_in_seg < cap]] = True
+    n_truncated = int((widths > cap).sum())
+    n_dropped = int((widths - cap)[widths > cap].sum())
+    logging.getLogger("entity_extractor_ray.mining").warning(
+        "%s bucket %d: truncated %d hot posting lists (cap=%d), dropped %d "
+        "members from pair generation", op_name, bucket_id, n_truncated, cap,
+        n_dropped,
+    )
+    return keys[keep], vals[keep]
+
+
 # --------------------------------------------------------- basket pair lift
 
 
-def basket_pair_lift(sf_dir: str, min_pairs: int = 3):
+def basket_pair_lift(sf_dir: str, min_pairs: int = 3,
+                     basket_cap: int = POSTING_CAP):
     """Market-basket mining over orders: unordered part pairs (p1 < p2)
     co-occurring in the same order, with pair support, per-item support,
     and lift = n_orders * pair_n / (n_p1 * n_p2).
@@ -185,7 +230,10 @@ def basket_pair_lift(sf_dir: str, min_pairs: int = 3):
     (order, part) set is deduped by sort + adjacent-compare and pairs come
     from the skipgram shift trick (d = 1..max basket width — TPC-H baskets
     are ≤7 items, so this is a handful of array ops, never a self-join of
-    the fact table). Pair counts, per-part order counts and the distinct
+    the fact table). A degenerate mega-basket wider than ``basket_cap`` is
+    uniformly truncated (seeded-hash, drop counted + logged —
+    _cap_posting_lists) before pair generation, so one hot order can never
+    go quadratic; per-part and per-order supports stay exact. Pair counts, per-part order counts and the distinct
     order count ride ONE tagged (kind, a, b) bucket reduce
     (_tagged_sum_reduce) — the exchange carries pre-reduced partials only. Item supports broadcast back onto
     the pair relation via lookup_join (part-dimension-sized). All counts
@@ -214,14 +262,20 @@ def basket_pair_lift(sf_dir: str, min_pairs: int = 3):
         ok, pk = ok[keep], pk[keep]
         if len(ok) == 0:
             return EMPTY.empty_table()
-        # basket widths bound the shift distance
         starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
-        widths = np.diff(np.r_[starts, len(ok)])
+        # mega-baskets: uniform truncation to basket_cap members before pair
+        # generation (support counts below stay exact from the FULL arrays)
+        ok_c, pk_c = _cap_posting_lists(
+            ok, pk, basket_cap, "basket_pair_lift", bucket_id
+        )
+        # basket widths bound the shift distance
+        starts_c = np.flatnonzero(np.r_[True, ok_c[1:] != ok_c[:-1]])
+        widths_c = np.diff(np.r_[starts_c, len(ok_c)])
         p1_parts, p2_parts = [], []
-        for d in range(1, int(widths.max())):
-            same = ok[:-d] == ok[d:]
-            p1_parts.append(pk[:-d][same])
-            p2_parts.append(pk[d:][same])
+        for d in range(1, int(widths_c.max())):
+            same = ok_c[:-d] == ok_c[d:]
+            p1_parts.append(pk_c[:-d][same])
+            p2_parts.append(pk_c[d:][same])
         rows = [
             # kind=2: distinct orders seen by this bucket (orders never
             # straddle buckets — the shuffle key IS the order key)
@@ -633,7 +687,8 @@ def bpe_merges_serial(word_counts: dict, n_merges: int = 20, min_pair: int = 2):
 # ------------------------------------------------- bipartite Jaccard pairs
 
 
-def supplier_jaccard(sf_dir: str, min_common: int = 2):
+def supplier_jaccard(sf_dir: str, min_common: int = 2,
+                     posting_cap: int = POSTING_CAP):
     """Supplier similarity by shared parts: the bipartite-projection
     similarity join (who supplies like whom), jaccard = |A∩B| / |A∪B|
     over each supplier's distinct part set.
@@ -641,8 +696,12 @@ def supplier_jaccard(sf_dir: str, min_common: int = 2):
     Scale shape: the inverted-index pair generation — ONE part-bucketed
     shuffle of the deduped (part, supplier) projection; pairs (s1 < s2)
     are generated per part posting list with the shift trick, so the
-    candidate count is Σ C(fanout, 2) bounded by suppliers-per-part (a
-    capped posting list at web scale), never a supplier self-join.
+    candidate count is Σ C(min(fanout, posting_cap), 2): posting lists
+    wider than ``posting_cap`` are uniformly truncated (seeded-hash, drop
+    counted + logged — _cap_posting_lists) before pair generation, never a
+    supplier self-join and never quadratic in one hot part's fanout.
+    Set sizes stay exact; intersections touching a truncated list
+    undercount (the bounded-candidate policy).
     Intersection counts and per-supplier set sizes ride one tagged
     bucket reduce (_tagged_sum_reduce); sizes broadcast back via lookup_join (supplier-dimension
     sized). All counts exact int64; jaccard is one double division
@@ -666,13 +725,20 @@ def supplier_jaccard(sf_dir: str, min_common: int = 2):
         pk, sk = pk[keep], sk[keep]
         if len(pk) == 0:
             return EMPTY.empty_table()
-        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
-        widths = np.diff(np.r_[starts, len(pk)])
+        # hot posting lists: uniform truncation to posting_cap suppliers
+        # before pair generation (set sizes below stay exact from the FULL
+        # arrays; intersection counts for truncated parts undercount — the
+        # bounded-candidate policy, identical to material_comentions)
+        pk_c, sk_c = _cap_posting_lists(
+            pk, sk, posting_cap, "supplier_jaccard", bucket_id
+        )
+        starts_c = np.flatnonzero(np.r_[True, pk_c[1:] != pk_c[:-1]])
+        widths_c = np.diff(np.r_[starts_c, len(pk_c)])
         s1_parts, s2_parts = [], []
-        for d in range(1, int(widths.max())):
-            same = pk[:-d] == pk[d:]
-            s1_parts.append(sk[:-d][same])
-            s2_parts.append(sk[d:][same])
+        for d in range(1, int(widths_c.max())):
+            same = pk_c[:-d] == pk_c[d:]
+            s1_parts.append(sk_c[:-d][same])
+            s2_parts.append(sk_c[d:][same])
         rows = []
         sizes = pa.TableGroupBy(pa.table({"a": pa.array(sk, pa.int64())}), "a").aggregate(
             [([], "count_all")]

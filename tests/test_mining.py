@@ -11,6 +11,7 @@ import pytest
 
 from entity_extractor_ray.pipelines.mining import (
     _apply_merge_np,
+    _cap_posting_lists,
     basket_pair_lift,
     bpe_merges,
     bpe_merges_serial,
@@ -328,3 +329,78 @@ def test_tagged_sum_reduce_equals_ray_groupby():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["kind", "a", "b", "n"]], want, check_dtype=False)
+
+
+# ----------------------------------------- hot-posting-list cap (VERDICT r4 #1)
+
+
+def test_cap_posting_lists_unit(caplog):
+    import logging
+
+    # segment layout (sorted by key,val): key 1 -> 100 members, key 2 -> 3,
+    # key 3 -> 1; cap 10 must truncate ONLY key 1, uniformly + stably
+    keys = np.r_[np.full(100, 1), np.full(3, 2), np.full(1, 3)].astype(np.int64)
+    vals = np.r_[np.arange(100), np.arange(3), np.arange(1)].astype(np.int64)
+    with caplog.at_level(logging.WARNING, logger="entity_extractor_ray.mining"):
+        k1, v1 = _cap_posting_lists(keys, vals, 10, "unit", 0)
+    # bounded, subset, order preserved, untouched segments exact
+    assert list(k1).count(1) == 10 and list(k1).count(2) == 3 and list(k1).count(3) == 1
+    assert set(v1[k1 == 1]) <= set(range(100))
+    assert np.all(np.diff(np.flatnonzero(k1 == 1)) == 1)  # still contiguous
+    assert sorted(v1[k1 == 2]) == [0, 1, 2]
+    # sorted order preserved within the truncated segment
+    assert list(v1[k1 == 1]) == sorted(v1[k1 == 1])
+    # drop counted + logged
+    assert any("dropped 90" in r.message for r in caplog.records)
+    # deterministic (process-stable hash)
+    k2, v2 = _cap_posting_lists(keys, vals, 10, "unit", 0)
+    assert np.array_equal(v1, v2)
+    # no-op below the cap: identity, no log
+    k3, v3 = _cap_posting_lists(keys, vals, 1000, "unit", 0)
+    assert np.array_equal(k3, keys) and np.array_equal(v3, vals)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_supplier_jaccard_hot_part_capped(tmp_path):
+    # ONE hot part supplied by 1000 suppliers: uncapped pair generation
+    # would emit C(1000,2) = 499500 candidates; posting_cap=50 bounds it at
+    # C(50,2) = 1225 while set sizes stay exact (every supplier: size 1,
+    # so every surviving pair has jaccard == 1.0)
+    n = 1000
+    t = pa.table(
+        {
+            "l_partkey": pa.array(np.full(n, 7), pa.int64()),
+            "l_suppkey": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = supplier_jaccard(str(tmp_path), min_common=1, posting_cap=50).to_pandas()
+    assert 0 < len(got) <= 50 * 49 // 2
+    assert (got["inter_n"] == 1).all()
+    assert (got["jaccard"] == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_basket_lift_hot_basket_capped(tmp_path):
+    # ONE mega-basket of 1000 parts + one normal basket; basket_cap=30
+    # bounds pair generation at C(30,2) = 435 while n_orders and item
+    # supports stay exact (parts 1,2 in both baskets -> their pair, if it
+    # survives truncation, has pair_n <= 2 and exact supports n1 = n2 = 2)
+    mega_ok = np.full(1000, 1)
+    mega_pk = np.arange(1000)
+    ok = np.r_[mega_ok, [2, 2]]
+    pk = np.r_[mega_pk, [1, 2]]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = basket_pair_lift(str(tmp_path), min_pairs=1, basket_cap=30).to_pandas()
+    assert 0 < len(got) <= 30 * 29 // 2 + 1  # capped mega pairs + the (1,2) pair
+    assert (got["pair_n"] <= 2).all()
+    # n_orders = 2 exactly: lift for a pair_n=1 pair of two once-seen parts
+    # is floor(1e6 * 2*1/(1*1))/1e6 = 2.0 — exact supports survived the cap
+    singles = got[(got["pair_n"] == 1) & (got["p1"] > 2) & (got["p2"] > 2)]
+    assert (singles["lift"] == 2.0).all()
