@@ -407,6 +407,34 @@ def basket_lift_sql(min_pairs: int = 3) -> str:
 BAND_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
 
+def _grouped_searchsorted_left(g_keys: np.ndarray, g_vals: np.ndarray,
+                               q_keys: np.ndarray, q_vals: np.ndarray) -> np.ndarray:
+    """Vectorized per-group ``np.searchsorted(..., side='left')``: for each
+    query (q_key, q_val), the GLOBAL insertion position into the
+    (g_keys, g_vals)-lexsorted array restricted to its own key's segment —
+    i.e. the count of g rows strictly before it in (key, val) order.
+
+    One merge-lexsort of the concatenated arrays replaces the per-key
+    Python loop (VERDICT r4 #5): queries sort BEFORE equal-valued g rows
+    (the 'left' tie rule), so the running count of g rows at each query's
+    sorted position IS its insertion index. No composite key×span
+    arithmetic anywhere, so no int64-overflow risk at cluster scale.
+    Queries whose key has no g rows land on their key's empty boundary
+    (lo == hi downstream)."""
+    n_g = len(g_vals)
+    keys = np.concatenate([g_keys, q_keys])
+    vals = np.concatenate([g_vals, q_vals])
+    is_g = np.zeros(len(keys), dtype=np.int64)
+    is_g[:n_g] = 1
+    order = np.lexsort((is_g, vals, keys))
+    is_g_sorted = is_g[order]
+    cum_g = np.cumsum(is_g_sorted)
+    q_pos_sorted = np.flatnonzero(is_g_sorted == 0)
+    out = np.empty(len(q_keys), dtype=np.int64)
+    out[order[q_pos_sorted] - n_g] = cum_g[q_pos_sorted]
+    return out
+
+
 def events_band_join(sf_dir: str):
     """Keyed interval (band) join: for EVERY purchase event, the count and
     cents-exact value sum of same-user click events in [ts-30min, ts).
@@ -416,13 +444,14 @@ def events_band_join(sf_dir: str):
     predecessor. Scale shape: one user-bucketed shuffle of the filtered
     4-column projection (both event families land in the same bucket by
     key, the partitioning assumption this operator relies on); inside the
-    bucket, clicks and purchases are each sorted by (user, ts) once and a
-    per-user loop issues VECTORIZED np.searchsorted window probes plus a
-    prefix-sum for the value rollup — per-element work is O(log clicks),
-    the Python loop is over users in the bucket, not rows, and avoids the
-    composite user*span+ts key whose int64 product can overflow at
-    cluster scale. Purchases with zero in-window clicks are preserved
-    (LEFT semantics), matching BAND_JOIN_SQL's LEFT JOIN."""
+    bucket, clicks are sorted by (user, ts) once and BOTH window bounds
+    come from _grouped_searchsorted_left — a single merge-lexsort per
+    bound that yields every purchase's grouped 'left' insertion position
+    at once (no per-user Python loop, and no composite user*span+ts key
+    whose int64 product could overflow at cluster scale); the value
+    rollup is a click-prefix-sum difference. Purchases with zero
+    in-window clicks are preserved (LEFT semantics), matching
+    BAND_JOIN_SQL's LEFT JOIN."""
     from ..stages.shuffle import bucket_group_apply_arrow
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
@@ -448,27 +477,18 @@ def events_band_join(sf_dir: str):
             return EMPTY.empty_table()
         is_c = et == "click"
 
-        po = np.lexsort((ts[is_p], uid[is_p]))
-        p_uid, p_ts, p_eid = uid[is_p][po], ts[is_p][po], eid[is_p][po]
+        p_uid, p_ts, p_eid = uid[is_p], ts[is_p], eid[is_p]
         co = np.lexsort((ts[is_c], uid[is_c]))
         c_uid, c_ts = uid[is_c][co], ts[is_c][co]
         c_psum = np.r_[0, np.cumsum(cents[is_c][co])]
 
-        n_clicks = np.zeros(len(p_eid), dtype=np.int64)
-        c_sum = np.zeros(len(p_eid), dtype=np.int64)
-        # user segment bounds on both sorted arrays
-        uniq = np.unique(p_uid)
-        p_lo = np.searchsorted(p_uid, uniq, "left")
-        p_hi = np.searchsorted(p_uid, uniq, "right")
-        c_lo = np.searchsorted(c_uid, uniq, "left")
-        c_hi = np.searchsorted(c_uid, uniq, "right")
-        for i in range(len(uniq)):
-            ps, pe, cs, ce = p_lo[i], p_hi[i], c_lo[i], c_hi[i]
-            seg = c_ts[cs:ce]
-            lo = cs + np.searchsorted(seg, p_ts[ps:pe] - BAND_US, "left")
-            hi = cs + np.searchsorted(seg, p_ts[ps:pe], "left")
-            n_clicks[ps:pe] = hi - lo
-            c_sum[ps:pe] = c_psum[hi] - c_psum[lo]
+        # fully vectorized band probe: both window bounds are grouped
+        # 'left' insertion positions into the (user, ts)-sorted clicks —
+        # one merge-lexsort each, zero per-user Python
+        lo = _grouped_searchsorted_left(c_uid, c_ts, p_uid, p_ts - BAND_US)
+        hi = _grouped_searchsorted_left(c_uid, c_ts, p_uid, p_ts)
+        n_clicks = hi - lo
+        c_sum = c_psum[hi] - c_psum[lo]
         return pa.table(
             {
                 "purchase_id": pa.array(p_eid, pa.int64()),
