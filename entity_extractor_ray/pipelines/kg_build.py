@@ -210,6 +210,8 @@ def build_kg(
     extract_concurrency: Optional[int] = None,
     batch_size: int = 8192,
     progress=None,
+    extractor: str = "rules",
+    extractor_kwargs: Optional[dict] = None,
 ) -> KGResult:
     """Run the full KG build.
 
@@ -222,7 +224,31 @@ def build_kg(
     progress: optional callable(stage_name, rows, seconds) invoked as each
       pinned stage commits — the live progress surface (reference A8 stage
       gauges); defaults to a logging.info line per stage.
+    extractor: "rules" (default — the deterministic vectorized regex
+      extractor) or "gliner" (stages/adapters.ModelRecordExtractor: a warm
+      GLiNER span model per actor, record assembly by span order — same
+      EXTRACTION_SCHEMA, so every downstream stage is unchanged). When
+      "gliner" is requested but the package is absent and no
+      ``model_factory`` is injected via extractor_kwargs, the build LOGS a
+      warning and falls back to rules (auto-fallback, VERDICT r4 #7).
+    extractor_kwargs: forwarded to the model extractor stage —
+      model_name, labels, model_factory (tests), concurrency, num_gpus.
     """
+    extractor_kwargs = dict(extractor_kwargs or {})
+    if extractor == "gliner":
+        from ..stages.adapters import gliner_available
+
+        if "model_factory" not in extractor_kwargs and not gliner_available():
+            import logging
+
+            logging.getLogger("entity_extractor_ray.kg_build").warning(
+                "extractor='gliner' requested but the gliner package is not "
+                "installed and no model_factory was injected; falling back "
+                "to the rule-based extractor"
+            )
+            extractor = "rules"
+    elif extractor != "rules":
+        raise ValueError(f"unknown extractor {extractor!r}")
     if out_dir:
         from ..state.checkpoint import input_fingerprint
 
@@ -234,8 +260,12 @@ def build_kg(
             else "ds"  # Dataset input: identity unknowable without executing;
             # callers passing a Dataset + out_dir own invalidation
         )
+        # extractor choice is part of stage identity: a rules checkpoint
+        # must never masquerade as a model-extracted build
+        ex_fp = "" if extractor == "rules" else f"_x{extractor}"
         ckpt = CheckpointManager(
-            out_dir, params_fingerprint=f"b{n_buckets}_j{num_join_partitions}_{in_fp}"
+            out_dir,
+            params_fingerprint=f"b{n_buckets}_j{num_join_partitions}_{in_fp}{ex_fp}",
         )
     else:
         ckpt = None
@@ -325,7 +355,26 @@ def build_kg(
     # the extract stage)
     turns_ds = raw_turns.map_batches(_validate_split, batch_format="pyarrow")
 
-    if extract_concurrency is None:
+    if extractor == "gliner":
+        # heavy span model: ALWAYS a fixed actor pool (one warm model per
+        # actor), never the elastic task path; small batches by default
+        # (transformer inference memory)
+        from ..stages.adapters import ModelRecordExtractor
+
+        ex_concurrency = extractor_kwargs.pop(
+            "concurrency", extract_concurrency or 2
+        )
+        ex_num_gpus = extractor_kwargs.pop("num_gpus", 0)
+        ex_batch = extractor_kwargs.pop("batch_size", min(batch_size, 256))
+        extraction = turns_ds.map_batches(
+            ModelRecordExtractor,
+            fn_constructor_kwargs=extractor_kwargs,
+            batch_format="pyarrow",
+            batch_size=ex_batch,
+            concurrency=ex_concurrency,
+            num_gpus=ex_num_gpus or None,
+        )
+    elif extract_concurrency is None:
         # task pool + per-process singleton: elastic, no actor startup
         # (the rule extractor's state is just compiled patterns); pass an
         # explicit concurrency to get a fixed actor pool for heavy models

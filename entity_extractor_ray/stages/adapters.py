@@ -166,6 +166,135 @@ class GLiNERMentionDetector:
         )
 
 
+# Labels the record assembler understands (superset of DEFAULT_NER_LABELS:
+# the extra labels carry the structured-record fields a span model must tag
+# for record assembly — PRODUCT_NO/UPC heads and the supplier-geo attributes)
+RECORD_NER_LABELS = (
+    "MATERIAL", "MANUFACTURER", "PRODUCT_NO", "UPC",
+    "CHEMICAL", "CAS", "PERCENT", "TAG", "SOURCE",
+    "SUPPLIER", "ADDRESS", "POSTAL_CODE", "CITY", "STATE", "COUNTRY",
+    "REGION",
+)
+
+_RECORD_HEADS = {"MATERIAL", "PRODUCT_NO", "UPC", "CHEMICAL", "SUPPLIER"}
+_GEO_LABELS = ("ADDRESS", "POSTAL_CODE", "CITY", "STATE", "COUNTRY", "REGION")
+
+
+class ModelRecordExtractor:
+    """M4 through a REAL span model: turns batch -> EXTRACTION_SCHEMA
+    records, with mention detection delegated to a GLiNER-API model
+    (``predict_entities(text, labels) -> [{text, label, start, ...}]``)
+    and record assembly done by span order — the standard NER-pipeline
+    reconstruction: mentions of one turn are sorted by span start; a HEAD
+    label (MATERIAL / PRODUCT_NO / UPC / CHEMICAL / SUPPLIER) opens a
+    record and the attribute labels that follow (MANUFACTURER, CAS,
+    PERCENT, TAG, SOURCE, the six geo fields) attach to the open record
+    until the next head. Same output schema and downstream semantics as
+    the rule-based RecordExtractor (extract.py), so the rest of the KG
+    build is untouched — reference analog: the per-page LLM analysis
+    returning typed fields (artifact_ingestor_service.py:759-817).
+
+    Model load happens ONCE per actor (``__init__``); inference is per
+    turn (the GLiNER API shape). ``model_factory`` injects a fake heavy
+    model in tests (one-load-per-actor + rules-equality pinned in
+    tests/test_adapters.py)."""
+
+    def __init__(self, model_name: str = "urchade/gliner_small-v2.1",
+                 labels: Sequence[str] = RECORD_NER_LABELS,
+                 model_factory: Optional[Callable] = None):
+        from .extract import EXTRACTION_SCHEMA, GEO_TYPE
+
+        factory = model_factory or (lambda: _load_gliner(model_name))
+        self.model = factory()
+        self.labels: List[str] = list(labels)
+        self._schema = EXTRACTION_SCHEMA
+        self._geo_type = GEO_TYPE
+        self._empty = EXTRACTION_SCHEMA.empty_table()
+
+    def _assemble(self, conv: str, tidx: int, ents: list, rows: list) -> None:
+        rec = None
+        for ent in sorted(ents, key=lambda e: int(e.get("start", 0))):
+            label, text = ent["label"], ent["text"]
+            if label in _RECORD_HEADS:
+                if label == "MATERIAL":
+                    rec = {"kind": "MATERIAL", "name": text}
+                elif label in ("PRODUCT_NO", "UPC"):
+                    rec = {"kind": label, "name": text}
+                elif label == "CHEMICAL":
+                    rec = {"kind": "CHEMICAL", "name": text}
+                else:  # SUPPLIER
+                    rec = {"kind": "SUPPLIER_GEO", "manufacturer": text,
+                           "geo": {}}
+                rec["conv_id"], rec["turn_idx"] = conv, tidx
+                rows.append(rec)
+            elif rec is None:
+                continue  # attribute before any head: no record to attach to
+            elif label == "MANUFACTURER" and rec["kind"] == "MATERIAL":
+                rec["manufacturer"] = text
+            elif rec["kind"] == "CHEMICAL" and label in (
+                "CAS", "PERCENT", "TAG", "SOURCE"
+            ):
+                field = {"CAS": "cas", "PERCENT": "composition",
+                         "TAG": "tag", "SOURCE": "source"}[label]
+                rec[field] = text or None
+            elif rec["kind"] == "SUPPLIER_GEO" and label in _GEO_LABELS:
+                rec["geo"][label.lower()] = text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows: list = []
+        for c, t, text in zip(conv, tidx, texts):
+            ents = self.model.predict_entities(text or "", self.labels)
+            if ents:
+                self._assemble(c, t, ents, rows)
+        n = len(rows)
+        geo = [r.get("geo") for r in rows]
+        return pa.table(
+            {
+                "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+                "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+                "kind": pa.array([r["kind"] for r in rows], pa.string()),
+                "name": pa.array([r.get("name") for r in rows], pa.string()),
+                "manufacturer": pa.array(
+                    [r.get("manufacturer") for r in rows], pa.string()
+                ),
+                "cas": pa.array([r.get("cas") for r in rows], pa.string()),
+                "composition": pa.array(
+                    [r.get("composition") for r in rows], pa.string()
+                ),
+                "tag": pa.array([r.get("tag") for r in rows], pa.string()),
+                "source": pa.array([r.get("source") for r in rows], pa.string()),
+                "geo": pa.array(geo, self._geo_type),
+            },
+            schema=self._schema,
+        )
+
+
+def gliner_available() -> bool:
+    """Driver-side probe for build_kg's auto-fallback: True when the gliner
+    package imports (the actor would load it per worker)."""
+    try:
+        import gliner  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def st_available() -> bool:
+    """Same probe for the sentence-transformers embedder."""
+    try:
+        import sentence_transformers  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def detect_mentions_with_model(turns_ds,
                                model_name: str = "urchade/gliner_small-v2.1",
                                labels: Sequence[str] = DEFAULT_NER_LABELS,

@@ -264,14 +264,39 @@ def embed_chunks_with_text(chunks_ds, batch_size: int = 1024):
     )
 
 
-def embed_documents(docs_ds, concurrency: int = None, batch_size: int = 1024):
+def embed_documents(docs_ds, concurrency: int = None, batch_size: int = 1024,
+                    embedder: str = "hashing", embedder_kwargs: dict = None):
     """documents/chunks -> rows + embedding vector column.
 
     Default: elastic task pool with a per-process warm singleton (the
     hashing model is cheap to build; an actor pool sized near num_cpus can
     starve the read/shuffle operators). Pass an explicit ``concurrency`` to
     pin a fixed actor pool for a heavyweight encoder (GPU model), sized to
-    leave CPU headroom for the other stages."""
+    leave CPU headroom for the other stages.
+
+    embedder: "hashing" (default, deterministic) or "st"
+    (adapters.SentenceTransformerEmbedder — a real sentence-transformers
+    encoder warmed once per actor; same output schema). "st" without the
+    package installed and without an injected ``model_factory`` in
+    ``embedder_kwargs`` LOGS a warning and falls back to hashing
+    (auto-fallback, VERDICT r4 #7)."""
+    if embedder == "st":
+        from .adapters import embed_documents_with_model, st_available
+
+        kw = dict(embedder_kwargs or {})
+        if "model_factory" in kw or st_available():
+            kw.setdefault("concurrency", concurrency or 2)
+            kw.setdefault("batch_size", min(batch_size, 256))
+            return embed_documents_with_model(docs_ds, **kw)
+        import logging
+
+        logging.getLogger("entity_extractor_ray.chunk").warning(
+            "embedder='st' requested but sentence-transformers is not "
+            "installed and no model_factory was injected; falling back to "
+            "the hashing embedder"
+        )
+    elif embedder != "hashing":
+        raise ValueError(f"unknown embedder {embedder!r}")
     if concurrency is not None:
         return docs_ds.map_batches(
             HashingEmbedder,
