@@ -589,7 +589,58 @@ def build_kg(
             "lineage", "linked",
             lambda t: lineage_rows(t, n_buckets=n_buckets),
         )
-        errors = pin("errors", lambda ds=errors: ds, terminal=True)
+        if isinstance(turns, (str, list)):
+            # errors resume PER SOURCE SHARD across its three map-only
+            # feeds (record drops / fold coercions / ingest scan) — one
+            # stage dir, parts tagged by feed; a death mid-errors-stage
+            # rebuilds only the missing shards (VERDICT r4 #8). Columns
+            # pruned per feed (the ingest scan never re-reads text).
+            import glob as _glob
+            import os as _os
+
+            def _expand(p):
+                return (
+                    sorted(_glob.glob(_os.path.join(p, "*.parquet")))
+                    if _os.path.isdir(p) else [p]
+                )
+
+            in_files = [
+                f
+                for p in ([turns] if isinstance(turns, str) else turns)
+                for f in _expand(p)
+            ]
+            t0e = time.perf_counter()
+            errors = ckpt.run_sharded_multi(
+                "errors",
+                [
+                    ("rec",
+                     sorted(_glob.glob(_os.path.join(out_dir, "records", "*.parquet"))),
+                     _record_error_rows, ["conv_id", "drop_reason"]),
+                    ("fold",
+                     sorted(_glob.glob(_os.path.join(out_dir, "chem_status", "*.parquet"))),
+                     _fold_error_rows, ["entity_id", "n_coerced"]),
+                    ("ing", in_files, _invalid_error_rows,
+                     ["conv_id", "turn_idx"]),
+                ],
+            )
+            e_rows = ckpt.manifest("errors")["rows"]
+            now_e = time.perf_counter()
+            metrics.append(
+                {
+                    "partition_id": -1,
+                    "stage": "errors",
+                    "rows_in": -1,
+                    "rows_out": e_rows,
+                    "matched_count": -1,
+                    "duration_ms": (now_e - t0e) * 1000,
+                    "gap_ms": (t0e - last_end[0]) * 1000,
+                }
+            )
+            last_end[0] = now_e
+            progress("errors", e_rows, now_e - t0e)
+        else:
+            # Dataset input: source shards unknowable — stage-level commit
+            errors = pin("errors", lambda ds=errors: ds, terminal=True)
     else:
         nodes = _build_nodes()
         manufacturers = _build_manufacturers()

@@ -209,6 +209,97 @@ class CheckpointManager:
         )
         return ds
 
+    def run_sharded_multi(self, name: str, groups):
+        """``run_sharded`` for a stage whose output is the UNION of several
+        map-only sources (the errors side-channel: record drops + fold
+        coercions + ingest-invalid rows), committed into ONE stage dir.
+
+        ``groups`` is ``[(tag, src_files, transform, read_columns), ...]``;
+        each source file commits as ``part-<tag>-<stem>.parquet`` (tmp +
+        rename, atomic), so a rerun rebuilds only missing parts across all
+        groups — a death mid-errors-stage resumes from the finished shards
+        (VERDICT r4 #8: at 100x the errors table is not dimension-sized).
+        Same stage semantics as run_sharded: manifest commits LAST,
+        ``is_done`` short-circuits, stale fingerprint clears parts."""
+        import ray.data as rd
+
+        out = self.stage_dir(name)
+        if self.is_done(name):
+            m = self.manifest(name)
+            self.stage_metrics.append(
+                {"stage": name, "rows_out": m["rows"], "duration_ms": 0.0,
+                 "skipped": True}
+            )
+            return read_parquet_clean(out)
+
+        t0 = time.perf_counter()
+        os.makedirs(out, exist_ok=True)
+        fp_path = os.path.join(out, "_FP")
+        stale = True
+        if os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                stale = fh.read() != self.fingerprint
+        if stale:
+            for f in os.listdir(out):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(out, f))
+            with open(fp_path, "w") as fh:
+                fh.write(self.fingerprint)
+
+        # part names carry tag + a stable per-group index (file lists are
+        # sorted and deterministic), so stems may collide across source
+        # dirs without clobbering
+        transforms = {tag: (tf, cols) for tag, _, tf, cols in groups}
+        todo = [
+            {"path": f, "tag": tag, "part": f"part-{tag}-{i:05d}.parquet"}
+            for tag, files, _, _ in groups
+            for i, f in enumerate(files)
+            if not os.path.exists(
+                os.path.join(out, f"part-{tag}-{i:05d}.parquet")
+            )
+        ]
+
+        if todo:
+            def process(batch):
+                import pyarrow as pa
+
+                for src, tag, pname in zip(
+                    batch["path"], batch["tag"], batch["part"]
+                ):
+                    tf, cols = transforms[tag]
+                    table = pq.read_table(src, columns=cols)
+                    result = tf(table)
+                    tmp = os.path.join(out, pname + f".tmp-{os.getpid()}")
+                    pq.write_table(result, tmp)
+                    os.replace(tmp, os.path.join(out, pname))
+                return pa.table({"path": pa.array(list(batch["path"]))})
+
+            rd.from_items(todo).map_batches(
+                process, batch_size=1, batch_format="pandas"
+            ).materialize()
+
+        rows, files = 0, []
+        for fname in sorted(os.listdir(out)):
+            if fname.endswith(".parquet"):
+                files.append(fname)
+                rows += pq.read_metadata(os.path.join(out, fname)).num_rows
+        duration_ms = (time.perf_counter() - t0) * 1000
+        manifest = {
+            "stage": name,
+            "rows": rows,
+            "files": files,
+            "fingerprint": self.fingerprint,
+            "duration_ms": duration_ms,
+            "sharded": True,
+        }
+        with open(os.path.join(out, MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        self.stage_metrics.append(
+            {"stage": name, "rows_out": rows, "duration_ms": duration_ms,
+             "skipped": False}
+        )
+        return read_parquet_clean(out)
+
     def run_sharded(self, name: str, src_files, transform,
                     read_columns=None):
         """Per-INPUT-SHARD resumable terminal sink for MAP-ONLY stages.

@@ -469,3 +469,44 @@ class TestResume:
             for r in r2.edges.take_all()
         )
         assert edges1 == edges2
+
+    def test_errors_shard_resume(self, ray_session, small_turns, tmp_path_factory):
+        """The errors side-channel commits one part per SOURCE SHARD across
+        its three feeds (rec = record drops, fold = status coercions,
+        ing = raw-input ingest scan): deleting some parts plus the manifest
+        must rebuild ONLY the missing parts (survivors keep their mtime)
+        and re-read to identical output (VERDICT r4 #8)."""
+        import glob as g
+        import os
+
+        out = str(tmp_path_factory.mktemp("kg_errshard") / "out")
+        r1 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        errors1 = sorted(
+            (r["stage"], r["key"], r["reason"]) for r in r1.errors.take_all()
+        )
+        edir = os.path.join(out, "errors")
+        parts = sorted(g.glob(os.path.join(edir, "part-*.parquet")))
+        tags = {os.path.basename(p).split("-")[1] for p in parts}
+        assert tags == {"rec", "fold", "ing"}, tags
+        # one ing part per raw input file
+        assert sum(t == "ing" for t in
+                   (os.path.basename(p).split("-")[1] for p in parts)) == 3
+
+        # simulate a death mid-errors-stage: manifest missing, a couple of
+        # parts (one per feed kind) not yet committed
+        os.remove(os.path.join(edir, "_SUCCESS"))
+        victims = [next(p for p in parts if "-rec-" in p),
+                   next(p for p in parts if "-ing-" in p)]
+        for p in victims:
+            os.remove(p)
+        kept = [p for p in parts if p not in victims]
+        kept_mtimes = {p: os.stat(p).st_mtime_ns for p in kept}
+
+        r2 = build_kg(small_turns, out_dir=out, n_buckets=8, num_join_partitions=4)
+        for p, m in kept_mtimes.items():
+            assert os.stat(p).st_mtime_ns == m, f"finished errors part rebuilt: {p}"
+        assert sorted(g.glob(os.path.join(edir, "part-*.parquet"))) == parts
+        errors2 = sorted(
+            (r["stage"], r["key"], r["reason"]) for r in r2.errors.take_all()
+        )
+        assert errors1 == errors2
