@@ -234,6 +234,15 @@ def build_kg(
     extractor_kwargs: forwarded to the model extractor stage —
       model_name, labels, model_factory (tests), concurrency, num_gpus.
     """
+    # Cold-build log hygiene (VERDICT r4 #4): Ray's sort/groupby reduces
+    # emit zero-column filler blocks for empty partitions that no UDF ever
+    # sees, so they cannot be typed at any projection site; the narrow
+    # driver-side filter (raylog.py — drops ONLY the empty-filler variant,
+    # real schema divergences stay loud) is installed wherever the build
+    # runs, not just in bench.
+    from ..raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     extractor_kwargs = dict(extractor_kwargs or {})
     if extractor == "gliner":
         from ..stages.adapters import gliner_available
@@ -710,6 +719,10 @@ def ingest_delta(
     import os
 
     import ray.data as rd
+
+    from ..raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()  # same cold-run hygiene as build_kg
 
     rec_files = sorted(glob.glob(os.path.join(prior_dir, "records", "*.parquet")))
     if not rec_files:
