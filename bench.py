@@ -177,6 +177,7 @@ def run_once() -> dict:
             "duration_s": round(m["duration_ms"] / 1000, 2),
             "gap_s": round(m.get("gap_ms", 0) / 1000, 2),
             "rows": m["rows_out"],
+            "exchange_mb": m.get("exchange_mb"),
         }
         for m in res.metrics
     ]
@@ -309,6 +310,7 @@ def run_scaling() -> dict:
             f"sec_{hi}": s["duration_s"],
             "speedup": round(lo_stages[s["stage"]] / s["duration_s"], 2)
             if lo_stages.get(s["stage"]) and s["duration_s"] else None,
+            "exchange_mb": s.get("exchange_mb"),
         }
         for s in r_hi.get("stages", [])
     ]

@@ -308,10 +308,17 @@ def build_kg(
                 ds = ckpt.run_partitioned(name, build)
             else:
                 ds = ckpt.run(name, build, **({} if terminal else reread_file_opts))
-            rows = ckpt.manifest(name)["rows"]
+            m = ckpt.manifest(name)
+            rows = m["rows"]
+            ex_bytes = m.get("exchange_bytes")
         else:
+            from ..stats import meter_snapshot, snapshot_delta
+
+            snap0 = meter_snapshot()
             ds = build().materialize()
             rows = ds.count()
+            ex = snapshot_delta(snap0, meter_snapshot())
+            ex_bytes = ex["exchange_bytes"] if ex else None
         now = time.perf_counter()
         metrics.append(
             {
@@ -322,6 +329,9 @@ def build_kg(
                 "matched_count": -1,
                 "duration_ms": (now - t0) * 1000,
                 "gap_ms": (t0 - last_end[0]) * 1000,
+                "exchange_mb": (
+                    round(ex_bytes / 1e6, 2) if ex_bytes is not None else None
+                ),
             }
         )
         last_end[0] = now

@@ -202,13 +202,12 @@ class ModelRecordExtractor:
     def __init__(self, model_name: str = "urchade/gliner_small-v2.1",
                  labels: Sequence[str] = RECORD_NER_LABELS,
                  model_factory: Optional[Callable] = None):
-        from .extract import EXTRACTION_SCHEMA, GEO_TYPE
+        from .extract import EXTRACTION_SCHEMA
 
         factory = model_factory or (lambda: _load_gliner(model_name))
         self.model = factory()
         self.labels: List[str] = list(labels)
         self._schema = EXTRACTION_SCHEMA
-        self._geo_type = GEO_TYPE
         self._empty = EXTRACTION_SCHEMA.empty_table()
 
     def _assemble(self, conv: str, tidx: int, ents: list, rows: list) -> None:
@@ -241,6 +240,8 @@ class ModelRecordExtractor:
                 rec["geo"][label.lower()] = text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .extract import KIND_CODE, KIND_FIELDS, pack_payload_str
+
         if batch.num_rows == 0:
             return self._empty
         conv = batch.column("conv_id").to_pylist()
@@ -251,24 +252,27 @@ class ModelRecordExtractor:
             ents = self.model.predict_entities(text or "", self.labels)
             if ents:
                 self._assemble(c, t, ents, rows)
-        n = len(rows)
-        geo = [r.get("geo") for r in rows]
+        # emit the packed exchange format (int8 kind + escaped payload —
+        # extract.EXTRACTION_SCHEMA round 5); geo fields the model did not
+        # tag travel as "" like the rule path's empty captures
+        payloads = []
+        for r in rows:
+            if r["kind"] == "SUPPLIER_GEO":
+                geo = r.get("geo") or {}
+                fields = [r.get("manufacturer")] + [
+                    geo.get(f, "") for f in KIND_FIELDS["SUPPLIER_GEO"][1:]
+                ]
+            else:
+                fields = [r.get(f) for f in KIND_FIELDS[r["kind"]]]
+            payloads.append(pack_payload_str(fields))
         return pa.table(
             {
                 "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
                 "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
-                "kind": pa.array([r["kind"] for r in rows], pa.string()),
-                "name": pa.array([r.get("name") for r in rows], pa.string()),
-                "manufacturer": pa.array(
-                    [r.get("manufacturer") for r in rows], pa.string()
+                "kind": pa.array(
+                    np.array([KIND_CODE[r["kind"]] for r in rows], np.int8)
                 ),
-                "cas": pa.array([r.get("cas") for r in rows], pa.string()),
-                "composition": pa.array(
-                    [r.get("composition") for r in rows], pa.string()
-                ),
-                "tag": pa.array([r.get("tag") for r in rows], pa.string()),
-                "source": pa.array([r.get("source") for r in rows], pa.string()),
-                "geo": pa.array(geo, self._geo_type),
+                "payload": pa.array(payloads, pa.string()),
             },
             schema=self._schema,
         )

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.decision_tables import combine_material_name
-from .extract import GEO_TYPE
+from .extract import GEO_FIELDS, GEO_TYPE, KIND_CODE, unpack_payload_str
 from .shuffle import stable_bucket_array
 
 CHEMICAL_STRUCT = pa.struct(
@@ -96,17 +96,14 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     out_reason: List = []
 
     # column arrays once; the per-conversation loop indexes plain numpy/python
-    # values (iterrows would cost ~100us/row at this volume)
+    # values (iterrows would cost ~100us/row at this volume). The extraction
+    # rows arrive PACKED (int8 kind + one escaped payload string — the
+    # exchange-thin format, extract.py round 5); fields decode lazily at the
+    # few indices the assembly actually touches.
     conv_arr = group["conv_id"].to_numpy()
-    kind_arr = group["kind"].to_numpy()
+    kind_arr = group["kind"].to_numpy()  # int8 codes (extract.KIND_CODE)
     turn_arr = group["turn_idx"].to_numpy()
-    name_arr = group["name"].to_numpy()
-    mfr_arr = group["manufacturer"].to_numpy()
-    cas_arr = group["cas"].to_numpy()
-    comp_arr = group["composition"].to_numpy()
-    tag_arr = group["tag"].to_numpy()
-    src_arr = group["source"].to_numpy()
-    geo_arr = group["geo"].to_numpy()  # dicts (SUPPLIER_GEO rows) or None
+    pay_arr = group["payload"].to_numpy()
 
     n = len(conv_arr)
     if n == 0:
@@ -124,7 +121,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     np.cumsum(run_of_row, out=run_of_row)
 
     def first_idx(kind: str) -> np.ndarray:
-        rows = np.flatnonzero(kind_arr == kind)
+        rows = np.flatnonzero(kind_arr == KIND_CODE[kind])
         out = np.full(n_runs, -1, np.int64)
         if rows.size:
             runs, firsts = np.unique(run_of_row[rows], return_index=True)
@@ -135,7 +132,7 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
     prod_idx = first_idx("PRODUCT_NO")
     upc_idx = first_idx("UPC")
     geo_idx = first_idx("SUPPLIER_GEO")
-    chem_rows = np.flatnonzero(kind_arr == "CHEMICAL")
+    chem_rows = np.flatnonzero(kind_arr == KIND_CODE["CHEMICAL"])
     chem_run = run_of_row[chem_rows]
     # per-run chem row groups: chem_rows is run-sorted, so one diff+split
     run_to_chems: Dict[int, np.ndarray] = {}
@@ -152,40 +149,45 @@ def assemble_bucket(group: pd.DataFrame) -> pa.Table:
         if mi < 0 or chem_idx is None:
             # empty-material / empty-chemicals raise -> conv dropped, but
             # AUDITED: an error row replaces the reference's exception
+            matf = unpack_payload_str(pay_arr[mi]) if mi >= 0 else None
             out_conv.append(conv_arr[lo])
             out_turn.append(int(turn_arr[lo]))
-            out_name.append(None if mi < 0 else name_arr[mi])
-            out_mfr.append(None if mi < 0 else mfr_arr[mi])
+            out_name.append(None if mi < 0 else matf[0])
+            out_mfr.append(None if mi < 0 else matf[1])
             out_geo.append(None)
             out_chems.append([])
             out_reason.append("EMPTY_MATERIAL" if mi < 0 else "EMPTY_CHEMICALS")
             continue
 
         pi, ui = int(prod_idx[r]), int(upc_idx[r])
+        matf = unpack_payload_str(pay_arr[mi])
         combined = combine_material_name(
-            name_arr[mi],
-            name_arr[pi] if pi >= 0 else None,
-            name_arr[ui] if ui >= 0 else None,
+            matf[0],
+            unpack_payload_str(pay_arr[pi])[0] if pi >= 0 else None,
+            unpack_payload_str(pay_arr[ui])[0] if ui >= 0 else None,
         )
 
         # dict-comprehension dedup: first-occurrence key order, last-wins value
         dedup: Dict[str, dict] = {}
         for i in chem_idx:
-            cas = cas_arr[i]
-            dedup[name_arr[i]] = {
-                "name": name_arr[i],
-                "cas": None if (cas is None or (isinstance(cas, float) and pd.isna(cas))) else cas,
-                "composition": comp_arr[i],
-                "tag": tag_arr[i],
-                "source": src_arr[i],
+            name, cas, comp, tag, src = unpack_payload_str(pay_arr[i])
+            dedup[name] = {
+                "name": name,
+                "cas": cas or None,  # "" travels for absent CAS (M9)
+                "composition": comp,
+                "tag": tag,
+                "source": src,
                 "turn_idx": int(turn_arr[i]),
             }
         out_conv.append(conv_arr[lo])
         out_turn.append(int(turn_arr[mi]))
         out_name.append(combined)
-        out_mfr.append(mfr_arr[mi])
+        out_mfr.append(matf[1])
         gi = int(geo_idx[r])
-        out_geo.append(geo_arr[gi] if gi >= 0 else None)
+        out_geo.append(
+            dict(zip(GEO_FIELDS, unpack_payload_str(pay_arr[gi])[1:7]))
+            if gi >= 0 else None
+        )
         # dict preserves FIRST-occurrence key order across overwrites, so
         # enumerate() is the reference's processing order (see CHEMICAL_STRUCT)
         out_chems.append(

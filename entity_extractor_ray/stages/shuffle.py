@@ -47,6 +47,12 @@ def stable_bucket_array(batch: pa.Table, key_cols: Sequence[str], n_buckets: int
 
 
 def _add_bucket(batch: pa.Table, key_cols: Sequence[str], n_buckets: int) -> pa.Table:
+    # exchange-volume accounting: every engine all-to-all passes through
+    # here, so one fire-and-forget meter call per batch gives the driver
+    # per-stage shuffled bytes via snapshot deltas (stats.py; never raises)
+    from ..stats import meter_add
+
+    meter_add(",".join(key_cols), batch.nbytes, batch.num_rows)
     buckets = stable_bucket_array(batch, key_cols, n_buckets)
     # Strip parquet-embedded pandas metadata before the shuffle: a pa.Schema
     # with a metadata dict is UNHASHABLE, which defeats Ray's schema-dedup

@@ -111,6 +111,9 @@ class CheckpointManager:
             )
             return read_parquet_clean(out)
 
+        from ..stats import meter_snapshot, snapshot_delta
+
+        snap0 = meter_snapshot()
         t0 = time.perf_counter()
         tmp = out + ".tmp"
         if os.path.exists(tmp):
@@ -147,12 +150,19 @@ class CheckpointManager:
                 files.append(fname)
                 rows += pq.read_metadata(os.path.join(out, fname)).num_rows
         duration_ms = (time.perf_counter() - t0) * 1000
+        # exchange-byte attribution: meter-snapshot delta across the stage
+        # (counts EVERY engine shuffle the build ran, incl. interior
+        # materialize boundaries — stats.py)
+        ex = snapshot_delta(snap0, meter_snapshot())
         manifest = {
             "stage": name,
             "rows": rows,
             "files": files,
             "fingerprint": self.fingerprint,
             "duration_ms": duration_ms,
+            "exchange_bytes": ex["exchange_bytes"] if ex else None,
+            "exchange_rows": ex["exchange_rows"] if ex else None,
+            "exchange_tags": ex["tags"] if ex else None,
         }
         with open(os.path.join(out, MANIFEST), "w") as fh:
             json.dump(manifest, fh)
@@ -182,6 +192,9 @@ class CheckpointManager:
             )
             return read_parquet_clean(out)
 
+        from ..stats import meter_snapshot, snapshot_delta
+
+        snap0 = meter_snapshot()
         t0 = time.perf_counter()
         mpath = os.path.join(out, MANIFEST)
         if os.path.exists(mpath):
@@ -194,6 +207,7 @@ class CheckpointManager:
                 files.append(fname)
                 rows += pq.read_metadata(os.path.join(out, fname)).num_rows
         duration_ms = (time.perf_counter() - t0) * 1000
+        ex = snapshot_delta(snap0, meter_snapshot())
         manifest = {
             "stage": name,
             "rows": rows,
@@ -201,6 +215,9 @@ class CheckpointManager:
             "fingerprint": self.fingerprint,
             "duration_ms": duration_ms,
             "partitioned": True,
+            "exchange_bytes": ex["exchange_bytes"] if ex else None,
+            "exchange_rows": ex["exchange_rows"] if ex else None,
+            "exchange_tags": ex["tags"] if ex else None,
         }
         with open(mpath, "w") as fh:
             json.dump(manifest, fh)

@@ -77,7 +77,9 @@ class TestMultiChemicalTurn:
             'It contains ingredient "Water" at 90.0% tagged NO_PFAS (source VAI).'
         )
         one = 'It contains ingredient "PFOS" with CAS 1763-23-1 at 0.5% tagged PFAS (source VAI).'
-        out = RecordExtractor()(_turns([two, one]))
+        from entity_extractor_ray.stages.extract import unpack_extraction
+
+        out = unpack_extraction(RecordExtractor()(_turns([two, one])))
         chems = [r for r in out.to_pylist() if r["kind"] == "CHEMICAL"]
         names = sorted(c["name"] for c in chems)
         assert names == ["PFOA", "PFOS", "Water"]
@@ -106,3 +108,41 @@ class TestMultiChemicalTurn:
         store = orc.run_oracle(t)
         contains = {(s, o) for (c, s, p, o) in store.triples if p == "CONTAINS"}
         assert contains == {("M", "A"), ("M", "B")}
+
+
+class TestPayloadPacking:
+    def test_escaping_roundtrip_adversarial(self):
+        from entity_extractor_ray.stages.extract import (
+            pack_payload_str,
+            unpack_payload_str,
+        )
+
+        cases = [
+            ["plain", "two words"],
+            ["has\x1fsep", "has\x1eesc"],
+            ["\x1e1", "\x1e0"],          # strings that LOOK like escapes
+            ["\x1f\x1f", "\x1e\x1f\x1e"],
+            ["", "trailing empty", ""],
+            ["unicode ✓", "日本語"],
+        ]
+        for fields in cases:
+            assert unpack_payload_str(pack_payload_str(fields)) == fields
+
+    def test_vectorized_pack_matches_python_pack(self):
+        import pyarrow as pa
+
+        from entity_extractor_ray.stages.extract import (
+            pack_payload,
+            pack_payload_str,
+        )
+
+        cols = [
+            pa.array(["a", "x\x1fy", None, "\x1e"], pa.string()),
+            pa.array(["b", "\x1e0", "", "z"], pa.string()),
+        ]
+        got = pack_payload(cols).to_pylist()
+        want = [
+            pack_payload_str([a or "", b or ""])
+            for a, b in zip(cols[0].to_pylist(), cols[1].to_pylist())
+        ]
+        assert got == want

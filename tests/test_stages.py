@@ -264,7 +264,9 @@ class TestRecordExtractor:
                 ),
             }
         )
-        rows = ex(batch).to_pylist()
+        from entity_extractor_ray.stages.extract import unpack_extraction
+
+        rows = unpack_extraction(ex(batch)).to_pylist()
         by_name = {r["name"]: r for r in rows}
         assert by_name["A B"]["cas"] == "50-00-0"
         assert by_name["C"]["cas"] is None
