@@ -151,6 +151,33 @@ def run_once() -> dict:
     headline = time.perf_counter() - t0
     assert n_nodes > 0
 
+    # object-store evidence for the scaling instrument (VERDICT r4 #6):
+    # spill/restore totals + plasma usage after the build, so a flatlining
+    # stage can be attributed (or not) to object-store pressure with data
+    def _object_store_stats() -> dict:
+        # memory_summary needs grpc (absent here); the raylet log carries
+        # cumulative "Spilled N MiB, M objects" / "Restored ..." lines —
+        # the LAST occurrence is the session total. No lines = no spilling.
+        try:
+            import re as _re
+
+            session = ray._private.worker._global_node.get_session_dir_path()
+            txt = open(os.path.join(session, "logs", "raylet.out"),
+                       errors="replace").read()
+            def last(pat):
+                hits = _re.findall(pat, txt)
+                return float(hits[-1]) if hits else 0.0
+
+            return {
+                "spilled_mb": last(r"Spilled (\d+) MiB"),
+                "spilled_objects": last(r"Spilled \d+ MiB, (\d+) objects"),
+                "restored_mb": last(r"Restored (\d+) MiB"),
+            }
+        except Exception:
+            return {}
+
+    obj_stats = _object_store_stats()
+
     # operator-surface subset over the sf dir
     from entity_extractor_ray.pipelines import analytics as ana
     from entity_extractor_ray.pipelines import relational as rel
@@ -194,6 +221,7 @@ def run_once() -> dict:
             "turns": n_turns,
             "turns_per_sec": round(n_turns / headline, 1),
             "stages": stages,
+            "object_store": obj_stats,
             "weather": weather,
         }
 
@@ -249,6 +277,7 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        "object_store": obj_stats,
         "weather": weather,
     }
 
@@ -324,6 +353,8 @@ def run_scaling() -> dict:
         f"sec_{hi}": med_pair["sec_hi"],
         f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        f"object_store_{lo}": r_lo.get("object_store"),
+        f"object_store_{hi}": r_hi.get("object_store"),
         "turns": r_hi["turns"],
         "sf": r_hi["sf"],
         "stages": stages,
