@@ -421,11 +421,15 @@ def build_kg(
         parts_dir = os.path.join(out_dir, "records_assemble")
         records = pin(
             "records",
+            # reread_safe: the assemble output is parts-backed on disk, so
+            # the dedup decision pass and the apply pass each re-read
+            # parquet instead of re-running extraction
             lambda: dedup_records(
                 assemble_records_partitioned(
                     extraction, parts_dir, n_buckets, fingerprint=ckpt.fingerprint
                 ),
                 n_buckets,
+                reread_safe=True,
             ),
         )
     else:

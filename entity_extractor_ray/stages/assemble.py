@@ -248,8 +248,8 @@ def assemble_records_partitioned(
     )
 
 
-def dedup_records(records_ds, n_buckets: int = 64):
-    """The J1 anti-join guard as a dedup shuffle: the reference raises
+def dedup_records(records_ds, n_buckets: int = 64, reread_safe: bool = False):
+    """The J1 anti-join guard as a DECISION shuffle: the reference raises
     MATERIAL_ALREADY_INGESTED when a document's (normalized combined material
     name, manufacturer name) already exists and ROLLS BACK the whole document
     (check_if_material_already_ingested -> save_msds except-path,
@@ -262,12 +262,38 @@ def dedup_records(records_ds, n_buckets: int = 64):
     reference's whole-document rollback) so the drop is auditable via the
     errors side-channel. Rows already carrying a drop_reason from assembly
     pass through on a per-conversation key (they never had a material
-    identity to compete on)."""
+    identity to compete on).
+
+    Scale shape (round 5): the full record payload (incl. the chemicals
+    list<struct>) never crosses an exchange just to decide first-per-key.
+
+      1. map-side partial: one (mat_key, min order_key, count) row per
+         DISTINCT clean key per batch — the decision exchange is key-
+         cardinality sized, not record sized (measured 62 MB -> ~2 MB of
+         the records stage's shuffle volume at 120k convs);
+      2. a mat_key-bucketed reduce keeps only CONTESTED identities
+         (global count > 1) as (mat_key, win_key) — dup-fraction sized;
+      3. records LEFT-lookup_join that table: broadcast (zero shuffle)
+         while contested identities fit the gates, Bloom-pruned bucket
+         join past them — never worse than the old full-payload shuffle.
+
+    Correctness hinges on order_key uniqueness among clean rows: assembly
+    emits exactly ONE record per conv_id, so '<conv>|<turn>' never ties —
+    the unique winner is the row whose order_key equals the group min.
+
+    ``reread_safe=False`` materializes the input first: both phases consume
+    it, and a lazy extract->assemble chain must not run twice. Pass True
+    when the input is already parquet/parts-backed (the checkpointed build
+    path), where a second scan is just a cheap re-read."""
     import pyarrow.compute as pc
 
+    from ..functions.arrowutil import rename_agg
     from ..functions.decision_tables import normalize_name_key
     from .linking import order_key_array
-    from .shuffle import bucket_group_apply_arrow
+    from .shuffle import bucket_group_apply_arrow, lookup_join
+
+    if not reread_safe:
+        records_ds = records_ds.materialize()
 
     def add_keys(batch: pa.Table) -> pa.Table:
         mat = batch.column("material_name").to_pylist()
@@ -285,25 +311,58 @@ def dedup_records(records_ds, n_buckets: int = 64):
 
     keyed = records_ds.map_batches(add_keys, batch_format="pyarrow")
 
-    def keep_first(bucket: pa.Table, bucket_id: int) -> pa.Table:
-        order = pc.sort_indices(
-            bucket, sort_keys=[("mat_key", "ascending"), ("order_key", "ascending")]
+    def contest_partial(batch: pa.Table) -> pa.Table:
+        t = add_keys(batch)
+        clean = t.filter(pc.is_null(t.column("drop_reason")))
+        agg = pa.TableGroupBy(clean.select(["mat_key", "order_key"]), "mat_key").aggregate(
+            [("order_key", "min"), ("mat_key", "count")]
         )
-        sorted_t = bucket.take(order)
-        keys = sorted_t.column("mat_key").to_numpy(zero_copy_only=False)
-        dup = np.zeros(len(keys), bool)
-        if len(keys) > 1:
-            dup[1:] = keys[1:] == keys[:-1]
-        is_dup = pa.array(dup)
+        return rename_agg(
+            agg, {"mat_key": "mat_key", "order_key_min": "win_key", "mat_key_count": "n"}
+        )
+
+    # the decision pass never touches the heavy payload columns (chemicals
+    # list<struct>, geo): a projected scan reads only the five key columns —
+    # Ray pushes select_columns into the parquet read on the parts-backed
+    # path, and projects object-store blocks zero-copy on the materialized one
+    decision_cols = ["conv_id", "turn_idx", "material_name", "manufacturer",
+                     "drop_reason"]
+    partials = records_ds.select_columns(decision_cols).map_batches(
+        contest_partial, batch_format="pyarrow"
+    )
+
+    def contested(bucket: pa.Table, bucket_id: int) -> pa.Table:
+        agg = pa.TableGroupBy(bucket, "mat_key").aggregate(
+            [("win_key", "min"), ("n", "sum")]
+        )
+        t = rename_agg(agg, {"mat_key": "mat_key", "win_key_min": "win_key", "n_sum": "n"})
+        return t.filter(pc.greater(t.column("n"), 1)).select(["mat_key", "win_key"])
+
+    dup_groups = bucket_group_apply_arrow(partials, ["mat_key"], contested, n_buckets)
+
+    joined = lookup_join(
+        keyed, dup_groups, key="mat_key", how="left",
+        n_buckets=n_buckets, unique_right=True,
+    )
+
+    def apply_guard(batch: pa.Table) -> pa.Table:
+        win = batch.column("win_key")
+        is_dup = pc.fill_null(
+            pc.and_kleene(
+                pc.is_null(batch.column("drop_reason")),
+                pc.not_equal(batch.column("order_key"), win),
+            ),
+            False,
+        )
         reason = pc.if_else(
             is_dup,
             pa.scalar("MATERIAL_ALREADY_INGESTED", pa.string()),
-            sorted_t.column("drop_reason"),
+            batch.column("drop_reason"),
         )
         # rollback semantics: a duplicate's chemicals contribute nothing
         # (if_else lacks list<struct> kernels, so patch dup slots in Python —
-        # dup rows are a small minority of any bucket)
-        chems = sorted_t.column("chemicals")
+        # dup rows are a small minority of any batch)
+        chems = batch.column("chemicals")
         dup_mask = is_dup.to_pylist()
         if any(dup_mask):
             chem_list = chems.to_pylist()
@@ -311,12 +370,12 @@ def dedup_records(records_ds, n_buckets: int = 64):
                 if d:
                     chem_list[i] = []
             chems = pa.chunked_array([pa.array(chem_list, pa.list_(CHEMICAL_STRUCT))])
-        out = sorted_t.set_column(
-            sorted_t.schema.get_field_index("drop_reason"), "drop_reason", reason
+        out = batch.set_column(
+            batch.schema.get_field_index("drop_reason"), "drop_reason", reason
         )
         out = out.set_column(
             out.schema.get_field_index("chemicals"), "chemicals", chems
         )
         return out.select(RECORD_SCHEMA.names).cast(RECORD_SCHEMA)
 
-    return bucket_group_apply_arrow(keyed, ["mat_key"], keep_first, n_buckets)
+    return joined.map_batches(apply_guard, batch_format="pyarrow")
