@@ -28,12 +28,20 @@ def stable_hash64(text: str) -> int:
     return int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def stable_id_bytes(*parts: Optional[str]) -> bytes:
+    """Raw 16-byte form of stable_id — used where an id column only exists
+    to cross an exchange (edges / rollup shuffles): the binary form halves
+    the dominant column's payload vs the 32-char hex string. hex() of this
+    value IS stable_id(...) by construction."""
+    joined = "\x1f".join("" if p is None else p for p in parts)
+    return hashlib.blake2b(joined.encode("utf-8"), digest_size=16).digest()
+
+
 def stable_id(*parts: Optional[str]) -> str:
     """Deterministic entity id from key parts — replaces the reference's
     uuid.uuid4() node ids (artifact_ingestor_service.py:1012, 1068) so that
     re-runs and parallel workers mint identical ids without coordination."""
-    joined = "\x1f".join("" if p is None else p for p in parts)
-    return hashlib.blake2b(joined.encode("utf-8"), digest_size=16).hexdigest()
+    return stable_id_bytes(*parts).hex()
 
 
 def words(text: str) -> List[str]:

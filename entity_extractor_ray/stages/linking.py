@@ -59,6 +59,7 @@ from ..functions.decision_tables import (
     fold_chemical_mentions_total,
     normalize_name_key,
 )
+from ..functions.arrowutil import bin_to_hex, try_hex_to_bin
 from ..functions.textnorm import stable_id
 from .shuffle import bucket_group_apply, stable_bucket_array
 
@@ -888,7 +889,7 @@ SEGMENT_SCHEMA_NAMES = (
 
 SEGMENT_SCHEMA = pa.schema(
     [
-        ("entity_id", pa.string()),
+        ("entity_id", pa.binary()),  # packed stable id (hex_to_bin)
         ("min_order", pa.string()),
         ("n_mentions", pa.int64()),
         ("lead_state", pa.int16()),
@@ -919,9 +920,17 @@ def _encode_mentions_fn(mtype_idx):
             tag, _, src = pair.partition("\x1f")
             lut[i] = mtype_idx[(pfas_status_from_tag(tag), src)]
         mt = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        # entity_id rides the range sort AND the segment shuffle as 16-byte
+        # binary when it is a stable-id column (every engine pipeline; the
+        # id is the widest field of both exchanges); arbitrary string ids —
+        # a public-API possibility — pass through unpacked. Hex is minted
+        # back once, in compose_bucket's output.
+        ent = try_hex_to_bin(t.column("entity_id"))
+        if ent is None:
+            ent = t.column("entity_id")
         return pa.table(
             {
-                "entity_id": t.column("entity_id"),
+                "entity_id": ent,
                 "order_key": t.column("order_key"),
                 "mtype": pa.array(mt, pa.int16()),
             }
@@ -937,7 +946,11 @@ def _segment_summary_fn(fold_tables):
     def summarize(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return SEGMENT_SCHEMA.empty_table()
+            # entity_id is binary (packed stable ids) or string (arbitrary
+            # ids) — the empty block must match the populated blocks' type
+            return SEGMENT_SCHEMA.set(
+                0, pa.field("entity_id", t.schema.field("entity_id").type)
+            ).empty_table()
         ent = t.column("entity_id").combine_chunks()
         mt = t.column("mtype").to_numpy(zero_copy_only=False).astype(np.int64)
         diff = pc.not_equal(ent.slice(0, n - 1), ent.slice(1)).to_numpy(
@@ -1063,9 +1076,13 @@ def fold_chemical_states(linked_ds, n_buckets: int = 64):
                 sources.append(source)
                 counts.append(int(g["n_mentions"].sum()))
                 coerced.append(n_coerced)
+        if ids and isinstance(ids[0], (bytes, bytearray)):
+            ent_out = bin_to_hex(pa.array(ids, pa.binary()))
+        else:
+            ent_out = pa.array(ids, pa.string())
         return pa.table(
             {
-                "entity_id": pa.array(ids, pa.string()),
+                "entity_id": ent_out,
                 "pfas_status": pa.array(statuses, pa.string()),
                 "pfas_information_source": pa.array(sources, pa.string()),
                 "n_mentions": pa.array(counts, pa.int64()),

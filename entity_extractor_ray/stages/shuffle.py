@@ -32,15 +32,32 @@ def stable_bucket_array(batch: pa.Table, key_cols: Sequence[str], n_buckets: int
     import pyarrow.compute as pc
 
     parts = []
+    has_binary = False
     for c in key_cols:
         col = batch.column(c)
-        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # packed-id exchange columns (arrowutil.hex_to_bin) stay binary:
+            # a cast to string would utf8-validate raw digest bytes and raise
+            has_binary = True
+        elif not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
             col = pc.cast(col, pa.string())
-        parts.append(pc.fill_null(col, ""))
+        parts.append(col)
+    if has_binary:
+        parts = [
+            pc.cast(p, pa.binary())
+            if not (pa.types.is_binary(p.type) or pa.types.is_large_binary(p.type))
+            else p
+            for p in parts
+        ]
+        parts = [pc.fill_null(p, b"") for p in parts]
+        sep: object = b"\x1f"
+    else:
+        parts = [pc.fill_null(p, "") for p in parts]
+        sep = "\x1f"
     if len(parts) == 1:
         joined = parts[0]
     else:
-        joined = pc.binary_join_element_wise(*parts, "\x1f")
+        joined = pc.binary_join_element_wise(*parts, sep)
     series = joined.to_pandas()
     hashed = pd.util.hash_pandas_object(series, index=False).to_numpy()
     return (hashed % np.uint64(n_buckets)).astype(np.int64)
