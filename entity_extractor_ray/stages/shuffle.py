@@ -589,11 +589,11 @@ def lookup_join(
                 t = t.filter(pa.array(hit))
                 pos = pos[hit]
             take_idx = pa.array(pos, pa.int64())
-        else:  # left: misses become null right-hand values
+        else:  # left: misses become null right-hand values (mask= nulls the
+            # negative positions without a per-row Python pass)
+            miss = pos < 0
             take_idx = pa.array(
-                [int(p) if p >= 0 else None for p in pos]
-                if (pos < 0).any() else pos,
-                pa.int64(),
+                pos, pa.int64(), mask=miss if miss.any() else None
             )
         taken = r_cols.take(take_idx)
         out = t
