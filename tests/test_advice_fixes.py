@@ -76,7 +76,19 @@ class TestLookupJoinDuplicates:
         right = _ds(pa.table({"k": [2, 3], "rv": [20, 30]}))
         out = lookup_join(left, right, key="k", how="left").to_pandas()
         assert len(out) == 3
-        assert out.set_index("k")["rv"].to_dict()[2] == 20
+        rv = out.set_index("k")["rv"]
+        assert rv[2] == 20 and rv[3] == 30
+        # the miss row survives with a NULL right-hand value (the masked
+        # vectorized take path, not a Python per-row rebuild)
+        assert pd.isna(rv[1])
+
+    def test_left_broadcast_all_hits(self):
+        from entity_extractor_ray.stages.shuffle import lookup_join
+
+        left = _ds(pa.table({"k": [2, 3], "lv": ["b", "c"]}))
+        right = _ds(pa.table({"k": [2, 3], "rv": [20, 30]}))
+        out = lookup_join(left, right, key="k", how="left").to_pandas()
+        assert out.set_index("k")["rv"].to_dict() == {2: 20, 3: 30}
 
 
 @pytest.mark.usefixtures("ray_session")
