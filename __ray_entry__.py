@@ -514,21 +514,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # correctness sweep truncates at the FIRST 50 entries of this dict;
     # across rounds 1-4 it hash-verified 129 distinct queries, leaving
     # exactly 26 that never held a driver CORRECTNESS row (VERDICT r4 #2).
-    # The window now holds: those 26 (the 7 oracled ones FIRST —
-    # rows+schema+hash — then the 19 rows-only, each of which also carries
-    # a strong local pin: serial-oracle e2e for the kg_* family,
-    # numpy/brute-force/pandas equality for the rest), then 24 backfill
-    # re-checks of the STALEST previously-verified oracled queries (the 14
-    # last checked in round 2 + the 10 alphabetically-first of round 3).
-    # After this round every one of the 155 queries has had >=1 driver row.
+    # The window now holds: those 26 plus the 4 operators NEW in round 5
+    # (events_ohlc / events_minmax_norm / inverted_index oracled,
+    # bpe_encode rows-only) — oracled entries FIRST (rows+schema+hash),
+    # then the rows-only ones, each of which also carries a strong local
+    # pin: serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
+    # equality for the rest — then 20 backfill re-checks of the STALEST
+    # previously-verified oracled queries.
+    # After this round every one of the 159 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
-        # -- never driver-checked, oracled (7)
+        # -- never driver-checked, oracled (10; events_ohlc /
+        #    events_minmax_norm / inverted_index are new in round 5)
         "decontaminate_docs", "split_documents", "rebalance_sources",
         "pack_documents", "duplicate_ngram_spans", "csv_documents_tokens",
         "jsonl_documents_by_lang",
-        # -- never driver-checked, rows-only (19)
+        "events_ohlc", "events_minmax_norm", "inverted_index",
+        # -- never driver-checked, rows-only (20; bpe_encode new in r5)
+        "bpe_encode",
         "lm_quality_scores", "semantic_chunk_documents", "kmeans_clusters",
         "pca_embeddings", "semantic_dedup_embeddings", "knn_cosine_pq",
         "bpe_merges", "events_user_ewma", "media_resize",
@@ -543,9 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts", "vocab_stats",
         "approx_distinct_users", "cheapest_supplier_per_part",
         "concat_by_lang", "count_by_status", "cust_finished_except_open",
-        "cust_finished_intersect_open", "cust_orders_outer",
-        "distinct_returnflags", "doc_length_quantiles",
-        "doc_length_quantiles_cont",
+        "cust_finished_intersect_open",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -31,6 +31,16 @@ bucket shuffle instead of Ray's multi-key sort aggregate (~27x at sf0.1).
   plus a vectorized map-side merge application. Non-SQL-expressible
   (iterative argmax); pinned against a serial reference implementation in
   tests/test_mining.py including overlap ('aaaa') greedy-leftmost cases.
+- ``bpe_encode`` — the paired tokenizer APPLICATION: broadcast merge
+  table, per-batch unique-word vectorized encode, scatter back by
+  searchsorted. Rows-only; pinned against a serial per-word encoder.
+- ``events_ohlc`` — per-(type, day) open/high/low/close bars: grouped
+  argmin/argmax-BY a composite (ts, event_id) order key carried through
+  MERGEABLE per-batch partials, so facts never shuffle.
+- ``events_minmax_norm`` — per-type min-max feature scaling: map-side
+  (type, lo, hi) partials -> driver dict broadcast -> map-only normalize.
+- ``inverted_index`` — term -> posting-list build with an exact df and a
+  deterministic first-K ascending postings cap (hot-list bound).
 
 Reference parity note: these generalize SURVEY §2 families A6/A7
 (metric rollups), J8 (retrieval scoring), and M15/M16 (tokenizer-adjacent
@@ -1273,6 +1283,333 @@ def cms_probe_sql() -> str:
     """
 
 
+# ------------------------------------------------------------- OHLC bars
+
+
+def events_ohlc(sf_dir: str):
+    """Per-(event_type, day) OHLC bars — the time-series downsampling
+    aggregate (open/high/low/close under the deterministic (ts, event_id)
+    order). The new shape vs first/last-per-user: argmin/argmax-BY a
+    composite order key carried through a MERGEABLE partial — each batch
+    reduces to one row per (type, day) holding its endpoint candidates
+    (value + its order key), so the facts never shuffle; only the
+    day-dimension-sized partials do (n_types x n_days x n_batches rows).
+    Exact integer cents end to end; one final division mirrored in
+    EVENTS_OHLC_SQL's first()/last() ORDER BY aggregates."""
+    from ..stages.shuffle import bucket_group_apply_arrow
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    PARTIAL = pa.schema(
+        [("event_type", pa.string()), ("day", pa.string()),
+         ("o_ts", pa.int64()), ("o_eid", pa.int64()), ("o_c", pa.int64()),
+         ("c_ts", pa.int64()), ("c_eid", pa.int64()), ("c_c", pa.int64()),
+         ("lo", pa.int64()), ("hi", pa.int64()), ("n", pa.int64())]
+    )
+
+    def _group_runs(et, day):
+        """Run boundaries of the (et, day) composite under ANY ordering that
+        sorts by it — callers lexsort first. Returns (starts, ends_excl)."""
+        changed = np.r_[True, (et[1:] != et[:-1]) | (day[1:] != day[:-1])]
+        starts = np.flatnonzero(changed)
+        return starts, np.r_[starts[1:], len(et)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PARTIAL.empty_table()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d").to_numpy(
+            zero_copy_only=False
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, day, et))
+        et, ts, day, eid, cents = (a[order] for a in (et, ts, day, eid, cents))
+        s, e = _group_runs(et, day)
+        return pa.table(
+            {
+                "event_type": pa.array(et[s], pa.string()),
+                "day": pa.array(day[s], pa.string()),
+                "o_ts": pa.array(ts[s], pa.int64()),
+                "o_eid": pa.array(eid[s], pa.int64()),
+                "o_c": pa.array(cents[s], pa.int64()),
+                "c_ts": pa.array(ts[e - 1], pa.int64()),
+                "c_eid": pa.array(eid[e - 1], pa.int64()),
+                "c_c": pa.array(cents[e - 1], pa.int64()),
+                "lo": pa.array(np.minimum.reduceat(cents, s), pa.int64()),
+                "hi": pa.array(np.maximum.reduceat(cents, s), pa.int64()),
+                "n": pa.array(e - s, pa.int64()),
+            },
+            schema=PARTIAL,
+        )
+
+    def merge_bucket(t: pa.Table, bucket_id: int) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cols = {c: t.column(c).to_numpy(zero_copy_only=False) for c in
+                ("o_ts", "o_eid", "o_c", "c_ts", "c_eid", "c_c", "lo", "hi", "n")}
+        # open endpoint: row with the MIN (o_ts, o_eid) per group
+        oo = np.lexsort((cols["o_eid"], cols["o_ts"], day, et))
+        s, e = _group_runs(et[oo], day[oo])
+        open_c = cols["o_c"][oo][s]
+        # close endpoint: row with the MAX (c_ts, c_eid) per group
+        co = np.lexsort((cols["c_eid"], cols["c_ts"], day, et))
+        s2, e2 = _group_runs(et[co], day[co])
+        close_c = cols["c_c"][co][e2 - 1]
+        lo = np.minimum.reduceat(cols["lo"][oo], s)
+        hi = np.maximum.reduceat(cols["hi"][oo], s)
+        n = np.add.reduceat(cols["n"][oo], s)
+        return pa.table(
+            {
+                "event_type": pa.array(et[oo][s], pa.string()),
+                "day": pa.array(day[oo][s], pa.string()),
+                "open": pa.array(open_c / 100.0, pa.float64()),
+                "high": pa.array(hi / 100.0, pa.float64()),
+                "low": pa.array(lo / 100.0, pa.float64()),
+                "close": pa.array(close_c / 100.0, pa.float64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucket_group_apply_arrow(partials, ["event_type", "day"], merge_bucket,
+                                    n_buckets=16)
+
+
+EVENTS_OHLC_SQL = """
+WITH s AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, day,
+       CAST(first(cents ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS open,
+       CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+       CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+       CAST(last(cents ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY event_type, day
+"""
+
+
+# ------------------------------------------------- min-max feature scaling
+
+
+def events_minmax_norm(sf_dir: str):
+    """Per-type min-max normalization of event values — the feature-scaling
+    pass before model training. Two-phase broadcast pattern: a map-side
+    (type, min, max) partial (one row per type per batch), a driver-side
+    reduce of that type-dimension-sized relation into a plain dict, then a
+    map-only vectorized normalize — the fact table is scanned twice but
+    never shuffled. Exact cents in the partials; the (cents-lo)/(hi-lo)
+    integer-over-integer double division is written identically in
+    MINMAX_NORM_SQL, so parity is bit-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"event_type": t.column("event_type"), "cents": _cents(t.column("value"))}
+        )
+        agg = pa.TableGroupBy(tt, "event_type").aggregate(
+            [("cents", "min"), ("cents", "max")]
+        )
+        return rename_agg(
+            agg, {"event_type": "event_type", "cents_min": "lo", "cents_max": "hi"}
+        )
+
+    # type-dimension-sized: rows = n_types x n_batches
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    bounds: dict = {}
+    for r in rows:
+        lo, hi = bounds.get(r["event_type"], (None, None))
+        bounds[r["event_type"]] = (
+            r["lo"] if lo is None else min(lo, r["lo"]),
+            r["hi"] if hi is None else max(hi, r["hi"]),
+        )
+    los = {k: v[0] for k, v in bounds.items()}
+    his = {k: v[1] for k, v in bounds.items()}
+
+    def normalize(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        # type-dimension-sized lookup, then one vectorized scatter
+        u, inv = np.unique(et, return_inverse=True)
+        lo_v = np.array([los[x] for x in u], dtype=np.int64)[inv]
+        hi_v = np.array([his[x] for x in u], dtype=np.int64)[inv]
+        span = hi_v - lo_v
+        norm = np.where(span == 0, 0.0, (cents - lo_v) / np.where(span == 0, 1, span))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "norm_value": pa.array(norm, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+MINMAX_NORM_SQL = """
+WITH s AS (
+  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi FROM s GROUP BY event_type)
+SELECT s.event_id, s.event_type,
+       CASE WHEN hi = lo THEN 0.0
+            ELSE CAST(s.cents - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) END AS norm_value
+FROM s JOIN m USING (event_type)
+"""
+
+
+# ------------------------------------------------------- inverted index
+
+
+def inverted_index(sf_dir: str, max_postings: int = 100):
+    """Term -> posting-list index build over the documents corpus (the
+    retrieval-index construction step). Each batch emits DISTINCT
+    (token, doc_id) pairs (a doc is one row, so per-batch distinct is
+    globally distinct); one token-bucketed shuffle then assembles df and
+    the FIRST max_postings doc_ids per term (ascending — deterministic
+    truncation, the hot-posting-list cap that keeps one stopword's row
+    bounded at web scale; df stays exact). postings is a comma-joined
+    string so the relation stays flat for the hash compare."""
+    import re as _re
+
+    from ..stages.shuffle import bucket_group_apply_arrow
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = _re.compile(r"[a-z]+")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_tok: list = []
+        out_doc: list = []
+        for d, x in zip(docs, texts):
+            toks = sorted(set(word_re.findall((x or "").lower())))
+            out_tok.extend(toks)
+            out_doc.extend([d] * len(toks))
+        return pa.table(
+            {"token": pa.array(out_tok, pa.string()),
+             "doc_id": pa.array(out_doc, pa.int64())}
+        )
+
+    def assemble(t: pa.Table, bucket_id: int) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, tok))
+        tok, doc = tok[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        ends = np.r_[starts[1:], len(tok)]
+        df = ends - starts
+        toks_u, posts, n_posts = [], [], []
+        for s, e in zip(starts, ends):
+            k = min(int(e - s), max_postings)
+            toks_u.append(tok[s])
+            n_posts.append(k)
+            posts.append(",".join(str(d) for d in doc[s:s + k]))
+        return pa.table(
+            {
+                "token": pa.array(toks_u, pa.string()),
+                "df": pa.array(df, pa.int64()),
+                "n_postings": pa.array(n_posts, pa.int64()),
+                "postings": pa.array(posts, pa.string()),
+            }
+        )
+
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+    return bucket_group_apply_arrow(p, ["token"], assemble, n_buckets=16)
+
+
+def inverted_index_sql(max_postings: int = 100) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS token
+      FROM documents
+    ), p AS (SELECT DISTINCT token, doc_id FROM t),
+    r AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY token) AS df
+      FROM p
+    )
+    SELECT token, CAST(max(df) AS BIGINT) AS df,
+           CAST(count(*) FILTER (WHERE rn <= {max_postings}) AS BIGINT) AS n_postings,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             FILTER (WHERE rn <= {max_postings}) AS postings
+    FROM r GROUP BY token
+    """
+
+
+# ----------------------------------------------------------- BPE encode
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 20):
+    """Apply a trained BPE merge table to the corpus — the tokenizer
+    APPLICATION step that pairs with bpe_merges (train). The merge table is
+    driver-sized (n_merges rows) and ships by closure; each batch encodes
+    only its UNIQUE whitespace words (vocab-local work) with the same
+    vectorized greedy-leftmost kernel the trainer uses (_apply_merge_np),
+    then scatters per-word token counts back to docs with one searchsorted
+    — no per-character Python in the merge loop and no corpus-scale
+    shuffle anywhere. Rows-only (the trained table is an iterative argmax);
+    pinned against a serial word-by-word encoder in tests/test_mining.py."""
+    m = bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(m.column("left").to_pylist(), m.column("right").to_pylist()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        words_per_doc = [(x or "").split(" ") for x in texts]
+        uniq = sorted({w for ws in words_per_doc for w in ws})
+        if uniq:
+            flat = np.array([c for w in uniq for c in w], dtype=object)
+            offs = np.r_[0, np.cumsum([len(w) for w in uniq])].astype(np.int64)
+            for left, right in merges:
+                flat, offs = _apply_merge_np(flat, offs, left, right)
+            tok_counts = np.diff(offs)
+        else:
+            tok_counts = np.array([], dtype=np.int64)
+        uniq_arr = np.array(uniq, dtype=object)
+        n_tokens = [
+            int(tok_counts[np.searchsorted(uniq_arr, np.array(ws, dtype=object))].sum())
+            if ws else 0
+            for ws in words_per_doc
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_encode_serial(text: str, merges) -> int:
+    """Serial reference encoder for tests: greedy leftmost-first merge
+    application per word, returns the doc's BPE token count."""
+    total = 0
+    for w in (text or "").split(" "):
+        syms = list(w)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
 def mining_queries():
     return {
         "regression_by_flag": regression_by_flag,
@@ -1285,6 +1622,10 @@ def mining_queries():
         "cms_token_counts": _cms_query,
         "events_user_ewma": events_user_ewma,
         "fd_audit": fd_audit,
+        "events_ohlc": events_ohlc,
+        "events_minmax_norm": events_minmax_norm,
+        "inverted_index": inverted_index,
+        "bpe_encode": bpe_encode,
     }
 
 
@@ -1298,6 +1639,10 @@ def mining_oracle_sql():
         "rrf_retrieval": rrf_sql(),
         "cms_token_counts": cms_probe_sql(),
         "fd_audit": fd_audit_sql(),
-        # bpe_merges: rows-only (iterative argmax, non-SQL-expressible);
-        # pinned vs bpe_merges_serial in tests/test_mining.py
+        "events_ohlc": EVENTS_OHLC_SQL,
+        "events_minmax_norm": MINMAX_NORM_SQL,
+        "inverted_index": inverted_index_sql(),
+        # bpe_merges / bpe_encode: rows-only (the merge table is an
+        # iterative argmax, non-SQL-expressible); both pinned vs serial
+        # references in tests/test_mining.py
     }

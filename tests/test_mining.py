@@ -404,3 +404,139 @@ def test_basket_lift_hot_basket_capped(tmp_path):
     # is floor(1e6 * 2*1/(1*1))/1e6 = 2.0 — exact supports survived the cap
     singles = got[(got["pair_n"] == 1) & (got["p1"] > 2) & (got["p2"] > 2)]
     assert (singles["lift"] == 2.0).all()
+
+
+# ------------------------------------------------- round-5 operator batch
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_encode_matches_serial():
+    from entity_extractor_ray.pipelines.mining import (
+        bpe_encode,
+        bpe_encode_serial,
+    )
+
+    merges_tbl = bpe_merges("/root/testdata/sf0.001", n_merges=12)
+    merges = list(
+        zip(merges_tbl.column("left").to_pylist(), merges_tbl.column("right").to_pylist())
+    )
+    got = (
+        bpe_encode("/root/testdata/sf0.001", n_merges=12)
+        .to_pandas()
+        .set_index("doc_id")["n_bpe_tokens"]
+        .to_dict()
+    )
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(docs) > 0
+    for doc_id, text in docs:
+        assert got[doc_id] == bpe_encode_serial(text, merges), doc_id
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_ohlc_cross_batch_merge(tmp_path):
+    # >1024 rows so the map-side partial path has MULTIPLE batches and the
+    # bucket merge must pick endpoints across partials; values/ts shuffled
+    # so batch order != time order
+    from entity_extractor_ray.pipelines.mining import events_ohlc
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64)
+    day_us = 86_400_000_000
+    ts = base + rng.randint(0, 2 * day_us, n)  # two days
+    et = rng.choice(["click", "buy"], n)
+    val = np.round(rng.uniform(0, 100, n), 2)
+    order = rng.permutation(n)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n)[order], pa.int64()),
+            "ts": pa.array(ts[order], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "event_type": pa.array(et[order], pa.string()),
+            "value": pa.array(val[order], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        events_ohlc(str(tmp_path))
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    from entity_extractor_ray.pipelines.mining import EVENTS_OHLC_SQL
+
+    want = (
+        con.execute(EVENTS_OHLC_SQL)
+        .df()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    assert len(got) == 4  # 2 types x 2 days
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_minmax_norm_degenerate_type(tmp_path):
+    # constant-valued type -> norm 0.0 everywhere (hi == lo guard); the
+    # other type spans [10, 20] -> endpoints at exactly 0 and 1
+    from entity_extractor_ray.pipelines.mining import events_minmax_norm
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([0] * 5, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([0] * 5, pa.int64()),
+            "event_type": pa.array(["c", "c", "v", "v", "v"], pa.string()),
+            "value": pa.array([7.5, 7.5, 10.0, 15.0, 20.0], pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        events_minmax_norm(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["norm_value"].tolist() == [0.0, 0.0, 0.0, 0.5, 1.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_index_postings_cap(tmp_path):
+    # 'hot' appears in all 10 docs, 'rare' in two: with max_postings=3 the
+    # hot term keeps EXACT df but only its first 3 ascending doc_ids
+    from entity_extractor_ray.pipelines.mining import inverted_index
+
+    texts = ["hot rare" if i in (4, 8) else "hot" for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "source": pa.array(["s"] * 10, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        inverted_index(str(tmp_path), max_postings=3)
+        .to_pandas()
+        .set_index("token")
+        .sort_index()
+    )
+    assert got.loc["hot", "df"] == 10
+    assert got.loc["hot", "n_postings"] == 3
+    assert got.loc["hot", "postings"] == "0,1,2"
+    assert got.loc["rare", "df"] == 2
+    assert got.loc["rare", "postings"] == "4,8"
