@@ -141,6 +141,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import samples as smp
 
     q["split_documents"] = lambda sf: smp.assign_splits(_docs(sf))
+    # group-aware (leakage-safe) split: the draw keys on the GROUP column
+    q["split_documents_grouped"] = lambda sf: smp.assign_splits_grouped(
+        _docs_cols(sf, ["doc_id", "source"])
+    )
+    # deterministic training-order shuffle (global zipWithIndex over md5)
+    q["shuffle_documents"] = lambda sf: smp.shuffle_rank(
+        _docs_cols(sf, ["doc_id"])
+    )
+    # greedy corpus selection under a global token budget (global prefix sum)
+    q["select_token_budget"] = lambda sf: smp.select_token_budget(
+        _docs(sf), budget=15_000
+    )
     # integer-ratio domain-mixture resampling (data mixing): per-source
     # quotas from one dimension-sized count, bottom-quota md5 draw
     q["rebalance_sources"] = lambda sf: smp.rebalance_sources(
@@ -514,14 +526,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # correctness sweep truncates at the FIRST 50 entries of this dict;
     # across rounds 1-4 it hash-verified 129 distinct queries, leaving
     # exactly 26 that never held a driver CORRECTNESS row (VERDICT r4 #2).
-    # The window now holds: those 26 plus the 4 operators NEW in round 5
-    # (events_ohlc / events_minmax_norm / inverted_index oracled,
-    # bpe_encode rows-only) — oracled entries FIRST (rows+schema+hash),
-    # then the rows-only ones, each of which also carries a strong local
-    # pin: serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
-    # equality for the rest — then 20 backfill re-checks of the STALEST
-    # previously-verified oracled queries.
-    # After this round every one of the 159 queries has had >=1 driver row.
+    # The window now holds: those 26 plus the 7 operators NEW in round 5
+    # (events_ohlc / events_minmax_norm / inverted_index /
+    # split_documents_grouped / shuffle_documents / select_token_budget
+    # oracled, bpe_encode rows-only) — oracled entries FIRST
+    # (rows+schema+hash), then the rows-only ones, each of which also
+    # carries a strong local pin: serial-oracle e2e for the kg_* family,
+    # numpy/brute-force/pandas equality for the rest — then 17 backfill
+    # re-checks of the STALEST previously-verified oracled queries.
+    # After this round every one of the 162 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -531,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents", "duplicate_ngram_spans", "csv_documents_tokens",
         "jsonl_documents_by_lang",
         "events_ohlc", "events_minmax_norm", "inverted_index",
+        "split_documents_grouped", "shuffle_documents", "select_token_budget",
         # -- never driver-checked, rows-only (20; bpe_encode new in r5)
         "bpe_encode",
         "lm_quality_scores", "semantic_chunk_documents", "kmeans_clusters",
@@ -546,8 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_file_features", "ngram_jaccard_pairs", "quality_features",
         "token_counts", "vocab_stats",
         "approx_distinct_users", "cheapest_supplier_per_part",
-        "concat_by_lang", "count_by_status", "cust_finished_except_open",
-        "cust_finished_intersect_open",
+        "concat_by_lang",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -602,6 +615,9 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import samples as smp
 
     sql["split_documents"] = smp.assign_splits_sql()
+    sql["split_documents_grouped"] = smp.assign_splits_grouped_sql()
+    sql["shuffle_documents"] = smp.shuffle_rank_sql()
+    sql["select_token_budget"] = smp.select_token_budget_sql(budget=15_000)
     sql["rebalance_sources"] = smp.rebalance_sources_sql()
     sql["pack_documents"] = ts.pack_documents_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()

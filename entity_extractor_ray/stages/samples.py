@@ -227,3 +227,154 @@ def assign_splits_sql(key_col: str = "doc_id", table: str = "documents",
                 ELSE 'test' END AS split
     FROM {table}
     """
+
+
+# ------------------------------------------------ group-aware (leakage-safe)
+
+
+def assign_splits_grouped(ds, group_col: str = "source", key_col: str = "doc_id",
+                          train_lt: str = "cc", val_lt: str = "e6"):
+    """GroupShuffleSplit: the train/val/test draw keyed on the GROUP column
+    instead of the row key, so every row of one group lands in the same
+    split — the leakage-safe split a training pipeline needs when groups
+    encode provenance (same crawl/site/book) or near-dup clusters that
+    must not straddle the train/eval boundary. Same pure map-side zero-
+    shuffle shape as assign_splits; pass a dedup cluster id as group_col
+    to make the split near-dup-safe."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        groups = t.column(group_col).to_pylist()
+        h2 = np.array([h[:2] for h in md5_hex_array(groups)], dtype=object)
+        split = np.where(
+            h2 < train_lt, "train", np.where(h2 < val_lt, "val", "test")
+        )
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                group_col: t.column(group_col),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def assign_splits_grouped_sql(group_col: str = "source", key_col: str = "doc_id",
+                              table: str = "documents", train_lt: str = "cc",
+                              val_lt: str = "e6") -> str:
+    h = f"substr(md5(CAST({group_col} AS VARCHAR)), 1, 2)"
+    return f"""
+    SELECT {key_col}, {group_col},
+           CASE WHEN {h} < '{train_lt}' THEN 'train'
+                WHEN {h} < '{val_lt}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM {table}
+    """
+
+
+# ------------------------------------------------ deterministic global order
+
+
+def shuffle_rank(ds, key_col: str = "doc_id"):
+    """Deterministic training-order shuffle: every row gets a dense global
+    rank under the md5(key) order — the reproducible corpus permutation a
+    trainer consumes instead of an RNG shuffle (stable across re-runs,
+    resumes and engines). ONE global sort (the unavoidable exchange for a
+    total order) + the metadata-offset rank pass of
+    windowfns.global_scan; block payloads never cross the driver."""
+    from .windowfns import global_scan
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "shuffle_key": pa.array(md5_hex_array(keys), pa.string()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return global_scan(
+        keyed_ds,
+        order_by=["shuffle_key", key_col],
+        specs=[("row_number", None, "shuffle_rank")],
+        keep_cols=[key_col],
+    )
+
+
+def shuffle_rank_sql(key_col: str = "doc_id", table: str = "documents") -> str:
+    h = f"md5(CAST({key_col} AS VARCHAR))"
+    return f"""
+    SELECT {key_col},
+           CAST(row_number() OVER (ORDER BY {h}, {key_col}) AS BIGINT)
+             AS shuffle_rank
+    FROM {table}
+    """
+
+
+# ------------------------------------------------ token-budget selection
+
+
+def select_token_budget(ds, budget: int, key_col: str = "doc_id"):
+    """Greedy corpus selection under a GLOBAL token budget: docs ordered by
+    a deterministic priority (longest first, key tiebreak) are kept while
+    the running token total stays within ``budget`` — the
+    fixed-token-count corpus assembly step of a pretraining data pipeline.
+    One map pass counts tokens (the BPE-ish pretoken regex token_counts
+    uses), one global sort + metadata-offset prefix sum
+    (windowfns.global_scan) yields each doc's cumulative position, and a
+    final map-side filter keeps the prefix — no driver-side data pull.
+    Priority is a pluggable ORDER; swap in a model quality score column
+    upstream for quality-ordered selection."""
+    import re as _re
+
+    from .textstats import TOKEN_PATTERN
+    from .windowfns import global_scan
+
+    tok_re = _re.compile(TOKEN_PATTERN)
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_tok = [len(tok_re.findall(x or "")) for x in texts]
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+    scanned = global_scan(
+        counted,
+        order_by=["n_tokens", key_col],
+        descending=[True, False],
+        specs=[("running_sum", "n_tokens", "cum_tokens")],
+        keep_cols=[key_col, "n_tokens"],
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less_equal(t.column("cum_tokens"), budget))
+
+    return scanned.map_batches(keep, batch_format="pyarrow")
+
+
+def select_token_budget_sql(budget: int, key_col: str = "doc_id",
+                            table: str = "documents") -> str:
+    from .textstats import TOKEN_PATTERN
+
+    return f"""
+    WITH c AS (
+      SELECT {key_col},
+             CAST(length(regexp_extract_all(COALESCE(text, ''),
+                  '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+      FROM {table}
+    ), s AS (
+      SELECT {key_col}, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, {key_col}
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM c
+    )
+    SELECT {key_col}, n_tokens, cum_tokens FROM s WHERE cum_tokens <= {budget}
+    """

@@ -192,3 +192,136 @@ def partitioned_window(
         return pa.table(cols, schema=out_schema) if out_schema is not None else pa.table(cols)
 
     return bucket_group_apply(ds, by, bucket_fn, n_buckets=n_buckets)
+
+
+# ------------------------------------------------------- global ordered scan
+
+_scan_partial = None
+_scan_apply = None
+
+
+def _init_scan_remotes():
+    """Nested defs ship by cloudpickle VALUE (the shuffle._init_remote
+    pattern) so workers need no repo sys.path."""
+    global _scan_partial, _scan_apply
+    if _scan_partial is not None:
+        return
+    import ray
+
+    def _partial(tbl, sum_cols):
+        """(n_rows, [block sums]) to the driver; the Arrow-converted block
+        stays in the object store for the apply pass."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        if not isinstance(tbl, _pa.Table):
+            from ray.data.block import BlockAccessor
+
+            tbl = BlockAccessor.for_block(tbl).to_arrow()
+        if tbl.schema.metadata:
+            tbl = tbl.replace_schema_metadata(None)
+        sums = [
+            (_pc.sum(tbl.column(c)).as_py() or 0) if tbl.num_rows else 0
+            for c in sum_cols
+        ]
+        return (tbl.num_rows, sums), tbl
+
+    _scan_partial = ray.remote(num_cpus=0.25, num_returns=2)(_partial)
+
+    def _apply(tbl, specs, keep_cols, row_offset, sum_offsets):
+        import numpy as _np
+        import pyarrow as _pa
+
+        n = tbl.num_rows
+        cols = {c: tbl.column(c) for c in keep_cols}
+        for (kind, src, out), s_off in zip(specs, sum_offsets):
+            if kind == "row_number":
+                cols[out] = _pa.array(
+                    row_offset + 1 + _np.arange(n, dtype=_np.int64), _pa.int64()
+                )
+            else:  # running_sum
+                v = tbl.column(src).to_numpy(zero_copy_only=False)
+                if _np.issubdtype(v.dtype, _np.integer):
+                    cols[out] = _pa.array(s_off + _np.cumsum(v.astype(_np.int64)),
+                                          _pa.int64())
+                else:
+                    cols[out] = _pa.array(s_off + _np.cumsum(v.astype(_np.float64)),
+                                          _pa.float64())
+        return _pa.table(cols)
+
+    _scan_apply = ray.remote(num_cpus=0.5)(_apply)
+
+
+def global_scan(
+    ds,
+    order_by: Sequence[str],
+    specs: Sequence[tuple],
+    descending: Sequence[bool] | bool = False,
+    keep_cols: Sequence[str] | None = None,
+):
+    """Window functions over a GLOBAL order (no PARTITION BY) — SQL
+    ``row_number()/SUM(x) OVER (ORDER BY ...)`` on the whole relation, i.e.
+    the distributed zipWithIndex / prefix-sum primitive.
+
+    Shape: ONE global sort (Ray's range-partitioned all-to-all — the
+    unavoidable exchange for a total order), then a metadata-only offset
+    pass — the driver fetches one (n_rows, block_sums) tuple PER BLOCK,
+    computes exclusive prefix offsets, and per-block tasks append the
+    window columns with those offsets. Block payloads never cross the
+    driver, so the post-sort cost is O(n_blocks) driver work + one
+    vectorized cumsum per block. Supported specs: ``("row_number", None,
+    out)`` and ``("running_sum", src, out)`` (ROWS UNBOUNDED PRECEDING —
+    deterministic only under a tie-free order key, same contract as
+    partitioned_window). Ties: include a unique column in ``order_by``.
+    """
+    import ray
+    import ray.data as rd
+
+    for kind, _src, _out in specs:
+        if kind not in ("row_number", "running_sum"):
+            raise ValueError(f"global_scan supports row_number/running_sum, got {kind}")
+    _init_scan_remotes()
+    sorted_ds = ds.sort(list(order_by), descending=descending)
+    mat = sorted_ds.materialize()
+    refs = mat.to_arrow_refs()
+    sum_cols = [src for kind, src, _ in specs if kind == "running_sum"]
+    pairs = [_scan_partial.remote(r, sum_cols) for r in refs]
+    metas = ray.get([m for m, _ in pairs]) if refs else []
+
+    # Ray's sort of an EMPTY dataset loses the schema (mat.schema() is
+    # None or a zero-column filler); fall back to the input's — it is what
+    # keep/the typed empty output must mirror anyway
+    base_schema = mat.schema()
+    if base_schema is None or not base_schema.names:
+        base_schema = ds.schema()
+    keep = list(keep_cols) if keep_cols is not None else list(base_schema.names)
+    specs_ser = [tuple(s) for s in specs]
+
+    out_refs = []
+    row_off = 0
+    # per-spec running offsets (row_number slots unused, kept for zip align)
+    sum_off = [0] * len(specs)
+    sum_idx = {i: j for j, i in enumerate(
+        i for i, (k, _, _) in enumerate(specs) if k == "running_sum")}
+    for (n_rows, sums), (_, blk) in zip(metas, pairs):
+        if n_rows == 0:
+            continue
+        out_refs.append(
+            _scan_apply.remote(blk, specs_ser, keep, row_off, list(sum_off))
+        )
+        row_off += n_rows
+        for i, j in sum_idx.items():
+            sum_off[i] += sums[j]
+    if not out_refs:
+        # empty input: emit a typed empty table so downstream schemas hold
+        fields = [
+            (n, t) for n, t in zip(base_schema.names, base_schema.types) if n in keep
+        ]
+        types = dict(zip(base_schema.names, base_schema.types))
+        for kind, src, out in specs:
+            # running_sum over a float src emits float64 (the apply path's
+            # dtype rule); everything else is int64
+            is_f = kind == "running_sum" and pa.types.is_floating(types[src])
+            fields.append((out, pa.float64() if is_f else pa.int64()))
+        return rd.from_arrow(pa.schema(fields).empty_table())
+    return rd.from_arrow_refs(out_refs)

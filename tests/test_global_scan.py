@@ -1,0 +1,122 @@
+"""Global ordered scan (windowfns.global_scan) and its three consumers:
+deterministic shuffle rank, group-aware split, token-budget selection.
+The planted inputs span MULTIPLE blocks so the metadata-offset pass must
+stitch ranks/prefix-sums across block boundaries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from entity_extractor_ray.stages.windowfns import global_scan
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalScan:
+    def _ds(self, n=5000, seed=3):
+        rng = np.random.RandomState(seed)
+        t = pa.table(
+            {
+                "k": pa.array(rng.permutation(n), pa.int64()),
+                "v": pa.array(rng.randint(0, 100, n), pa.int64()),
+            }
+        )
+        # several input blocks -> several sorted output blocks
+        return rd.from_arrow([t.slice(i, 1000) for i in range(0, n, 1000)])
+
+    def test_row_number_is_dense_global_rank(self):
+        ds = self._ds()
+        out = global_scan(ds, ["k"], [("row_number", None, "rn")]).to_pandas()
+        assert len(out) == 5000
+        out = out.sort_values("k").reset_index(drop=True)
+        assert (out["rn"].to_numpy() == np.arange(1, 5001)).all()
+
+    def test_running_sum_matches_numpy_prefix(self):
+        ds = self._ds()
+        out = (
+            global_scan(ds, ["k"], [("running_sum", "v", "cum")])
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert (out["cum"].to_numpy() == np.cumsum(out["v"].to_numpy())).all()
+
+    def test_descending_order_and_both_specs(self):
+        ds = self._ds(n=2000)
+        out = (
+            global_scan(
+                ds,
+                ["v", "k"],
+                [("row_number", None, "rn"), ("running_sum", "v", "cum")],
+                descending=[True, False],
+            )
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        # rank order is (v desc, k asc)
+        key = list(zip(-out["v"].to_numpy(), out["k"].to_numpy()))
+        assert key == sorted(key)
+        assert (out["cum"].to_numpy() == np.cumsum(out["v"].to_numpy())).all()
+
+    def test_empty_input_keeps_schema(self):
+        empty = rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        )
+        out = global_scan(empty, ["k"], [("row_number", None, "rn")])
+        # Ray's to_pandas() drops columns on any zero-row dataset; the
+        # schema is the contract here
+        assert out.count() == 0
+        assert set(out.schema().names) == {"k", "v", "rn"}
+
+    def test_unsupported_spec_raises(self):
+        with pytest.raises(ValueError):
+            global_scan(self._ds(100), ["k"], [("rank", None, "r")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_split_never_straddles_groups(tmp_path):
+    from entity_extractor_ray.stages.samples import assign_splits_grouped
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(300)), pa.int64()),
+            "source": pa.array([f"src{i % 17}" for i in range(300)], pa.string()),
+        }
+    )
+    got = assign_splits_grouped(rd.from_arrow(t)).to_pandas()
+    per_group = got.groupby("source")["split"].nunique()
+    assert (per_group == 1).all()
+    assert set(got["split"]) <= {"train", "val", "test"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_boundary(tmp_path):
+    # budget boundary: the kept prefix fits; adding the FIRST excluded doc
+    # (next in the deterministic priority order) would exceed the budget
+    from entity_extractor_ray.stages.samples import select_token_budget
+
+    rng = np.random.RandomState(11)
+    texts = [" ".join(["tok"] * int(n)) for n in rng.randint(1, 50, 200)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    budget = 1500
+    kept = select_token_budget(rd.from_arrow(t), budget=budget).to_pandas()
+    n_tok = pd.Series([len(x.split()) for x in texts], name="n")
+    assert kept["n_tokens"].sum() <= budget
+    order = (
+        pd.DataFrame({"doc_id": range(200), "n": n_tok})
+        .sort_values(["n", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    cut = len(kept)
+    assert kept["n_tokens"].sum() + order["n"].iloc[cut] > budget
+    # kept set IS the priority-order prefix
+    assert sorted(kept["doc_id"]) == sorted(order["doc_id"].iloc[:cut])
