@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["select_token_budget"] = lambda sf: smp.select_token_budget(
         _docs(sf), budget=15_000
     )
+    # near-dup-safe split: the grouped draw keyed on MinHash cluster ids —
+    # rows-only (cluster ids are model output); straddle-freedom pinned in
+    # tests/test_global_scan.py
+    q["split_documents_dedup_safe"] = lambda sf: smp.assign_splits_dedup_safe(
+        _docs(sf)
+    )
     # integer-ratio domain-mixture resampling (data mixing): per-source
     # quotas from one dimension-sized count, bottom-quota md5 draw
     q["rebalance_sources"] = lambda sf: smp.rebalance_sources(
@@ -526,15 +532,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # correctness sweep truncates at the FIRST 50 entries of this dict;
     # across rounds 1-4 it hash-verified 129 distinct queries, leaving
     # exactly 26 that never held a driver CORRECTNESS row (VERDICT r4 #2).
-    # The window now holds: those 26 plus the 7 operators NEW in round 5
+    # The window now holds: those 26 plus the 8 operators NEW in round 5
     # (events_ohlc / events_minmax_norm / inverted_index /
     # split_documents_grouped / shuffle_documents / select_token_budget
-    # oracled, bpe_encode rows-only) — oracled entries FIRST
-    # (rows+schema+hash), then the rows-only ones, each of which also
-    # carries a strong local pin: serial-oracle e2e for the kg_* family,
-    # numpy/brute-force/pandas equality for the rest — then 17 backfill
-    # re-checks of the STALEST previously-verified oracled queries.
-    # After this round every one of the 162 queries has had >=1 driver row.
+    # oracled; bpe_encode / split_documents_dedup_safe rows-only) —
+    # oracled entries FIRST (rows+schema+hash), then the rows-only ones,
+    # each of which also carries a strong local pin: serial-oracle e2e for
+    # the kg_* family, numpy/brute-force/pandas equality for the rest —
+    # then 16 backfill re-checks of the STALEST previously-verified
+    # oracled queries.
+    # After this round every one of the 163 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -545,8 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_documents_by_lang",
         "events_ohlc", "events_minmax_norm", "inverted_index",
         "split_documents_grouped", "shuffle_documents", "select_token_budget",
-        # -- never driver-checked, rows-only (20; bpe_encode new in r5)
-        "bpe_encode",
+        # -- never driver-checked, rows-only (21; bpe_encode and
+        #    split_documents_dedup_safe new in r5)
+        "bpe_encode", "split_documents_dedup_safe",
         "lm_quality_scores", "semantic_chunk_documents", "kmeans_clusters",
         "pca_embeddings", "semantic_dedup_embeddings", "knn_cosine_pq",
         "bpe_merges", "events_user_ewma", "media_resize",
@@ -560,7 +568,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_file_features", "ngram_jaccard_pairs", "quality_features",
         "token_counts", "vocab_stats",
         "approx_distinct_users", "cheapest_supplier_per_part",
-        "concat_by_lang",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -378,3 +378,19 @@ def select_token_budget_sql(budget: int, key_col: str = "doc_id",
     )
     SELECT {key_col}, n_tokens, cum_tokens FROM s WHERE cum_tokens <= {budget}
     """
+
+
+def assign_splits_dedup_safe(docs_ds, threshold: float = None):
+    """Near-dup-safe train/val/test split: the GroupShuffleSplit draw keyed
+    on the MinHash-LSH near-dup CLUSTER id, so a document and its
+    near-duplicates can never straddle the train/eval boundary — the
+    composition (dedup clusters -> grouped split) that closes the classic
+    eval-contamination hole a row-keyed split leaves open. Cluster ids are
+    model output (union-find over verified pairs), so this is rows-only;
+    the straddle-freedom property is pinned in tests/test_global_scan.py."""
+    from .dedup import minhash_dedup
+
+    kwargs = {} if threshold is None else {"threshold": threshold}
+    clusters = minhash_dedup(docs_ds, **kwargs)  # (doc_id, cluster_id)
+    return assign_splits_grouped(clusters, group_col="cluster_id",
+                                 key_col="doc_id")

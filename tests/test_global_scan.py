@@ -120,3 +120,39 @@ def test_token_budget_boundary(tmp_path):
     assert kept["n_tokens"].sum() + order["n"].iloc[cut] > budget
     # kept set IS the priority-order prefix
     assert sorted(kept["doc_id"]) == sorted(order["doc_id"].iloc[:cut])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_safe_split_keeps_near_dups_together():
+    # 20 clusters of 3 near-identical docs (one token differs) + 40
+    # singletons: every planted trio must land in ONE split, and the
+    # output must cover every doc exactly once
+    from entity_extractor_ray.stages.samples import assign_splits_dedup_safe
+
+    rng = np.random.RandomState(5)
+    docs, texts = [], []
+    did = 0
+    for c in range(20):
+        # distinct random base per cluster so only WITHIN-cluster pairs are
+        # near-dups; variants differ by one appended token
+        base = " ".join(f"c{c}w{rng.randint(0, 5000)}" for _ in range(30))
+        for v in range(3):
+            docs.append(did)
+            texts.append(base + (f" v{v}" if v else ""))
+            did += 1
+    for s in range(40):
+        docs.append(did)
+        words = [f"w{rng.randint(0, 5000)}" for _ in range(30)]
+        texts.append(" ".join(words) + f" single{s}")
+        did += 1
+    t = pa.table(
+        {"doc_id": pa.array(docs, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    got = assign_splits_dedup_safe(rd.from_arrow(t)).to_pandas()
+    assert sorted(got["doc_id"]) == docs
+    per_cluster = got.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # the planted trios were actually clustered together (the composition
+    # is doing real dedup work, not 100 singletons)
+    trio = got[got["doc_id"] < 60].groupby("cluster_id").size()
+    assert (trio == 3).all() and len(trio) == 20
