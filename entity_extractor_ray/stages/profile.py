@@ -197,3 +197,158 @@ def profile_table_sql(table: str, num_cols=(), ts_cols=(), str_cols=()) -> str:
     for c in str_cols:
         arms.append(arm(c, f"min({c})", f"max({c})", False))
     return " UNION ALL ".join(arms)
+
+
+# --------------------------------------------------- snapshot diff (CDC)
+
+
+def snapshot_diff(a_ds, b_ds, key_col: str, content_col: str, n_buckets: int = 16):
+    """Corpus-version diff: which keys were added / removed / modified
+    between snapshot A and snapshot B — the change-data-capture step an
+    incremental ingest runs before reprocessing anything. Both sides map
+    to (key, 16-byte md5-of-content, side) so the ONE key-bucketed
+    exchange never carries document payloads (the decision-shuffle
+    discipline of the records dedup guard); inside a bucket one lexsort +
+    run-boundary scan classifies every key vectorized. Unchanged keys are
+    dropped in-bucket, so output is diff-sized, not corpus-sized. 128-bit
+    content hashes make a false 'unchanged' verdict a 2^-64 birthday
+    event even at 10^12 keys."""
+    import hashlib
+
+    from ..functions.arrowutil import hex_to_bin
+
+    def tagged(side_code: int):
+        def to_rows(t: pa.Table) -> pa.Table:
+            vals = t.column(content_col).to_pylist()
+            hexes = pa.array(
+                [hashlib.md5((v or "").encode()).hexdigest() for v in vals],
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    key_col: t.column(key_col),
+                    "h": hex_to_bin(hexes),
+                    "side": pa.array(
+                        np.full(t.num_rows, side_code, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return to_rows
+
+    both = a_ds.map_batches(tagged(0), batch_format="pyarrow").union(
+        b_ds.map_batches(tagged(1), batch_format="pyarrow")
+    )
+
+    def classify(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        key = df[key_col].to_numpy()
+        side = df["side"].to_numpy()
+        h = df["h"].to_numpy()
+        order = np.lexsort((side, key))
+        key, side, h = key[order], side[order], h[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        width = ends - starts
+        # width 1: present on one side only; width 2: sorted (side0, side1)
+        one = width == 1
+        added = one & (side[starts] == 1)
+        removed = one & (side[starts] == 0)
+        # snapshot keys must be unique per side; a duplicate would classify
+        # garbage silently — fail loudly instead (engine discipline)
+        if (width > 2).any():
+            bad = key[starts[width > 2]][:5]
+            raise ValueError(f"snapshot_diff: duplicate keys within a side: {bad}")
+        two = width == 2
+        modified = np.zeros(len(starts), dtype=bool)
+        if two.any():
+            s2 = starts[two]
+            if (side[s2] != 0).any() or (side[s2 + 1] != 1).any():
+                bad = key[s2[(side[s2] != 0) | (side[s2 + 1] != 1)]][:5]
+                raise ValueError(
+                    f"snapshot_diff: duplicate keys within a side: {bad}"
+                )
+            modified[two] = h[s2] != h[s2 + 1]
+        change = np.full(len(starts), "", dtype=object)
+        change[added] = "added"
+        change[removed] = "removed"
+        change[modified] = "modified"
+        keep = added | removed | modified
+        return pa.table(
+            {
+                key_col: pa.array(key[starts][keep], pa.int64()),
+                "change": pa.array(change[keep].astype(object), pa.string()),
+            }
+        )
+
+    return bucket_group_apply(both, [key_col], classify, n_buckets=n_buckets)
+
+
+def corpus_diff(docs_ds, n_buckets: int = 16):
+    """snapshot_diff demo over the documents table: snapshot B is derived
+    DETERMINISTICALLY from snapshot A by md5(doc_id) prefix — h2 < '10'
+    also appears as a NEW doc (key + 1e6), h2 < '20' is dropped from B,
+    ['20','40') is modified — so both engines can build the identical B
+    and the FULL-OUTER-join oracle pins the classification."""
+    from .samples import md5_hex_array
+
+    def make_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        h2 = np.array([h[:2] for h in md5_hex_array(ids)], dtype=object)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        keep = h2 >= "20"
+        mod = keep & (h2 < "40")
+        kept_texts = [
+            txt + " [rev2]" if m else txt
+            for txt, k, m in zip(texts, keep, mod) if k
+        ]
+        new = h2 < "10"
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.r_[ids_np[keep], ids_np[new] + 1_000_000], pa.int64()
+                ),
+                "text": pa.array(
+                    kept_texts + [t + " [new]" for t, n in zip(texts, new) if n],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def norm_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pc.coalesce(t.column("text"), ""),
+            }
+        )
+
+    a = docs_ds.map_batches(norm_a, batch_format="pyarrow")
+    b = docs_ds.map_batches(make_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, key_col="doc_id", content_col="text",
+                         n_buckets=n_buckets)
+
+
+CORPUS_DIFF_SQL = """
+WITH a AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+h AS (SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2 FROM a),
+b AS (
+  SELECT doc_id,
+         CASE WHEN h2 < '40' THEN text || ' [rev2]' ELSE text END AS text
+  FROM h WHERE h2 >= '20'
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' [new]' AS text
+  FROM h WHERE h2 < '10'
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.text AS ta, b.text AS tb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ta IS NULL THEN 'added'
+            WHEN tb IS NULL THEN 'removed'
+            ELSE 'modified' END AS change
+FROM j
+WHERE ta IS NULL OR tb IS NULL OR ta <> tb
+"""

@@ -156,3 +156,39 @@ def test_dedup_safe_split_keeps_near_dups_together():
     # is doing real dedup work, not 100 singletons)
     trio = got[got["doc_id"] < 60].groupby("cluster_id").size()
     assert (trio == 3).all() and len(trio) == 20
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSnapshotDiff:
+    def _diff(self, a_rows, b_rows):
+        from entity_extractor_ray.stages.profile import snapshot_diff
+
+        def tbl(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string()),
+                    }
+                )
+            )
+
+        return snapshot_diff(tbl(a_rows), tbl(b_rows), "doc_id", "text")
+
+    def test_classification(self):
+        a = [(1, "same"), (2, "old"), (3, "gone"), (4, "keep")]
+        b = [(1, "same"), (2, "new"), (5, "born"), (4, "keep")]
+        got = (
+            self._diff(a, b).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(zip(got["doc_id"], got["change"])) == [
+            (2, "modified"), (3, "removed"), (5, "added")
+        ]
+
+    def test_duplicate_key_raises(self):
+        import ray.exceptions
+
+        a = [(1, "x"), (1, "y")]
+        b = [(2, "z")]
+        with pytest.raises(ray.exceptions.RayTaskError, match="duplicate keys"):
+            self._diff(a, b).to_pandas()
