@@ -1626,6 +1626,70 @@ FROM du GROUP BY day
 """
 
 
+# ----------------------------------------------------- cumulative user base
+
+def events_cumulative_users(sf_dir: str):
+    """Cumulative distinct-user growth curve: per day, how many users saw
+    the product for the FIRST time, and the running total — the
+    classic growth metric whose naive form (COUNT(DISTINCT) over an
+    expanding window) rescans the fact table per day. Distributed shape:
+    each batch collapses to per-user min-day candidates (map-side, ~50×),
+    ONE user-keyed bucket shuffle finishes the exact first-day per user
+    and emits per-day new-user partials, a day groupby sums them to one
+    row per day, and ``global_scan`` turns n_new into the running n_cum —
+    its metadata-only offset pass means the cumulative never funnels row
+    payloads through the driver, so the same plan holds when "days"
+    become per-minute buckets over years."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+    from ..stages.windowfns import global_scan
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        tt = pa.table({"user_id": t.column("user_id"), "day": day})
+        agg = tt.group_by(["user_id"]).aggregate([("day", "min")])
+        out = pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "day": agg.column("day_min"),
+            }
+        )
+        return out
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        first = df.groupby("user_id", sort=False)["day"].min()
+        out = first.value_counts()
+        return pa.table(
+            {
+                "day": pa.array(out.index.to_numpy(), pa.timestamp("us")),
+                "n_new": pa.array(out.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+    per_day = partials.groupby("day").aggregate(Sum("n_new", alias_name="n_new"))
+    return global_scan(per_day, order_by=["day"],
+                       specs=[("running_sum", "n_new", "n_cum")])
+
+
+EVENTS_CUMULATIVE_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+), d AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1
+)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_cum
+FROM d
+"""
+
+
 # -------------------------------------------------------- percent of total
 
 def nation_revenue_share(sf_dir: str):
@@ -2287,6 +2351,7 @@ def analytics_queries():
         "fk_integrity_audit": fk_integrity_audit,
         "customers_fuzzy_clusters": customers_fuzzy_clusters,
         "events_daily_actives": events_daily_actives,
+        "events_cumulative_users": events_cumulative_users,
         "nation_revenue_share": nation_revenue_share,
         "explode_words": explode_words,
         "q7_nation_volume": q7_nation_volume,
@@ -2319,6 +2384,7 @@ def analytics_oracle_sql():
         "fk_integrity_audit": FK_INTEGRITY_SQL,
         "customers_fuzzy_clusters": CUSTOMERS_FUZZY_CLUSTERS_SQL,
         "events_daily_actives": EVENTS_DAILY_ACTIVES_SQL,
+        "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
         "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
         "explode_words": EXPLODE_WORDS_SQL,
         "q7_nation_volume": Q7_NATION_VOLUME_SQL,

@@ -544,6 +544,203 @@ def ngram_jaccard_pairs(docs_ds, n: int = NGRAM_N, threshold: float = 0.3,
     return bucket_group_apply(partials, ["id_a", "id_b"], pair_reduce, n_buckets)
 
 
+def ngram_jaccard_prefix(docs_ds, n: int = NGRAM_N, threshold: float = 0.3,
+                         n_buckets: int = 32):
+    """EXACT all-pairs word-n-gram Jaccard >= threshold via PREFIX FILTERING
+    (the Chaudhuri/Bayardo prefix-filter lemma in the MapReduce shape of
+    Vernica et al., SIGMOD 2010) — same output, same SQL oracle as
+    ngram_jaccard_pairs, but the pair-generating index holds only each
+    doc's PREFIX instead of its whole gram set:
+
+      order every doc's grams by ascending GLOBAL document frequency
+      (rarest first, gram-hash tiebreak — one total order shared by all
+      docs); for Jaccard >= t, any qualifying pair must share a gram
+      inside both docs' first ``|x| - ceil(t*|x|) + 1`` grams of that
+      order (valid because the length filter ``min/max >= t`` bounds the
+      required overlap below by ceil(t*|x|)). Posting lists shrink to the
+      prefix entries — the common grams that dominate the all-grams
+      index's O(k^2) pair blowup carry the HIGHEST df, so they land in
+      almost no prefixes.
+
+    Stages: (1) gram-keyed shuffle attaches each gram's exact global df;
+    (2) doc-keyed shuffle packs each doc's df-ordered gram set into one
+    binary blob (survives every Arrow<->pandas hop, unlike list columns);
+    (3) map-side prefix explode — no shuffle; (4) gram-keyed shuffle over
+    prefix postings emits length-filtered candidate pairs; (5) pair-keyed
+    dedup shuffle; (6) two blob lookups (broadcast under the gate, Bloom-
+    pruned bucket join past it) + a vectorized sorted-set intersection
+    verify each candidate exactly. False negatives: none (lemma above);
+    false positives: killed by verification, so the result is bit-equal
+    to the exhaustive variant."""
+    from .shuffle import bucket_group_apply, lookup_join
+
+    grams = docs_ds.map_batches(_gram_rows, fn_kwargs={"n": n}, batch_format="pandas")
+
+    def df_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        # bucket holds EVERY row of its grams, so posting size == exact df
+        dfreq = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        return pa.table(
+            {
+                "gram": pa.array(df["gram"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_grams": pa.array(df["n_grams"].to_numpy(), pa.int64()),
+                "df": pa.array(dfreq.to_numpy(), pa.int64()),
+            }
+        )
+
+    withdf = bucket_group_apply(grams, ["gram"], df_bucket, n_buckets)
+
+    def set_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        doc = df["doc_id"].to_numpy()
+        gram = df["gram"].to_numpy()
+        dfreq = df["df"].to_numpy()
+        ng = df["n_grams"].to_numpy()
+        order = np.lexsort((gram, dfreq, doc))
+        doc_s = doc[order]
+        gram_s = gram[order].astype("<i8")
+        uniq, starts = np.unique(doc_s, return_index=True)
+        ends = np.append(starts[1:], doc_s.size)
+        blobs = [gram_s[s:e].tobytes() for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_grams": pa.array(ng[order][starts], pa.int64()),
+                "set_blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    sets = bucket_group_apply(withdf, ["doc_id"], set_bucket, n_buckets)
+
+    def prefix_rows(df: pd.DataFrame, t: float) -> pd.DataFrame:
+        ng = df["n_grams"].to_numpy()
+        p = ng - np.ceil(t * ng).astype(np.int64) + 1
+        parts = [
+            np.frombuffer(blob, dtype="<i8", count=int(pi))
+            for blob, pi in zip(df["set_blob"], p)
+        ]
+        return pd.DataFrame(
+            {
+                "gram": np.concatenate(parts) if parts else np.array([], np.int64),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), p),
+                "n_grams": np.repeat(ng, p),
+            }
+        )
+
+    prefix = sets.map_batches(prefix_rows, fn_kwargs={"t": threshold},
+                              batch_format="pandas")
+
+    def cand_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_p: List[np.ndarray] = []
+        b_p: List[np.ndarray] = []
+        na_p: List[np.ndarray] = []
+        nb_p: List[np.ndarray] = []
+        for _, g in df.groupby("gram", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["doc_id"].to_numpy())
+            ids = g["doc_id"].to_numpy()[order]
+            ns = g["n_grams"].to_numpy()[order]
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_p.append(ids[iu])
+            b_p.append(ids[ju])
+            na_p.append(ns[iu])
+            nb_p.append(ns[ju])
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        if not a_p:
+            return empty
+        ia = np.concatenate(a_p)
+        ib = np.concatenate(b_p)
+        na = np.concatenate(na_p)
+        nb = np.concatenate(nb_p)
+        # length filter: jaccard <= min/max, so min >= t*max is necessary.
+        # 1e-9 slack errs toward KEEPING borderline pairs (verification is
+        # exact); a float rounding drop here would be a missed true pair.
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb) - 1e-9
+        if not keep.any():
+            return empty
+        cand = pd.DataFrame(
+            {"id_a": ia[keep], "id_b": ib[keep], "n_a": na[keep], "n_b": nb[keep]}
+        ).drop_duplicates(["id_a", "id_b"])
+        return pa.table(
+            {
+                "id_a": pa.array(cand["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(cand["id_b"].to_numpy(), pa.int64()),
+                "n_a": pa.array(cand["n_a"].to_numpy(), pa.int64()),
+                "n_b": pa.array(cand["n_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cands = bucket_group_apply(prefix, ["gram"], cand_bucket, n_buckets)
+
+    def pair_dedupe(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        # a pair found via several prefix grams in DIFFERENT gram-buckets
+        # survives cand_bucket's local dedup; this pair-keyed pass makes it
+        # globally unique before the (more expensive) blob verification
+        d = df.drop_duplicates(["id_a", "id_b"])
+        return pa.table(
+            {
+                "id_a": pa.array(d["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(d["id_b"].to_numpy(), pa.int64()),
+                "n_a": pa.array(d["n_a"].to_numpy(), pa.int64()),
+                "n_b": pa.array(d["n_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    uniq_cands = bucket_group_apply(cands, ["id_a", "id_b"], pair_dedupe, n_buckets)
+
+    # per-side renamed blob projections: lookup_join only suffixes clashes
+    # it can SEE (lazy left schemas are assumed disjoint), so disjoint
+    # names by construction keep both joins unambiguous
+    def _keep_blob(t: pa.Table, out_name: str) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), out_name: t.column("set_blob")})
+
+    blobs_a = sets.map_batches(_keep_blob, fn_kwargs={"out_name": "blob_a"},
+                               batch_format="pyarrow")
+    blobs_b = sets.map_batches(_keep_blob, fn_kwargs={"out_name": "blob_b"},
+                               batch_format="pyarrow")
+    joined = lookup_join(uniq_cands, blobs_a, key="id_a", right_key="doc_id",
+                         unique_right=True, n_buckets=n_buckets)
+    joined = lookup_join(joined, blobs_b, key="id_b", right_key="doc_id",
+                         unique_right=True, n_buckets=n_buckets)
+
+    def verify(df: pd.DataFrame, t: float) -> pa.Table:
+        na = df["n_a"].to_numpy()
+        nb = df["n_b"].to_numpy()
+        inter = np.fromiter(
+            (
+                np.intersect1d(
+                    np.frombuffer(a, dtype="<i8"),
+                    np.frombuffer(b, dtype="<i8"),
+                    assume_unique=True,
+                ).size
+                for a, b in zip(df["blob_a"], df["blob_b"])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        union = (na + nb - inter).astype(np.float64)
+        raw = inter / union
+        keep = raw >= t
+        jacc = np.floor(raw[keep] * 1e6) / 1e6
+        return pa.table(
+            {
+                "id_a": pa.array(df["id_a"].to_numpy()[keep], pa.int64()),
+                "id_b": pa.array(df["id_b"].to_numpy()[keep], pa.int64()),
+                "jaccard": pa.array(jacc, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, fn_kwargs={"t": threshold},
+                              batch_format="pandas")
+
+
 DUP_NGRAM_K = 13
 
 

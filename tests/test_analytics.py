@@ -207,3 +207,54 @@ def test_fk_audit_detects_planted_orphans(tmp_path):
         "lineitem.l_suppkey->supplier": 0,
         "orders.o_custkey->customer": 1,
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cumulative_users_planted(tmp_path):
+    """Planted first-day spread: the sf corpora funnel almost every user's
+    first event into days 1-2, so the running sum's interesting shape
+    (gaps, multi-day growth) only shows up planted. Also cross-checked
+    against the SQL oracle on the same little table."""
+    import duckdb
+
+    from entity_extractor_ray.pipelines.analytics import (
+        EVENTS_CUMULATIVE_USERS_SQL,
+        events_cumulative_users,
+    )
+
+    rows = [
+        # user 1: first on day 0, active again day 2 (re-activity must NOT
+        # count as new)
+        (1, 1, "view"), (49, 1, "click"),
+        # user 2: two events day 0 (counted once)
+        (2, 2, "view"), (5, 2, "view"),
+        # user 3: first on day 1
+        (25, 3, "view"),
+        # users 4, 5: first on day 3 (a day-2 gap in n_new, not in n_cum)
+        (75, 4, "purchase"), (80, 5, "view"),
+    ]
+    got = (
+        events_cumulative_users(_write_events(tmp_path, rows))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_new"]) == [2, 1, 2]
+    assert list(got["n_cum"]) == [2, 3, 5]
+    assert list(got["day"].dt.day) == [1, 2, 4]  # Jan 1, 2, 4
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    orc = (
+        con.execute(EVENTS_CUMULATIVE_USERS_SQL)
+        .df()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["day", "n_new", "n_cum"]], orc[["day", "n_new", "n_cum"]],
+        check_dtype=False,
+    )

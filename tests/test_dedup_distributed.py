@@ -164,3 +164,112 @@ class TestExactNgramJaccard:
             eng[["id_a", "id_b"]], orc[["id_a", "id_b"]], check_dtype=False
         )
         assert np.allclose(eng["jaccard"], orc["jaccard"], atol=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrefixNgramJaccard:
+    """ngram_jaccard_prefix must be BIT-EQUAL to the exhaustive inverted
+    index (same lemma-backed candidate superset, same exact verification),
+    so it borrows the exhaustive variant's oracle — plus boundary cases the
+    sf corpora never hit: pairs sitting EXACTLY at the threshold, where one
+    float-rounding slip in the prefix length or the length filter silently
+    drops a true pair."""
+
+    def _docs(self, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_matches_duckdb_oracle_planted(self):
+        import duckdb
+
+        from entity_extractor_ray.stages.dedup import (
+            ngram_jaccard_pairs_sql,
+            ngram_jaccard_prefix,
+        )
+
+        texts = [
+            "the cat sat on the mat today",
+            "the cat sat on the mat yesterday",
+            "dogs bark loudly at night in town",
+            "the cat sat on the mat today",
+            "tiny",
+            "",
+        ]
+        docs = self._docs(texts)
+        eng = (
+            ngram_jaccard_prefix(docs, threshold=0.2, n_buckets=4)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", self._docs(texts).to_pandas())
+        orc = (
+            con.execute(ngram_jaccard_pairs_sql(threshold=0.2))
+            .df()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(eng, orc, check_dtype=False)
+
+    def test_exactly_at_threshold_pairs_survive(self):
+        """Jaccard == t exactly, twice over: equal-size sets (prefix-length
+        boundary) and the 2-vs-4 size pair sitting ON the length filter's
+        min >= t*max line. Unigrams so the sets are spelled literally."""
+        from entity_extractor_ray.stages.dedup import ngram_jaccard_prefix
+
+        texts = [
+            "aa bb cc",        # 0: {aa,bb,cc}
+            "aa bb dd",        # 1: {aa,bb,dd}   inter 2 / union 4 = 0.5
+            "xx yy cc",        # 2: 1/5 with 0 -> below threshold
+            "pp qq",           # 3: {pp,qq}
+            "pp qq rr ss",     # 4: inter 2 / union 4 = 0.5, sizes 2 vs 4
+        ]
+        out = (
+            ngram_jaccard_prefix(self._docs(texts), n=1, threshold=0.5,
+                                 n_buckets=4)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert list(zip(out["id_a"], out["id_b"])) == [(0, 1), (3, 4)]
+        assert (out["jaccard"] == 0.5).all()
+
+    def test_matches_exhaustive_on_testdata(self, ray_session):
+        """Full-frame equality (ids AND jaccard) vs ngram_jaccard_pairs on
+        the driver's real documents table at sf0.001."""
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_prefix,
+        )
+
+        def docs():
+            return rd.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"],
+            )
+
+        a = (
+            ngram_jaccard_pairs(docs(), threshold=0.3, n_buckets=8)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        b = (
+            ngram_jaccard_prefix(docs(), threshold=0.3, n_buckets=8)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
