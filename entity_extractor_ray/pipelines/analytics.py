@@ -1570,6 +1570,117 @@ FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------- sorted-neighborhood blocking
+
+def sorted_neighborhood_pairs(sf_dir: str, window: int = 5, block: int = 512):
+    """Sorted-neighborhood ER blocking (Hernandez & Stolfo, SIGMOD 1995):
+    sort the relation by a fuzzy blocking key, slide a width-``window``
+    window down the GLOBAL order, and emit every in-window candidate pair
+    — the classic cheap complement to FastSS/MinHash blocking (catches
+    near-misses that hash blocking splits, e.g. digit transpositions under
+    the reversed-digits key used here).
+
+    Distributed shape: ``global_scan`` assigns the global rank (one
+    range-partitioned sort, metadata-only offsets), then pair generation
+    is MAP-SIDE via halo blocks — rank-block ``b`` also receives copies of
+    the first ``window-1`` rows of block ``b+1`` (the halo), so every
+    window pair lives in exactly one block (its LEFT row's home block) and
+    the O(n·w) pair emit needs one bucketed shuffle, never a self-join
+    exchange. Ranks inside a block are contiguous by construction, so the
+    window probe is two array slices per distance — no searchsorted, no
+    Python loop over rows. Per-pair cost is constant at any corpus size;
+    skew is impossible because blocks are fixed-width rank ranges."""
+    from ..stages.shuffle import bucket_group_apply
+    from ..stages.windowfns import global_scan
+
+    if window < 2 or window > block:
+        raise ValueError("need 2 <= window <= block")
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        digits = pc.replace_substring_regex(
+            pc.fill_null(t.column("c_name"), ""), r"\D+", ""
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "key": pc.utf8_reverse(digits),
+            }
+        )
+
+    ranked = global_scan(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        order_by=["key", "c_custkey"],
+        specs=[("row_number", None, "rn")],
+        keep_cols=["c_custkey"],
+    )
+
+    def halo(t: pa.Table) -> pa.Table:
+        rn = pc.subtract(t.column("rn"), pa.scalar(1, pa.int64())).to_numpy()
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        blk = rn // block
+        m = (rn % block <= window - 2) & (blk > 0)
+        return pa.table(
+            {
+                "rn": pa.array(np.concatenate([rn, rn[m]]), pa.int64()),
+                "c_custkey": pa.array(np.concatenate([ck, ck[m]]), pa.int64()),
+                "blk": pa.array(np.concatenate([blk, blk[m] - 1]), pa.int64()),
+            }
+        )
+
+    haloed = ranked.map_batches(halo, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_p: list = []
+        b_p: list = []
+        d_p: list = []
+        for blk, g in df.groupby("blk", sort=False):
+            order = np.argsort(g["rn"].to_numpy())
+            rn = g["rn"].to_numpy()[order]
+            ck = g["c_custkey"].to_numpy()[order]
+            home_end = (blk + 1) * block  # left row must be home: rn < home_end
+            n = rn.size
+            for d in range(1, window):
+                if n <= d:
+                    break
+                # ranks are contiguous in-block, so position offset == rank gap
+                keep = rn[: n - d] < home_end
+                a_p.append(ck[: n - d][keep])
+                b_p.append(ck[d:][keep])
+                d_p.append(np.full(int(keep.sum()), d, np.int64))
+        if not a_p:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_p), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_p), pa.int64()),
+                "d": pa.array(np.concatenate(d_p), pa.int64()),
+            }
+        )
+
+    return bucket_group_apply(haloed, ["blk"], bucket_fn, n_buckets=32)
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH r AS (
+  SELECT c_custkey,
+         row_number() OVER (
+           ORDER BY reverse(regexp_replace(c_name, '\\D+', '', 'g')), c_custkey
+         ) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS d
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 5
+"""
+
+
 # -------------------------------------------------------- daily active users
 
 def events_daily_actives(sf_dir: str):
@@ -2350,6 +2461,7 @@ def analytics_queries():
         "weighted_sample_docs": weighted_sample_docs,
         "fk_integrity_audit": fk_integrity_audit,
         "customers_fuzzy_clusters": customers_fuzzy_clusters,
+        "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
         "events_daily_actives": events_daily_actives,
         "events_cumulative_users": events_cumulative_users,
         "nation_revenue_share": nation_revenue_share,
@@ -2383,6 +2495,7 @@ def analytics_oracle_sql():
         "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
         "fk_integrity_audit": FK_INTEGRITY_SQL,
         "customers_fuzzy_clusters": CUSTOMERS_FUZZY_CLUSTERS_SQL,
+        "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
         "events_daily_actives": EVENTS_DAILY_ACTIVES_SQL,
         "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
         "nation_revenue_share": NATION_REVENUE_SHARE_SQL,

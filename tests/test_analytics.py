@@ -258,3 +258,51 @@ def test_cumulative_users_planted(tmp_path):
         got[["day", "n_new", "n_cum"]], orc[["day", "n_new", "n_cum"]],
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_neighborhood_halo_boundaries(tmp_path):
+    """block=8 over 30 rows forces a halo at every block seam; the output
+    must equal the brute-force window-by-rank reference, and must be
+    invariant to the block size (halo correctness is exactly what block
+    size must NOT leak into)."""
+    from entity_extractor_ray.pipelines.analytics import sorted_neighborhood_pairs
+
+    n = 30
+    rng = np.random.RandomState(3)
+    names = [f"Customer#{rng.randint(0, 10**9):09d}" for i in range(n)]
+    t = pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array(names, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+
+    def run(block):
+        return (
+            sorted_neighborhood_pairs(str(tmp_path), window=4, block=block)
+            .to_pandas()
+            .sort_values(["id_a", "id_b", "d"])
+            .reset_index(drop=True)
+        )
+
+    # brute force: sort by (reversed digits, custkey), all pairs with
+    # rank gap in [1, window)
+    key = [nm.replace("Customer#", "")[::-1] for nm in names]
+    order = sorted(range(n), key=lambda i: (key[i], i))
+    want = []
+    for p in range(n):
+        for d in range(1, 4):
+            if p + d < n:
+                want.append((order[p], order[p + d], d))
+    want = (
+        pd.DataFrame(want, columns=["id_a", "id_b", "d"])
+        .sort_values(["id_a", "id_b", "d"])
+        .reset_index(drop=True)
+    )
+
+    got8 = run(block=8)
+    pd.testing.assert_frame_equal(got8, want, check_dtype=False)
+    got512 = run(block=512)
+    pd.testing.assert_frame_equal(got512, got8, check_dtype=False)
