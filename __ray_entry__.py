@@ -562,17 +562,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # correctness sweep truncates at the FIRST 50 entries of this dict;
     # across rounds 1-4 it hash-verified 129 distinct queries, leaving
     # exactly 26 that never held a driver CORRECTNESS row (VERDICT r4 #2).
-    # The window now holds: those 26 plus the 13 operators NEW in round 5
+    # The window now holds: those 26 plus the 14 operators NEW in round 5
     # (events_ohlc / events_minmax_norm / inverted_index /
     # split_documents_grouped / shuffle_documents / select_token_budget /
     # corpus_diff / partitioned_read_en / ngram_jaccard_prefix /
     # events_cumulative_users / sorted_neighborhood_pairs oracled;
-    # bpe_encode / split_documents_dedup_safe rows-only) — oracled entries
-    # FIRST (rows+schema+hash), then the rows-only ones, each of which also
-    # carries a strong local pin: serial-oracle e2e for the kg_* family,
-    # numpy/brute-force/pandas equality for the rest — then 11 backfill
-    # re-checks of the STALEST previously-verified oracled queries.
-    # After this round every one of the 168 queries has had >=1 driver row.
+    # bpe_encode / split_documents_dedup_safe / hll_distinct_users
+    # rows-only) — oracled entries FIRST (rows+schema+hash), then the
+    # rows-only ones, each of which also carries a strong local pin:
+    # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
+    # equality for the rest — then 10 backfill re-checks of the STALEST
+    # previously-verified oracled queries.
+    # After this round every one of the 169 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -588,7 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
-        "bpe_encode", "split_documents_dedup_safe",
+        "bpe_encode", "split_documents_dedup_safe", "hll_distinct_users",
         "lm_quality_scores", "semantic_chunk_documents", "kmeans_clusters",
         "pca_embeddings", "semantic_dedup_embeddings", "knn_cosine_pq",
         "bpe_merges", "events_user_ewma", "media_resize",
@@ -599,7 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores", "chunk_documents", "doc_fingerprints",
         "embed_documents", "embedding_cosine_pairs", "exact_dedup",
         "knn_cosine", "knn_cosine_filtered", "lang_id",
-        "media_file_features", "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -2308,6 +2308,24 @@ FROM events GROUP BY event_type
 """
 
 
+def hll_distinct_users(sf_dir: str):
+    """Distinct users per event type via HyperLogLog (stages/sketches.py
+    hll_distinct_by) — the constant-state counterpart to the KMV query
+    above: per-batch state is ONE 4 KiB register blob per group however
+    many values the batch holds, merged by elementwise max, so the
+    exchange stays flat when a group has 10^9 distinct users (where KMV
+    still ships 64k hashes). Rows-only driver check (the estimate is not
+    SQL-expressible); the estimator itself is pinned in
+    test_samples_sketches.py: serial-reference register equality,
+    <=3*1.04/sqrt(m) relative error vs exact, and split-merge
+    associativity."""
+    from ..stages.sketches import hll_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct_by(ds, "event_type", "user_id",
+                           out_col="n_users_est", n_buckets=4)
+
+
 # ----------------------------------------------------------- outlier events
 
 def events_value_outliers(sf_dir: str):
@@ -2490,6 +2508,7 @@ def relational_queries():
         "cust_finished_except_open": cust_finished_except_open,
         "cust_finished_intersect_open": cust_finished_intersect_open,
         "approx_distinct_users": approx_distinct_users,
+        "hll_distinct_users": hll_distinct_users,
         "events_pivot_types": events_pivot_types,
         "q3_shipping_priority": q3_shipping_priority,
         "orders_quartiles": orders_quartiles,

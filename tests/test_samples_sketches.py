@@ -333,3 +333,59 @@ def test_profile_table_kmv_regime():
     assert not row["exact"]
     assert abs(row["n_distinct"] - n) / n < 0.25  # ~4 sigma at k=256
     assert row["min_num"] == 0.0 and row["max_num"] == float(n - 1)
+
+
+def test_hll_bit_length_exact_at_float_trap_boundaries():
+    from entity_extractor_ray.stages.sketches import _bit_length
+
+    # 2^k - 1 for large k is where float64 log2 rounds UP to k; the shift
+    # cascade must stay at k-1
+    v = np.array(
+        [1, 2, 3, 4, 7, 8, (1 << 50) - 1, 1 << 50, (1 << 51) - 1],
+        dtype=np.uint64,
+    )
+    assert list(_bit_length(v)) == [0, 1, 1, 2, 2, 3, 49, 50, 50]
+
+
+def test_hll_partial_merge_is_union():
+    from entity_extractor_ray.stages.sketches import _hll_estimate, _hll_partial
+
+    a = _hll_partial([f"u{i}" for i in range(0, 3000)])
+    b = _hll_partial([f"u{i}" for i in range(1500, 6000)])
+    whole = _hll_partial([f"u{i}" for i in range(0, 6000)])
+    assert np.array_equal(np.maximum(a, b), whole)
+    # idempotent and commutative by construction; estimate within 3 sigma
+    n, est = 6000, _hll_estimate(whole)
+    assert abs(est - n) / n < 3 * 1.04 / np.sqrt(whole.size)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_by_matches_serial_reference():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import (
+        _hll_estimate,
+        _hll_partial,
+        hll_distinct_by,
+    )
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 20000),
+            "v": [f"u{rng.randint(0, 4000)}" for _ in range(20000)],
+        }
+    )
+    out = (
+        hll_distinct_by(rd.from_pandas(df).repartition(8), "g", "v",
+                        n_buckets=2)
+        .to_pandas()
+        .set_index("g")["n_distinct_est"]
+        .to_dict()
+    )
+    for g, sub in df.groupby("g"):
+        exact = sub["v"].nunique()
+        # distributed == serial single-pass reference, REGISTER-exact
+        want = _hll_estimate(_hll_partial(sub["v"].drop_duplicates().to_numpy()))
+        assert out[g] == want
+        assert abs(out[g] - exact) / exact < 3 * 1.04 / np.sqrt(1 << 12)
