@@ -113,6 +113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_ray.stages import sketches as sk
 
     q["top_tokens"] = lambda sf: sk.frequent_tokens(_docs(sf), top_n=20)
+    # boilerplate-phrase census: adjacent-token bigram heavy hitters
+    q["top_bigrams"] = lambda sf: sk.frequent_bigrams(_docs(sf), top_n=50)
+    # corpus-health Zipf fit (microlog-grid exact OLS, one row per source)
+    q["zipf_slope_by_source"] = lambda sf: ts.zipf_slope_by_source(
+        _docs_cols(sf, ["doc_id", "text", "source"])
+    )
     # mergeable capped-histogram quantile sketch (exact below k bins — all
     # test tiers; ~2n/k rank error beyond, flagged in the `exact` column)
     q["approx_length_quantiles"] = lambda sf: sk.approx_quantiles_by(
@@ -161,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["decontaminate_docs"] = _decontam
+    # fuzzy decontamination: broadcast eval n-gram index, map-only scan
+    # (threshold tuned to the synthetic word-soup corpus's low cross-doc
+    # 3-gram overlap; see fuzzy_decontaminate's docstring)
+    q["fuzzy_decontaminate_docs"] = lambda sf: dc.fuzzy_decontaminate(_docs(sf))
 
     # deterministic train/val/test split (map-only md5 assignment) and
     # sequence packing (concat-and-chunk trainer feed, one lang shuffle)
@@ -571,9 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only) — oracled entries FIRST (rows+schema+hash), then the
     # rows-only ones, each of which also carries a strong local pin:
     # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
-    # equality for the rest — then 10 backfill re-checks of the STALEST
+    # equality for the rest — then the 3 oracled queries new in the
+    # round-5 continuation and 7 backfill re-checks of the STALEST
     # previously-verified oracled queries.
-    # After this round every one of the 169 queries has had >=1 driver row.
+    # After this round every one of the 172 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -587,6 +598,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff", "partitioned_read_en",
         "ngram_jaccard_prefix", "events_cumulative_users",
         "sorted_neighborhood_pairs",
+        # -- new in the round-5 continuation (oracled, hash-green at
+        #    sf0.001+sf0.01 locally); they take three backfill slots so
+        #    every query still gets >=1 driver row across rounds
+        "fuzzy_decontaminate_docs", "top_bigrams", "zipf_slope_by_source",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
         "bpe_encode", "split_documents_dedup_safe", "hll_distinct_users",
@@ -596,11 +611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_section_context", "kg_manufacturers", "kg_comentions",
         "kg_triangles", "kg_kcore", "kg_pagerank", "kg_communities",
         "kg_bfs", "kg_mapping_nameblocked", "kg_delta_nodes",
-        # -- backfill: stalest previously-checked oracled queries (14)
+        # -- backfill: stalest previously-checked oracled queries (7)
         "bm25_scores", "chunk_documents", "doc_fingerprints",
         "embed_documents", "embedding_cosine_pairs", "exact_dedup",
-        "knn_cosine", "knn_cosine_filtered", "lang_id",
-        "ngram_jaccard_pairs",
+        "knn_cosine",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -638,12 +652,15 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_ray.stages import sketches as sk
 
     sql["top_tokens"] = sk.frequent_tokens_sql(top_n=20)
+    sql["top_bigrams"] = sk.frequent_bigrams_sql(top_n=50)
+    sql["zipf_slope_by_source"] = ts.ZIPF_SLOPE_SQL
     sql["approx_length_quantiles"] = sk.approx_quantiles_sql(
         "documents", "lang", "n_chars", qs=(0.5, 0.9)
     )
     from entity_extractor_ray.stages import decontam as dc
 
     sql["decontaminate_docs"] = dc.decontaminate_sql()
+    sql["fuzzy_decontaminate_docs"] = dc.fuzzy_decontaminate_sql()
     from entity_extractor_ray.stages import profile as prof
 
     sql["profile_orders"] = prof.profile_table_sql(

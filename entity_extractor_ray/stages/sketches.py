@@ -553,3 +553,75 @@ def hll_distinct_by(
         )
 
     return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
+
+
+def frequent_bigrams(docs_ds, top_n: int = 50, k: int = 65536):
+    """Corpus-wide most-frequent adjacent-token BIGRAMS — frequent_tokens'
+    shape (Misra-Gries map-side state, one term-keyed exchange, per-block
+    top-n combine + tiny global sort) over word pairs instead of words.
+    The training-data use: ubiquitous bigrams expose template/boilerplate
+    phrases that unigram counts hide. Same [a-z0-9]+ pretokenizer; exact
+    (hence the SQL oracle) while per-batch bigram vocab stays below ``k``,
+    MG-decremented with a logged bound beyond it."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .textstats import _VOCAB_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            ws = _VOCAB_RE.findall((text or "").lower())
+            c.update(map(" ".join, zip(ws, ws[1:])))
+        if len(c) > k:
+            items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            thresh = items[k][1]
+            kept = [(t, n - thresh) for t, n in items[:k] if n > thresh]
+            logger.warning(
+                "frequent_bigrams: batch vocab %d > k=%d; MG-decremented by "
+                "%d (partial counts become lower bounds)", len(c), k, thresh,
+            )
+            c = Counter(dict(kept))
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    sums = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+        )
+        return t.take(idx[: top_n])
+
+    return (
+        sums.map_batches(local_topn, batch_format="pyarrow")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def frequent_bigrams_sql(top_n: int = 50) -> str:
+    return f"""
+    WITH w AS (
+      SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ws
+      FROM documents
+    ), b AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM w
+      JOIN (SELECT unnest(range(1, (SELECT CAST(COALESCE(max(len(ws)), 0) AS BIGINT) + 1 FROM w))) AS i) s
+        ON i <= len(ws) - 1
+      WHERE len(ws) > 1
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram ASC LIMIT {top_n}
+    """

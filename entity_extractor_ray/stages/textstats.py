@@ -1014,3 +1014,126 @@ def doc_tfidf_topk_sql(k: int = 3, min_df: int = 2) -> str:
     SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
     FROM scored WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------- Zipf slope fit
+
+
+def _exact_int_sum(a: np.ndarray) -> int:
+    """Exact big-int sum of an int64 array: chunked int64 partials (each
+    chunk bounded well below 2**63 for microlog-grid magnitudes), combined
+    with Python's arbitrary-precision ints. The Ray-side mirror of DuckDB's
+    sum(BIGINT) -> HUGEINT, so OLS sufficient statistics stay EXACT at any
+    vocabulary size instead of silently overflowing int64."""
+    if a.size == 0:
+        return 0
+    return sum(int(s) for s in np.add.reduceat(a, np.arange(0, a.size, 1 << 14)))
+
+
+def zipf_slope_by_source(docs_ds):
+    """Per-source Zipf rank-frequency fit: the OLS slope of ln(count) on
+    ln(rank) over the source's full term-frequency table (ranks ordered by
+    count desc, term asc — tie-free and deterministic). A corpus-health
+    statistic for training-data pipelines: natural text sits near -1;
+    boilerplate-heavy or deduplicated-to-death sources drift away from it.
+    Output: (source, vocab_size, zipf_slope).
+
+    Parity discipline (the regression_by_flag convention, mining.py:63):
+    both engines put each log term on an integer MICROLOG grid
+    (floor(ln(x)*1e6) as BIGINT), so the OLS sufficient statistics are
+    exact integers (HUGEINT in DuckDB, chunked Python ints here) and the
+    slope is ONE double expression written identically on both sides —
+    bit-exact parity without trusting either engine's regr_slope kernel.
+
+    Scale shape: stage 1 is the vocab_stats map-side combine (per-batch
+    Counter -> one (source, term)-keyed exchange); stage 2 buckets by
+    SOURCE (dimension-sized key), ranks each source's vocabulary in one
+    task (a 10^7-term vocab is ~200 MB of int64 columns — one task's
+    work), and emits one row per source."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import bucket_group_apply
+
+    from collections import Counter
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        c: Counter = Counter()
+        for source, text in zip(batch["source"], batch["text"]):
+            toks = _VOCAB_RE.findall((text or "").lower())
+            c.update(zip([source] * len(toks), toks))
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "term"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    def slope_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        srcs: list = []
+        sizes: list = []
+        slopes: list = []
+        for src, g in df.groupby("source", sort=False):
+            cnt = g["cnt"].to_numpy().astype(np.int64)
+            term = g["term"].to_numpy()
+            order = np.lexsort((term, -cnt))
+            cnt = cnt[order]
+            v = cnt.size
+            rnk = np.arange(1, v + 1, dtype=np.int64)
+            lx = np.floor(np.log(rnk) * 1e6).astype(np.int64)
+            ly = np.floor(np.log(cnt) * 1e6).astype(np.int64)
+            sx = _exact_int_sum(lx)
+            sy = _exact_int_sum(ly)
+            sxx = _exact_int_sum(lx * lx)
+            sxy = _exact_int_sum(lx * ly)
+            num = v * sxy - sx * sy
+            den = v * sxx - sx * sx
+            srcs.append(src)
+            sizes.append(v)
+            slopes.append(float(num) / float(den) if den != 0 else None)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "vocab_size": pa.array(sizes, pa.int64()),
+                "zipf_slope": pa.array(slopes, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(counts, ["source"], slope_bucket, n_buckets=8)
+
+
+ZIPF_SLOPE_SQL = """
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+), c AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2
+), r AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+  FROM c
+), m AS (
+  SELECT source,
+         CAST(floor(ln(rnk) * 1000000) AS BIGINT) AS lx,
+         CAST(floor(ln(cnt) * 1000000) AS BIGINT) AS ly
+  FROM r
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+  FROM m GROUP BY 1
+)
+SELECT source, n AS vocab_size,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS zipf_slope
+FROM s
+"""

@@ -389,3 +389,83 @@ def test_hll_distinct_by_matches_serial_reference():
         want = _hll_estimate(_hll_partial(sub["v"].drop_duplicates().to_numpy()))
         assert out[g] == want
         assert abs(out[g] - exact) / exact < 3 * 1.04 / np.sqrt(1 << 12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frequent_bigrams_exact_and_mg_regimes():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.sketches import frequent_bigrams
+
+    # 'aa bb' appears 3x per doc (aa bb aa bb aa bb), tail bigrams once
+    docs = ["aa bb " * 3 + f"t{i} u{i}" for i in range(100)]
+    df = pd.DataFrame({"doc_id": range(100), "text": docs})
+
+    exact = frequent_bigrams(rd.from_pandas(df), top_n=3, k=65536).to_pandas()
+    # per doc: 'aa bb' x3, 'bb aa' x2, 'bb t{i}' x1, 't{i} u{i}' x1
+    assert exact["bigram"].iloc[0] == "aa bb" and exact["n"].iloc[0] == 300
+    assert exact["bigram"].iloc[1] == "bb aa" and exact["n"].iloc[1] == 200
+
+    approx = frequent_bigrams(rd.from_pandas(df), top_n=3, k=8).to_pandas()
+    assert approx["bigram"].iloc[0] == "aa bb"
+    assert approx["n"].iloc[0] <= 300  # MG lower bound, never an overcount
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_slope_matches_serial_and_guards():
+    import math
+    import random
+
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.textstats import (
+        _VOCAB_RE,
+        _exact_int_sum,
+        zipf_slope_by_source,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    # zipf-ish draws for source A/B; source 'one' has a single distinct
+    # term -> zero rank variance -> NULL slope (the den==0 guard)
+    rows = []
+    for i in range(120):
+        src = "A" if i % 2 else "B"
+        n = rng.randint(3, 30)
+        toks = [vocab[min(int(rng.paretovariate(1.0)), 39)] for _ in range(n)]
+        rows.append((i, " ".join(toks), src))
+    rows.append((900, "solo solo solo", "one"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+
+    out = zipf_slope_by_source(rd.from_pandas(df).repartition(4)).to_pandas()
+    got = {r.source: (r.vocab_size, r.zipf_slope) for r in out.itertuples()}
+
+    # serial reference with the same microlog grid
+    for src in ("A", "B", "one"):
+        counts: dict = {}
+        for _, text, s in rows:
+            if s != src:
+                continue
+            for t in _VOCAB_RE.findall(text.lower()):
+                counts[t] = counts.get(t, 0) + 1
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        lx = [math.floor(math.log(r + 1) * 1e6) for r in range(len(ordered))]
+        ly = [math.floor(math.log(c) * 1e6) for _, c in ordered]
+        v = len(ordered)
+        sx, sy = sum(lx), sum(ly)
+        sxx = sum(x * x for x in lx)
+        sxy = sum(x * y for x, y in zip(lx, ly))
+        den = v * sxx - sx * sx
+        exp = float(v * sxy - sx * sy) / float(den) if den else None
+        assert got[src][0] == v
+        if exp is None:
+            assert got[src][1] is None or pd.isna(got[src][1])
+        else:
+            assert got[src][1] == exp  # bit-exact: same integer stats
+
+    # natural-ish text should fit a clearly negative slope
+    assert got["A"][1] < -0.3 and got["B"][1] < -0.3
+
+    # the exact big-int sum survives magnitudes that overflow an int64 sum
+    big = np.full(1 << 16, (1 << 62) // (1 << 14), dtype=np.int64)
+    assert _exact_int_sum(big) == int(big[0]) * big.size

@@ -483,6 +483,107 @@ class TestDecontaminate:
             )
 
 
+class TestFuzzyDecontaminate:
+    """Planted + brute-force tests for the broadcast n-gram Jaccard scan."""
+
+    @staticmethod
+    def _docs(rows):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        return rd.from_arrow(t).repartition(3)
+
+    @staticmethod
+    def _brute(rows, eval_mod, n, threshold):
+        from entity_extractor_ray.functions.textnorm import word_ngrams
+
+        grams = {d: word_ngrams(t or "", n) for d, t in rows}
+        ev = [d for d, _ in rows if d % eval_mod == 0 and grams[d]]
+        out = {}
+        for d, _ in rows:
+            if d % eval_mod == 0 or not grams[d]:
+                continue
+            hits = []
+            for e in ev:
+                inter = len(grams[d] & grams[e])
+                if inter == 0:
+                    continue
+                raw = inter / (len(grams[d]) + len(grams[e]) - inter)
+                if raw >= threshold:
+                    hits.append((raw, e))
+            if hits:
+                best = max(hits, key=lambda h: (h[0], -h[1]))
+                import math
+
+                out[d] = (best[1], math.floor(best[0] * 1e6) / 1e6, len(hits))
+        return out
+
+    def test_planted_near_duplicate(self, ray_session):
+        from entity_extractor_ray.stages.decontam import fuzzy_decontaminate
+
+        eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = eval_text + " lambda"        # one extra word: jaccard ~ 8/10
+        far = "one two three four five six seven eight nine ten"
+        rows = [(0, eval_text), (1, near), (2, far)]
+        out = fuzzy_decontaminate(
+            self._docs(rows), eval_mod=97, n=3, threshold=0.5
+        ).to_pandas()
+        assert set(out["doc_id"]) == {1}
+        r = out.iloc[0]
+        assert r["eval_doc_id"] == 0 and r["n_eval_hits"] == 1
+        # eval: 10 words -> 8 grams, all shared; near: 11 words -> 9 grams
+        assert abs(r["jaccard"] - 8 / 9) < 1e-5
+        brute = self._brute(rows, 97, 3, 0.5)
+        assert (r["eval_doc_id"], r["jaccard"], r["n_eval_hits"]) == brute[1]
+
+    def test_brute_force_equality_random(self, ray_session):
+        import random
+
+        from entity_extractor_ray.stages.decontam import fuzzy_decontaminate
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(60)
+        ]
+        out = fuzzy_decontaminate(
+            self._docs(rows), eval_mod=5, n=3, threshold=0.05
+        ).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.eval_doc_id), r.jaccard, int(r.n_eval_hits))
+            for r in out.itertuples()
+        }
+        assert got == self._brute(rows, 5, 3, 0.05)
+
+    def test_eval_gram_gate_raises(self, ray_session, monkeypatch):
+        from entity_extractor_ray.stages import decontam
+
+        monkeypatch.setattr(decontam, "MAX_EVAL_GRAM_ROWS", 1)
+        rows = [(0, "a b c d e f"), (1, "g h i j k l")]
+        with pytest.raises(ValueError, match="prefix-filter"):
+            decontam.fuzzy_decontaminate(self._docs(rows), eval_mod=1)
+
+    def test_argmax_tiebreak_min_eval_id(self, ray_session):
+        from entity_extractor_ray.stages.decontam import fuzzy_decontaminate
+
+        # two eval docs (ids 0 and 97) IDENTICAL -> equal jaccard vs doc 1;
+        # the best match must be the smaller eval id, with both counted
+        text = "p q r s t u v w"
+        rows = [(0, text), (97, text), (1, text + " extra")]
+        out = fuzzy_decontaminate(
+            self._docs(rows), eval_mod=97, n=3, threshold=0.3
+        ).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["doc_id"], r["eval_doc_id"], r["n_eval_hits"]) == (1, 0, 2)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_curate_by_quality_per_lang_gate():
     import ray.data as rd
