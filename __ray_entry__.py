@@ -219,6 +219,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and oracle, but the pair-generating index holds only df-ordered
     # prefixes, so the common-gram O(k^2) blowup never happens
     q["ngram_jaccard_prefix"] = lambda sf: dd.ngram_jaccard_prefix(_docs(sf), threshold=0.3)
+    # weighted all-pairs similarity (Bayardo APSS shape): tf-idf cosine on
+    # an integer microgrid — near-dups by shared RARE vocabulary
+    q["tfidf_cosine_pairs"] = lambda sf: dd.tfidf_cosine_pairs(_docs(sf), threshold=0.9)
+    # directed containment (Broder): catches a short doc quoted inside a
+    # long one, which Jaccard's union denominator hides
+    q["ngram_containment_pairs"] = lambda sf: dd.ngram_containment_pairs(
+        _docs(sf), threshold=0.15
+    )
     # exact-substring dedup (Lee et al. 2021 shape): maximal duplicated
     # k-token-gram spans via two bounded shuffles; hash-green DuckDB oracle
     q["duplicate_ngram_spans"] = lambda sf: dd.duplicate_ngram_spans(_docs(sf))
@@ -581,10 +589,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only) — oracled entries FIRST (rows+schema+hash), then the
     # rows-only ones, each of which also carries a strong local pin:
     # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
-    # equality for the rest — then the 3 oracled queries new in the
-    # round-5 continuation and 7 backfill re-checks of the STALEST
+    # equality for the rest — then the 5 oracled queries new in the
+    # round-5 continuation and 5 backfill re-checks of the STALEST
     # previously-verified oracled queries.
-    # After this round every one of the 172 queries has had >=1 driver row.
+    # After this round every one of the 174 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -602,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    sf0.001+sf0.01 locally); they take three backfill slots so
         #    every query still gets >=1 driver row across rounds
         "fuzzy_decontaminate_docs", "top_bigrams", "zipf_slope_by_source",
+        "tfidf_cosine_pairs", "ngram_containment_pairs",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
         "bpe_encode", "split_documents_dedup_safe", "hll_distinct_users",
@@ -611,10 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_section_context", "kg_manufacturers", "kg_comentions",
         "kg_triangles", "kg_kcore", "kg_pagerank", "kg_communities",
         "kg_bfs", "kg_mapping_nameblocked", "kg_delta_nodes",
-        # -- backfill: stalest previously-checked oracled queries (7)
+        # -- backfill: stalest previously-checked oracled queries (5)
         "bm25_scores", "chunk_documents", "doc_fingerprints",
-        "embed_documents", "embedding_cosine_pairs", "exact_dedup",
-        "knn_cosine",
+        "embed_documents", "embedding_cosine_pairs",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -661,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["decontaminate_docs"] = dc.decontaminate_sql()
     sql["fuzzy_decontaminate_docs"] = dc.fuzzy_decontaminate_sql()
+    sql["tfidf_cosine_pairs"] = dd.tfidf_cosine_pairs_sql(threshold=0.9)
+    sql["ngram_containment_pairs"] = dd.ngram_containment_pairs_sql(threshold=0.15)
     from entity_extractor_ray.stages import profile as prof
 
     sql["profile_orders"] = prof.profile_table_sql(

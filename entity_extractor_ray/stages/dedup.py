@@ -1186,3 +1186,347 @@ def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
     # a pair found in several bands reports the same rounded cosine; Min is a
     # deterministic dedup fold
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("cos_sim", alias_name="cos_sim"))
+
+
+# ----------------------------------------- tf-idf cosine all-pairs (APSS)
+
+
+def tfidf_cosine_pairs(docs_ds, threshold: float = 0.8, min_df: int = 2,
+                       max_df: int = None, n_buckets: int = 32):
+    """EXACT all-pairs tf-idf COSINE similarity >= threshold — the weighted
+    complement of the n-gram Jaccard family (the all-pairs similarity
+    search problem of Bayardo/Ma/Srikant, WWW 2007): near-duplicates by
+    shared RARE vocabulary, where set-overlap measures miss rewordings
+    that keep the distinctive terms.
+
+    Parity discipline (the zipf_slope microlog convention): each doc-term
+    weight is the exact integer ``tf * idf_micro`` with
+    ``idf_micro = floor((ln((N+1)/(df+1)) + 1) * 1e6)`` (sklearn-smoothed
+    idf on a 1e-6 grid), so dot products and squared norms are EXACT
+    integers on both engines (HUGEINT in DuckDB, guarded int64 here) and
+    ``cos = dot / (sqrt(na) * sqrt(nb))`` is one identical IEEE expression
+    (sqrt is correctly rounded) — bit-exact parity, threshold on the raw
+    value, output floored to 6dp.
+
+    Stages (the ngram_jaccard_prefix skeleton, dedup.py:547): term-keyed
+    bucket attaches each term's exact global df (and drops terms outside
+    [min_df, max_df] — a df-1 term cannot pair, and ``max_df`` is the
+    standard APSS hot-term guard: at corpus scale ubiquitous terms carry
+    near-zero idf weight but O(k^2) pair cost, so exclude them IN BOTH
+    ENGINES); doc-keyed bucket computes weights + the doc's squared norm;
+    term-keyed posting bucket emits per-pair dot PARTIALS (in-bucket
+    combined); pair-keyed reduce sums partials and thresholds. Weights are
+    guarded below 2^31 so per-term products fit int64 exactly; corpora
+    beyond that need a coarser idf grid (the guard raises loudly rather
+    than overflowing silently)."""
+    from .shuffle import bucket_group_apply
+    from .textstats import _VOCAB_RE
+
+    n_docs = docs_ds.count()
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_term: List[str] = []
+        out_doc: List[int] = []
+        out_tf: List[int] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            counts: dict = {}
+            for t in _VOCAB_RE.findall((text or "").lower()):
+                counts[t] = counts.get(t, 0) + 1
+            out_term.extend(counts.keys())
+            out_doc.extend([doc_id] * len(counts))
+            out_tf.extend(counts.values())
+        return pd.DataFrame(
+            {
+                "term": pd.Series(out_term, dtype=object),
+                "doc_id": np.asarray(out_doc, dtype=np.int64),
+                "tf": np.asarray(out_tf, dtype=np.int64),
+            }
+        )
+
+    tf = docs_ds.map_batches(tf_rows, batch_format="pandas")
+
+    def df_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        # the bucket holds EVERY row of its terms, so group size == exact df
+        dfreq = df.groupby("term", sort=False)["doc_id"].transform("size").to_numpy()
+        keep = dfreq >= min_df
+        if max_df is not None:
+            keep &= dfreq <= max_df
+        idf_micro = np.floor(
+            (np.log((n_docs + 1.0) / (dfreq[keep] + 1.0)) + 1.0) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(df["term"].to_numpy()[keep], pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy()[keep], pa.int64()),
+                "w": pa.array(df["tf"].to_numpy()[keep] * idf_micro, pa.int64()),
+            }
+        )
+
+    weighted = bucket_group_apply(tf, ["term"], df_bucket, n_buckets)
+
+    def norm_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        w = df["w"].to_numpy()
+        if w.size and w.max() >= (1 << 31):
+            raise ValueError(
+                "tfidf_cosine_pairs: a weight exceeds 2^31; per-term products "
+                "would overflow int64 — use a coarser idf grid for this corpus"
+            )
+        norm = df.groupby("doc_id", sort=False)["w"].transform(
+            lambda s: np.sum(s.to_numpy() ** 2)
+        ).to_numpy()
+        return pa.table(
+            {
+                "term": pa.array(df["term"].to_numpy(), pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "norm": pa.array(norm, pa.int64()),
+            }
+        )
+
+    normed = bucket_group_apply(weighted, ["doc_id"], norm_bucket, n_buckets)
+
+    def posting_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_p: List[np.ndarray] = []
+        b_p: List[np.ndarray] = []
+        na_p: List[np.ndarray] = []
+        nb_p: List[np.ndarray] = []
+        dot_p: List[np.ndarray] = []
+        for _, g in df.groupby("term", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["doc_id"].to_numpy())
+            ids = g["doc_id"].to_numpy()[order]
+            ws = g["w"].to_numpy()[order]
+            ns = g["norm"].to_numpy()[order]
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_p.append(ids[iu])
+            b_p.append(ids[ju])
+            na_p.append(ns[iu])
+            nb_p.append(ns[ju])
+            dot_p.append(ws[iu] * ws[ju])
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+            }
+        )
+        if not a_p:
+            return empty
+        pairs = pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_p),
+                "id_b": np.concatenate(b_p),
+                "n_a": np.concatenate(na_p),
+                "n_b": np.concatenate(nb_p),
+                "dot": np.concatenate(dot_p),
+            }
+        )
+        # in-bucket combiner: sum dot partials before the pair shuffle
+        agg = pairs.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False)["dot"].sum().reset_index()
+        return pa.table(
+            {
+                "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+                "n_a": pa.array(agg["n_a"].to_numpy(), pa.int64()),
+                "n_b": pa.array(agg["n_b"].to_numpy(), pa.int64()),
+                "dot": pa.array(agg["dot"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(normed, ["term"], posting_bucket, n_buckets)
+
+    def pair_reduce(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        agg = (
+            df.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False)["dot"]
+            .sum()
+            .reset_index()
+        )
+        dot = agg["dot"].to_numpy().astype(np.float64)
+        raw = dot / (
+            np.sqrt(agg["n_a"].to_numpy().astype(np.float64))
+            * np.sqrt(agg["n_b"].to_numpy().astype(np.float64))
+        )
+        keep = raw >= threshold
+        cos = np.floor(raw[keep] * 1e6) / 1e6
+        return pa.table(
+            {
+                "id_a": pa.array(agg["id_a"].to_numpy()[keep], pa.int64()),
+                "id_b": pa.array(agg["id_b"].to_numpy()[keep], pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(partials, ["id_a", "id_b"], pair_reduce, n_buckets)
+
+
+def tfidf_cosine_pairs_sql(threshold: float = 0.8, min_df: int = 2,
+                           max_df: int = None) -> str:
+    """DuckDB oracle: identical integer weights (tf * microgrid idf), exact
+    HUGEINT dots/norms, the same single IEEE cosine expression."""
+    max_df_pred = f"AND df <= {max_df}" if max_df is not None else ""
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(floor((ln(((SELECT count(*) FROM documents) + 1.0)
+                                    / (df + 1.0)) + 1.0) * 1000000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term)
+      WHERE df >= {min_df} {max_df_pred}
+    ), nrm AS (
+      SELECT doc_id, sum(w * w) AS norm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.norm AS DOUBLE)) * sqrt(CAST(nb.norm AS DOUBLE))))
+                 * 1000000) / 1000000 AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.norm AS DOUBLE)) * sqrt(CAST(nb.norm AS DOUBLE))) >= {threshold}
+    """
+
+
+def ngram_containment_pairs(docs_ds, n: int = NGRAM_N, threshold: float = 0.5,
+                            n_buckets: int = 32):
+    """EXACT directed n-gram CONTAINMENT pairs: (id_sub, id_super, inter /
+    |grams(sub)| >= threshold, sub != super). The asymmetric complement of
+    ngram_jaccard_pairs — Jaccard misses a short document quoted inside a
+    much longer one (the union is dominated by the long doc), containment
+    is exactly the quote/superset detector training-data dedup needs
+    (Broder's containment from the original resemblance paper, SEQUENCES
+    1997). Both directions of every co-occurring pair are evaluated; a
+    mutual near-copy emits two rows.
+
+    Scale shape: identical to ngram_jaccard_pairs (one gram-keyed posting
+    shuffle with in-bucket pair combining, one pair-keyed reduce — the
+    same skew note applies: cap or df-filter ubiquitous grams past oracle
+    scale); the only change is the finalizer emitting per-direction
+    ratios. Ratio floor-truncated to 6dp, threshold on the raw value."""
+    from .shuffle import bucket_group_apply
+
+    grams = docs_ds.map_batches(_gram_rows, fn_kwargs={"n": n}, batch_format="pandas")
+
+    def posting_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_p: List[np.ndarray] = []
+        b_p: List[np.ndarray] = []
+        na_p: List[np.ndarray] = []
+        nb_p: List[np.ndarray] = []
+        for _, g in df.groupby("gram", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g["doc_id"].to_numpy())
+            ids = g["doc_id"].to_numpy()[order]
+            ns = g["n_grams"].to_numpy()[order]
+            iu, ju = np.triu_indices(ids.size, k=1)
+            a_p.append(ids[iu])
+            b_p.append(ids[ju])
+            na_p.append(ns[iu])
+            nb_p.append(ns[ju])
+        if not a_p:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_p),
+                "id_b": np.concatenate(b_p),
+                "n_a": np.concatenate(na_p),
+                "n_b": np.concatenate(nb_p),
+            }
+        )
+        agg = pairs.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False).size().reset_index(name="inter")
+        return pa.table(
+            {
+                "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+                "n_a": pa.array(agg["n_a"].to_numpy(), pa.int64()),
+                "n_b": pa.array(agg["n_b"].to_numpy(), pa.int64()),
+                "inter": pa.array(agg["inter"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = bucket_group_apply(grams, ["gram"], posting_bucket, n_buckets)
+
+    def pair_reduce(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        agg = (
+            df.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False)["inter"]
+            .sum()
+            .reset_index()
+        )
+        inter = agg["inter"].to_numpy().astype(np.float64)
+        ia = agg["id_a"].to_numpy()
+        ib = agg["id_b"].to_numpy()
+        ca = inter / agg["n_a"].to_numpy()          # a contained in b
+        cb = inter / agg["n_b"].to_numpy()          # b contained in a
+        ka = ca >= threshold
+        kb = cb >= threshold
+        sub = np.concatenate([ia[ka], ib[kb]])
+        sup = np.concatenate([ib[ka], ia[kb]])
+        cont = np.concatenate([ca[ka], cb[kb]])
+        return pa.table(
+            {
+                "id_sub": pa.array(sub, pa.int64()),
+                "id_super": pa.array(sup, pa.int64()),
+                "containment": pa.array(np.floor(cont * 1e6) / 1e6, pa.float64()),
+            }
+        )
+
+    return bucket_group_apply(partials, ["id_a", "id_b"], pair_reduce, n_buckets)
+
+
+def ngram_containment_pairs_sql(n: int = NGRAM_N, threshold: float = 0.5) -> str:
+    """DuckDB oracle: same grams as ngram_jaccard_pairs_sql, both directed
+    ratios via UNION ALL, same raw threshold + 6dp floor."""
+    concat = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '\\w+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) < {n} THEN array_to_string(ws, ' ')
+                  ELSE {concat} END AS gram
+      FROM w
+      JOIN (SELECT unnest(range(1, (SELECT CAST(COALESCE(max(len(ws)), 0) AS BIGINT) + 1 FROM w))) AS i) s
+        ON i <= CASE WHEN len(ws) < {n} THEN 1 ELSE len(ws) - {n} + 1 END
+      WHERE len(ws) > 0
+    ), sz AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ), directed AS (
+      SELECT i.id_a AS id_sub, i.id_b AS id_super,
+             i.inter * 1.0 / sa.n_grams AS c
+      FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+      UNION ALL
+      SELECT i.id_b AS id_sub, i.id_a AS id_super,
+             i.inter * 1.0 / sb.n_grams AS c
+      FROM inter i JOIN sz sb ON sb.doc_id = i.id_b
+    )
+    SELECT id_sub, id_super, floor(c * 1000000) / 1000000 AS containment
+    FROM directed WHERE c >= {threshold}
+    """

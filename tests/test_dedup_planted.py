@@ -159,3 +159,182 @@ def test_duplicate_ngram_spans_within_doc_and_merge():
     # doc1 contains "a b c d a b c d": grams at 0 and 4 are the planted dup,
     # plus the bridging grams ("b c d a" etc.) are unique -> span [0, 8)
     assert list(map(tuple, d1[["start_tok", "end_tok"]].to_numpy())) == [(0, 8)]
+
+
+class TestTfidfCosine:
+    """Planted + serial-reference tests for the weighted APSS operator."""
+
+    @staticmethod
+    def _ds(texts: dict):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(texts.keys()), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        )
+        return rd.from_arrow(t).repartition(3)
+
+    @staticmethod
+    def _serial(texts: dict, threshold, min_df=2, max_df=None):
+        """Pure-Python reference with the same integer microgrid weights."""
+        import math
+        import re
+
+        tok = re.compile(r"[a-z0-9]+")
+        tfs = {d: {} for d in texts}
+        for d, t in texts.items():
+            for w in tok.findall((t or "").lower()):
+                tfs[d][w] = tfs[d].get(w, 0) + 1
+        df: dict = {}
+        for d in tfs:
+            for w in tfs[d]:
+                df[w] = df.get(w, 0) + 1
+        n = len(texts)
+        vecs = {}
+        for d in tfs:
+            v = {}
+            for w, tf in tfs[d].items():
+                if df[w] < min_df or (max_df is not None and df[w] > max_df):
+                    continue
+                v[w] = tf * math.floor((math.log((n + 1) / (df[w] + 1)) + 1) * 1e6)
+            vecs[d] = v
+        out = {}
+        ids = sorted(vecs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                dot = sum(wa * vecs[b].get(t, 0) for t, wa in vecs[a].items())
+                if dot == 0:
+                    continue
+                na = sum(x * x for x in vecs[a].values())
+                nb = sum(x * x for x in vecs[b].values())
+                raw = dot / (math.sqrt(na) * math.sqrt(nb))
+                if raw >= threshold:
+                    out[(a, b)] = math.floor(raw * 1e6) / 1e6
+        return out
+
+    def test_planted_rare_term_twins(self, ray_session):
+        from entity_extractor_ray.stages.dedup import tfidf_cosine_pairs
+
+        # docs 0/1 share rare terms (near-dups); 2 shares only the
+        # ubiquitous filler with them; 3 is the second filler doc that
+        # keeps every term above min_df=2
+        filler = "the a of and " * 5
+        texts = {
+            0: filler + "quantum entanglement teleportation protocol",
+            1: filler + "quantum entanglement teleportation experiment",
+            2: filler + "gardening compost tomato seedling",
+            3: filler + "gardening compost tomato protocol experiment seedling",
+        }
+        out = tfidf_cosine_pairs(self._ds(texts), threshold=0.5).to_pandas()
+        got = {
+            (int(r.id_a), int(r.id_b)): r.cosine for r in out.itertuples()
+        }
+        assert (0, 1) in got
+        assert got == self._serial(texts, 0.5)
+
+    def test_serial_equality_random(self, ray_session):
+        import random
+
+        from entity_extractor_ray.stages.dedup import tfidf_cosine_pairs
+
+        rng = random.Random(11)
+        vocab = [f"v{i}" for i in range(25)]
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for i in range(40)
+        }
+        out = tfidf_cosine_pairs(self._ds(texts), threshold=0.6).to_pandas()
+        got = {(int(r.id_a), int(r.id_b)): r.cosine for r in out.itertuples()}
+        assert got == self._serial(texts, 0.6)
+
+    def test_max_df_drops_hot_terms(self, ray_session):
+        from entity_extractor_ray.stages.dedup import tfidf_cosine_pairs
+
+        # 'hot' is in every doc; with max_df=3 it is excluded so the two
+        # docs sharing ONLY 'hot' can no longer pair
+        texts = {
+            0: "hot unique0 unique0b shared shared2",
+            1: "hot unique1 unique1b shared shared2",
+            2: "hot only only2",
+            3: "hot only only2",
+        }
+        full = tfidf_cosine_pairs(self._ds(texts), threshold=0.1).to_pandas()
+        assert (0, 2) in {(int(r.id_a), int(r.id_b)) for r in full.itertuples()}
+        capped = tfidf_cosine_pairs(
+            self._ds(texts), threshold=0.1, max_df=3
+        ).to_pandas()
+        got = {(int(r.id_a), int(r.id_b)): r.cosine for r in capped.itertuples()}
+        assert got == self._serial(texts, 0.1, max_df=3)
+        assert (0, 2) not in got and (0, 1) in got and (2, 3) in got
+
+    def test_weight_overflow_guard(self, ray_session):
+        from entity_extractor_ray.stages.dedup import tfidf_cosine_pairs
+
+        # tf large enough that tf * idf_micro crosses 2^31
+        texts = {0: "boom " * 3000, 1: "boom " * 3000, 2: "calm calm"}
+        with pytest.raises(Exception, match="2\\^31|overflow"):
+            tfidf_cosine_pairs(self._ds(texts), threshold=0.1, min_df=2).to_pandas()
+
+
+class TestNgramContainment:
+    def test_quote_inside_long_doc(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.dedup import ngram_containment_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        long_doc = ("filler one two three four five six seven eight nine ten "
+                    + quote + " closing words here and more trailing text")
+        texts = {0: quote, 1: long_doc, 2: "entirely unrelated content words"}
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(texts.keys()), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        )
+        out = ngram_containment_pairs(
+            rd.from_arrow(t).repartition(2), threshold=0.9
+        ).to_pandas()
+        rows = {(int(r.id_sub), int(r.id_super)): r.containment for r in out.itertuples()}
+        # every 3-gram of the quote appears in the long doc -> containment 1.0
+        assert rows == {(0, 1): 1.0}
+
+    def test_matches_jaccard_machinery_brute(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from entity_extractor_ray.functions.textnorm import word_ngrams
+        from entity_extractor_ray.stages.dedup import ngram_containment_pairs
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(20)]
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+            for i in range(30)
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(texts.keys()), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        )
+        out = ngram_containment_pairs(
+            rd.from_arrow(t).repartition(3), threshold=0.3
+        ).to_pandas()
+        got = {(int(r.id_sub), int(r.id_super)): r.containment for r in out.itertuples()}
+        import math
+
+        grams = {d: word_ngrams(tx, 3) for d, tx in texts.items()}
+        exp = {}
+        for a in texts:
+            for b in texts:
+                if a == b or not grams[a]:
+                    continue
+                inter = len(grams[a] & grams[b])
+                c = inter / len(grams[a])
+                if c >= 0.3:
+                    exp[(a, b)] = math.floor(c * 1e6) / 1e6
+        assert got == exp
