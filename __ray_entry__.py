@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rebalance_sources"] = lambda sf: smp.rebalance_sources(
         _docs_cols(sf, ["doc_id", "source"])
     )
+    # Efraimidis-Spirakis weighted reservoir: exact-k draw proportional to
+    # document length, zero shuffle (map-side top-k + one k-sized merge)
+    q["weighted_reservoir_docs"] = lambda sf: smp.weighted_reservoir_sample(
+        _docs_cols(sf, ["doc_id", "n_chars"]), weight_col="n_chars", k=100
+    )
 
     def _pack(sf):
         return ts.pack_documents(
@@ -227,6 +232,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ngram_containment_pairs"] = lambda sf: dd.ngram_containment_pairs(
         _docs(sf), threshold=0.15
     )
+
+    # corpus-vs-corpus shingle resemblance from two merged MinHash
+    # signatures (constant merge state, no pairwise work) — rows-only:
+    # the estimator is model output; exactness pins in test_dedup_planted
+    def _corpus_overlap(sf):
+        import pyarrow.compute as _pc
+
+        def _side(parity):
+            def f(t):
+                return t.filter(
+                    _pc.equal(_pc.bit_wise_and(t.column("doc_id"), 1), parity)
+                )
+            return f
+
+        docs = _docs(sf)
+        return dd.corpus_overlap_minhash(
+            docs.map_batches(_side(0), batch_format="pyarrow"),
+            docs.map_batches(_side(1), batch_format="pyarrow"),
+        )
+
+    q["corpus_overlap_minhash"] = _corpus_overlap
     # exact-substring dedup (Lee et al. 2021 shape): maximal duplicated
     # k-token-gram spans via two bounded shuffles; hash-green DuckDB oracle
     q["duplicate_ngram_spans"] = lambda sf: dd.duplicate_ngram_spans(_docs(sf))
@@ -589,10 +615,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only) — oracled entries FIRST (rows+schema+hash), then the
     # rows-only ones, each of which also carries a strong local pin:
     # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
-    # equality for the rest — then the 5 oracled queries new in the
-    # round-5 continuation and 5 backfill re-checks of the STALEST
-    # previously-verified oracled queries.
-    # After this round every one of the 174 queries has had >=1 driver row.
+    # equality for the rest — then the 7 queries new in the round-5
+    # continuation (6 oracled + rows-only corpus_overlap_minhash) and 3
+    # backfill re-checks of the STALEST previously-verified oracled
+    # queries.
+    # After this round every one of the 176 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -611,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    every query still gets >=1 driver row across rounds
         "fuzzy_decontaminate_docs", "top_bigrams", "zipf_slope_by_source",
         "tfidf_cosine_pairs", "ngram_containment_pairs",
+        "weighted_reservoir_docs", "corpus_overlap_minhash",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
         "bpe_encode", "split_documents_dedup_safe", "hll_distinct_users",
@@ -620,9 +648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_section_context", "kg_manufacturers", "kg_comentions",
         "kg_triangles", "kg_kcore", "kg_pagerank", "kg_communities",
         "kg_bfs", "kg_mapping_nameblocked", "kg_delta_nodes",
-        # -- backfill: stalest previously-checked oracled queries (5)
+        # -- backfill: stalest previously-checked oracled queries (3)
         "bm25_scores", "chunk_documents", "doc_fingerprints",
-        "embed_documents", "embedding_cosine_pairs",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -690,6 +717,9 @@ def oracle_sql() -> dict[str, str]:
     sql["shuffle_documents"] = smp.shuffle_rank_sql()
     sql["select_token_budget"] = smp.select_token_budget_sql(budget=15_000)
     sql["rebalance_sources"] = smp.rebalance_sources_sql()
+    sql["weighted_reservoir_docs"] = smp.weighted_reservoir_sample_sql(
+        weight_col="n_chars", k=100
+    )
     sql["pack_documents"] = ts.pack_documents_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)

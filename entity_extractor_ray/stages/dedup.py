@@ -1530,3 +1530,58 @@ def ngram_containment_pairs_sql(n: int = NGRAM_N, threshold: float = 0.5) -> str
     SELECT id_sub, id_super, floor(c * 1000000) / 1000000 AS containment
     FROM directed WHERE c >= {threshold}
     """
+
+
+# --------------------------------------- corpus-level MinHash overlap
+
+
+def corpus_minhash_signature(docs_ds, num_perm: int = NUM_PERM,
+                             k: int = SHINGLE_K) -> np.ndarray:
+    """Merged MinHash signature of a WHOLE corpus's shingle set: the
+    signature of a union is the elementwise minimum of the members'
+    signatures, so each batch contributes one num_perm-row partial
+    (constant state, fully mergeable — the HLL register discipline) and
+    the driver folds #batches partials. uint64[num_perm]; an empty corpus
+    yields the MERSENNE61 sentinel row."""
+    a, b = textnorm.make_minhash_params(num_perm)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = textnorm.minhash_signatures_batch(batch["text"].tolist(), a, b, k)
+        return pd.DataFrame({"sig": [sigs.min(axis=0).tobytes()]})
+
+    rows = docs_ds.map_batches(partial, batch_format="pandas").take_all()
+    if not rows:
+        return np.full(num_perm, textnorm.MERSENNE61, dtype=np.uint64)
+    return np.stack(
+        [np.frombuffer(r["sig"], dtype=np.uint64) for r in rows]
+    ).min(axis=0)
+
+
+def corpus_overlap_minhash(docs_a, docs_b, num_perm: int = NUM_PERM,
+                           k: int = SHINGLE_K):
+    """Corpus-vs-corpus shingle-set resemblance WITHOUT pairwise work: one
+    streaming pass per side building a merged MinHash signature, then the
+    Broder estimator jaccard ~= matching components / num_perm (standard
+    error 1/sqrt(num_perm)). The dataset-diff primitive for "how much does
+    snapshot B overlap snapshot A?" at 100 TB — each side is a map-only
+    scan with constant merge state; no shuffle, no pair generation, and
+    the two sides never need to be co-located. One-row pandas result:
+    (num_perm, n_match, jaccard_est). Empty-side guard: if either side has
+    no shingles the estimate is NULL (all-sentinel signatures would
+    otherwise fake a perfect match)."""
+    sa = corpus_minhash_signature(docs_a, num_perm, k)
+    sb = corpus_minhash_signature(docs_b, num_perm, k)
+    sent = np.uint64(textnorm.MERSENNE61)
+    if (sa == sent).all() or (sb == sent).all():
+        return pd.DataFrame(
+            {"num_perm": [num_perm], "n_match": [0],
+             "jaccard_est": [None]}
+        ).astype({"num_perm": "int64", "n_match": "int64", "jaccard_est": "float64"})
+    n_match = int((sa == sb).sum())
+    return pd.DataFrame(
+        {
+            "num_perm": np.array([num_perm], np.int64),
+            "n_match": np.array([n_match], np.int64),
+            "jaccard_est": np.array([n_match / num_perm], np.float64),
+        }
+    )

@@ -394,3 +394,92 @@ def assign_splits_dedup_safe(docs_ds, threshold: float = None):
     clusters = minhash_dedup(docs_ds, **kwargs)  # (doc_id, cluster_id)
     return assign_splits_grouped(clusters, group_col="cluster_id",
                                  key_col="doc_id")
+
+
+# ------------------------------------- weighted reservoir (A-ES) top-k
+
+_U64_SCALE = 18446744073709551616.0  # 2^64
+
+
+def _md5_lower64(values) -> np.ndarray:
+    """Little-endian uint64 of md5 digest bytes 8..16 of str(v) — the exact
+    arithmetic of DuckDB's ``md5_number_lower(CAST(v AS VARCHAR))``, so the
+    per-row uniform draw is bit-identical on both engines."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
+            for v in values
+        ],
+        dtype=np.uint64,
+    )
+
+
+def weighted_reservoir_sample(ds, weight_col: str, k: int,
+                              key_col: str = "doc_id"):
+    """Weighted sample WITHOUT replacement of exactly ``k`` rows — the
+    Efraimidis-Spirakis (2006) reservoir: each row draws a deterministic
+    uniform u from md5(key) and ranks by ``u^(1/w)``; the global top-k by
+    that key is distributed per inclusion probability proportional to
+    weight (A-ES theorem 1), with NO global weight total needed. Ranking
+    uses the monotone-equivalent ``ln(u)/w`` (largest wins); rows with
+    w <= 0 never qualify. Returns (key_col, weight_col, es_key) with
+    es_key floor-truncated to 6dp.
+
+    Scale shape: pure MAP-SIDE top-k — every batch keeps its k best rows,
+    one k-sized single-block merge finishes (the frequent_tokens combine
+    discipline); no shuffle, no global RNG state, partition-invariant by
+    construction (the draw depends only on the row's key)."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy().astype(np.float64)
+        keep = w > 0
+        df = df[keep]
+        w = w[keep]
+        if len(df) == 0:
+            return df.assign(__es=np.zeros(0, np.float64))[
+                [key_col, weight_col, "__es"]
+            ]
+        u = _md5_lower64(df[key_col].to_numpy()).astype(np.float64) / _U64_SCALE
+        with np.errstate(divide="ignore"):
+            es = np.log(u) / w
+        order = np.lexsort((df[key_col].to_numpy(), -es))[:k]
+        return df.assign(__es=es).iloc[order][[key_col, weight_col, "__es"]]
+
+    local = ds.map_batches(local_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        es = df["__es"].to_numpy()
+        order = np.lexsort((df[key_col].to_numpy(), -es))[:k]
+        d = df.iloc[order]
+        return pa.table(
+            {
+                key_col: pa.array(d[key_col].to_numpy(), pa.int64()),
+                weight_col: pa.array(d[weight_col].to_numpy(), pa.int64()),
+                "es_key": pa.array(
+                    np.floor(d["__es"].to_numpy() * 1e6) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    # batch_size=None => whole-block batch; repartition(1) guarantees ONE
+    return local.repartition(1).map_batches(
+        final_topk, batch_size=None, batch_format="pandas"
+    )
+
+
+def weighted_reservoir_sample_sql(weight_col: str, k: int,
+                                  key_col: str = "doc_id",
+                                  table: str = "documents") -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT {key_col}, {weight_col},
+             ln(CAST(md5_number_lower(CAST({key_col} AS VARCHAR)) AS DOUBLE)
+                / {_U64_SCALE:.1f}) / {weight_col} AS es
+      FROM {table} WHERE {weight_col} > 0
+    )
+    SELECT {key_col}, {weight_col},
+           floor(es * 1000000) / 1000000 AS es_key
+    FROM keyed ORDER BY es DESC, {key_col} LIMIT {k}
+    """

@@ -338,3 +338,80 @@ class TestNgramContainment:
                 if c >= 0.3:
                     exp[(a, b)] = math.floor(c * 1e6) / 1e6
         assert got == exp
+
+
+class TestCorpusOverlapMinhash:
+    @staticmethod
+    def _ds(texts, nparts=3):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return rd.from_arrow(t).repartition(nparts)
+
+    def test_union_signature_merge_exact(self, ray_session):
+        """The distributed merged signature must equal the serial signature
+        of the concatenated corpus (signature-of-union == min-of-signatures,
+        exactly — not an estimate)."""
+        import random
+
+        from entity_extractor_ray.functions import textnorm
+        from entity_extractor_ray.stages.dedup import (
+            SHINGLE_K,
+            corpus_minhash_signature,
+        )
+
+        rng = random.Random(2)
+        texts = [
+            " ".join(f"tok{rng.randint(0, 80)}" for _ in range(rng.randint(5, 40)))
+            for _ in range(25)
+        ]
+        got = corpus_minhash_signature(self._ds(texts), num_perm=32)
+        a, b = textnorm.make_minhash_params(32)
+        serial = textnorm.minhash_signatures_batch(texts, a, b, SHINGLE_K).min(axis=0)
+        assert (got == serial).all()
+
+    def test_identical_and_disjoint_corpora(self, ray_session):
+        from entity_extractor_ray.stages.dedup import corpus_overlap_minhash
+
+        same = ["alpha beta gamma delta epsilon"] * 4
+        out = corpus_overlap_minhash(self._ds(same), self._ds(same)).iloc[0]
+        assert out["jaccard_est"] == 1.0
+
+        a = ["aaaa bbbb cccc dddd eeee ffff"] * 3
+        b = ["zzzz yyyy xxxx wwww vvvv uuuu"] * 3
+        lo = corpus_overlap_minhash(self._ds(a), self._ds(b)).iloc[0]
+        assert lo["jaccard_est"] < 0.2  # disjoint shingles; binomial noise only
+
+    def test_estimate_within_3_sigma(self, ray_session):
+        """Half-shared vocabularies: the estimate must sit within 3 binomial
+        standard errors of the true shingle-set jaccard."""
+        import random
+
+        from entity_extractor_ray.functions.textnorm import _shingle_hashes
+        from entity_extractor_ray.stages.dedup import (
+            SHINGLE_K,
+            corpus_overlap_minhash,
+        )
+
+        rng = random.Random(9)
+        shared = [" ".join(f"s{rng.randint(0,50)}" for _ in range(30)) for _ in range(10)]
+        only_a = [" ".join(f"a{rng.randint(0,50)}" for _ in range(30)) for _ in range(5)]
+        only_b = [" ".join(f"b{rng.randint(0,50)}" for _ in range(30)) for _ in range(5)]
+        ta, tb = shared + only_a, shared + only_b
+        sa = set(np.concatenate([_shingle_hashes(t, SHINGLE_K) for t in ta]).tolist())
+        sb = set(np.concatenate([_shingle_hashes(t, SHINGLE_K) for t in tb]).tolist())
+        true_j = len(sa & sb) / len(sa | sb)
+        out = corpus_overlap_minhash(self._ds(ta), self._ds(tb), num_perm=256).iloc[0]
+        se = (true_j * (1 - true_j) / 256) ** 0.5
+        assert abs(out["jaccard_est"] - true_j) <= 3 * se + 1e-9
+
+    def test_empty_side_guard(self, ray_session):
+        from entity_extractor_ray.stages.dedup import corpus_overlap_minhash
+
+        out = corpus_overlap_minhash(self._ds([""]), self._ds(["some words here"]))
+        assert out.iloc[0]["n_match"] == 0 and pd.isna(out.iloc[0]["jaccard_est"])

@@ -469,3 +469,51 @@ def test_zipf_slope_matches_serial_and_guards():
     # the exact big-int sum survives magnitudes that overflow an int64 sum
     big = np.full(1 << 16, (1 << 62) // (1 << 14), dtype=np.int64)
     assert _exact_int_sum(big) == int(big[0]) * big.size
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_reservoir_serial_equality_and_partition_invariance():
+    import math
+
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import (
+        _U64_SCALE,
+        _md5_lower64,
+        weighted_reservoir_sample,
+    )
+
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # heavy tail of weights incl. zero/negative rows to exercise
+            # the w > 0 guard
+            "n_chars": np.where(np.arange(n) % 7 == 0, 0, (np.arange(n) % 50) + 1).astype(np.int64),
+        }
+    )
+    k = 40
+
+    def serial(df):
+        rows = []
+        for d, w in zip(df["doc_id"], df["n_chars"]):
+            if w <= 0:
+                continue
+            u = int(_md5_lower64([d])[0]) / _U64_SCALE
+            rows.append((math.log(u) / w, d, w))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        return [(d, w, math.floor(es * 1e6) / 1e6) for es, d, w in rows[:k]]
+
+    exp = serial(df)
+    for nparts in (1, 4, 13):
+        out = weighted_reservoir_sample(
+            rd.from_pandas(df).repartition(nparts), weight_col="n_chars", k=k
+        ).to_pandas()
+        got = list(zip(out["doc_id"], out["n_chars"], out["es_key"]))
+        assert [(int(a), int(b), c) for a, b, c in got] == exp
+
+    # the draw is weight-sensitive: members' mean weight must exceed the
+    # population mean (heavier rows are proportionally likelier)
+    w_pop = df.loc[df["n_chars"] > 0, "n_chars"].mean()
+    w_sel = np.mean([w for _, w, _ in exp])
+    assert w_sel > w_pop
