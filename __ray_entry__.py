@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["corpus_overlap_minhash"] = _corpus_overlap
+    # distribution-preserving dedup: one representative per near-dup
+    # cluster with weight = cluster size (rows-only; planted-size pins)
+    q["dedup_reweight_docs"] = lambda sf: dd.dedup_reweight(_docs(sf))
+    # greedy k-center coreset (Gonzalez/Sener-Savarese): maximally-spread
+    # k-subset of the embedding table (rows-only; serial-reference pin)
+    q["kcenter_coreset"] = lambda sf: cls_.kcenter_coreset(_embs(sf), k=16)
     # exact-substring dedup (Lee et al. 2021 shape): maximal duplicated
     # k-token-gram spans via two bounded shuffles; hash-green DuckDB oracle
     q["duplicate_ngram_spans"] = lambda sf: dd.duplicate_ngram_spans(_docs(sf))
@@ -615,11 +621,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only) — oracled entries FIRST (rows+schema+hash), then the
     # rows-only ones, each of which also carries a strong local pin:
     # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
-    # equality for the rest — then the 7 queries new in the round-5
-    # continuation (6 oracled + rows-only corpus_overlap_minhash) and 3
-    # backfill re-checks of the STALEST previously-verified oracled
-    # queries.
-    # After this round every one of the 176 queries has had >=1 driver row.
+    # equality for the rest — then the 9 queries new in the round-5
+    # continuation (6 oracled; corpus_overlap_minhash /
+    # dedup_reweight_docs / kcenter_coreset rows-only with exactness
+    # pins) and 1 backfill re-check of the stalest previously-verified
+    # oracled query.
+    # After this round every one of the 178 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -639,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate_docs", "top_bigrams", "zipf_slope_by_source",
         "tfidf_cosine_pairs", "ngram_containment_pairs",
         "weighted_reservoir_docs", "corpus_overlap_minhash",
+        "dedup_reweight_docs", "kcenter_coreset",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
         "bpe_encode", "split_documents_dedup_safe", "hll_distinct_users",
@@ -648,8 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_section_context", "kg_manufacturers", "kg_comentions",
         "kg_triangles", "kg_kcore", "kg_pagerank", "kg_communities",
         "kg_bfs", "kg_mapping_nameblocked", "kg_delta_nodes",
-        # -- backfill: stalest previously-checked oracled queries (3)
-        "bm25_scores", "chunk_documents", "doc_fingerprints",
+        # -- backfill: stalest previously-checked oracled query (1)
+        "bm25_scores",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -414,3 +414,107 @@ def pca_embeddings(embeddings_ds, n_components: int = 2,
     sign canonicalization)."""
     mu, comps, _ = pca_fit(embeddings_ds, n_components, col=col, id_col=id_col)
     return pca_project(embeddings_ds, mu, comps, col=col, id_col=id_col)
+
+
+# ------------------------------------------ greedy k-center coreset
+
+
+def kcenter_coreset(embeddings_ds, k: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Greedy k-CENTER data selection (Gonzalez 1985 farthest-point
+    traversal — the coreset rule of Sener & Savarese 2018 active
+    learning): pick the point maximizing the distance to the nearest
+    already-chosen center, k times. The chosen set 2-approximates the
+    optimal k-center cover, i.e. it is the maximally SPREAD subset —
+    the diversity-selection complement of the density-seeking k-means
+    family. Deterministic: the seed is the point with the largest L2
+    norm (ties -> min id), every argmax ties -> min id.
+
+    Scale shape: k BSP rounds; each round is one MAP-ONLY pass — the
+    chosen centers (a (r, d) float64 matrix, r <= k) are broadcast via
+    ``ray.put``, every batch computes its points' min-distance-to-centers
+    with one matmul and emits ONE (max_dist, id) candidate row; the
+    driver folds #batches rows. Distances in float64 via the stable
+    ||x||^2 + ||c||^2 - 2x.c expansion, clamped at 0. Returns a
+    (k, 3) pandas frame (rank, id, dist) where dist is the coverage
+    radius at selection time (weakly decreasing).
+
+    Rows-only query (iterative argmax is not ANSI-SQL); pinned against a
+    serial numpy reference incl. tie cases in tests/test_cluster.py."""
+    import ray
+
+    from .similarity import list_column_to_matrix
+
+    _EMPTY = pa.table({"m": pa.array([], pa.float64()),
+                       "id": pa.array([], pa.int64()),
+                       "v": pa.array([], pa.binary())})
+
+    def seed_cand(t: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(t.column(vec_col))
+        ids = t.column(id_col).to_numpy()
+        if x.shape[0] == 0:
+            return _EMPTY
+        nrm = (x * x).sum(axis=1)
+        best = np.lexsort((ids, -nrm))[0]
+        return pa.table({"m": pa.array([nrm[best]], pa.float64()),
+                         "id": pa.array([ids[best]], pa.int64()),
+                         "v": pa.array([x[best].tobytes()], pa.binary())})
+
+    def fold(rows):
+        # driver fold of per-batch candidates: max value, ties -> min id;
+        # the winning VECTOR rides along, so each round is ONE corpus pass
+        best_v, best_id, best_vec = -np.inf, None, None
+        for r in rows:
+            if r["m"] > best_v or (r["m"] == best_v and
+                                   (best_id is None or r["id"] < best_id)):
+                best_v, best_id = r["m"], r["id"]
+                best_vec = np.frombuffer(r["v"], dtype=np.float64)
+        return best_v, best_id, best_vec
+
+    _, seed_id, seed_vec = fold(embeddings_ds.map_batches(
+        seed_cand, batch_format="pyarrow").take_all())
+    if seed_id is None:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.float64)})
+
+    chosen_ids = [int(seed_id)]
+    chosen_vecs = [seed_vec]
+    dists = [0.0]  # the seed has no prior cover; reported as 0 by convention
+
+    for _ in range(1, k):
+        centers_ref = ray.put(np.stack(chosen_vecs))
+
+        def cand(t: pa.Table) -> pa.Table:
+            c = ray.get(centers_ref)
+            x = list_column_to_matrix(t.column(vec_col))
+            ids = t.column(id_col).to_numpy()
+            if x.shape[0] == 0:
+                return _EMPTY
+            d2 = np.maximum(
+                (x * x).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2.0 * (x @ c.T),
+                0.0,
+            ).min(axis=1)
+            # already-chosen points have d2 == 0; they never win argmax
+            best = np.lexsort((ids, -d2))[0]
+            return pa.table({"m": pa.array([d2[best]], pa.float64()),
+                             "id": pa.array([ids[best]], pa.int64()),
+                             "v": pa.array([x[best].tobytes()], pa.binary())})
+
+        best_v, best_id, best_vec = fold(embeddings_ds.map_batches(
+            cand, batch_format="pyarrow").take_all())
+        if best_id is None or best_v <= 0.0:
+            break  # fewer distinct points than k: stop, never emit dups
+        chosen_ids.append(int(best_id))
+        chosen_vecs.append(best_vec)
+        dists.append(float(np.sqrt(best_v)))
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(chosen_ids), dtype=np.int64),
+            id_col: np.asarray(chosen_ids, dtype=np.int64),
+            "dist": np.asarray(dists, dtype=np.float64),
+        }
+    )

@@ -1585,3 +1585,31 @@ def corpus_overlap_minhash(docs_a, docs_b, num_perm: int = NUM_PERM,
             "jaccard_est": np.array([n_match / num_perm], np.float64),
         }
     )
+
+
+def dedup_reweight(docs_ds, **kwargs):
+    """Distribution-preserving near-dup removal: one REPRESENTATIVE per
+    MinHash cluster, carrying ``weight`` = cluster size — the standard
+    fix for dedup skewing the training mixture (a 500-copy boilerplate
+    family collapses to one doc; reweighting lets the sampler keep the
+    family's original mass if it wants to, instead of silently
+    down-weighting popular content). Representative = the cluster id
+    itself (minhash_dedup's cluster rep is the component's min doc_id).
+    One dimension-sized aggregate on top of the dedup pipeline; rows-only
+    (cluster ids are model output), planted-size pins in tests."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    clusters = minhash_dedup(docs_ds, **kwargs)
+    w = clusters.groupby("cluster_id").aggregate(Count(alias_name="weight"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("cluster_id"),
+                "weight": pc.cast(t.column("weight"), pa.int64()),
+            }
+        )
+
+    return w.map_batches(fin, batch_format="pyarrow")

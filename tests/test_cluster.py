@@ -220,3 +220,61 @@ def test_pca_partition_invariant():
          .sort_values("vec_id").reset_index(drop=True))
     assert np.allclose(a["pc1"], b["pc1"], atol=1e-6)
     assert np.allclose(a["pc2"], b["pc2"], atol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_coreset_matches_serial_greedy():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.cluster import kcenter_coreset
+
+    rng = np.random.RandomState(4)
+    n, d, k = 120, 8, 7
+    x = rng.randn(n, d).astype(np.float32)
+    # plant an extreme outlier so the first pick is unambiguous
+    x[17] *= 6.0
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    ).repartition(5)
+
+    got = kcenter_coreset(ds, k=k)
+
+    # serial greedy with the same float64 expansion + tie rules
+    xf = x.astype(np.float64)
+    nrm = (xf * xf).sum(axis=1)
+    seed = np.lexsort((ids, -nrm))[0]
+    chosen = [seed]
+    dists = [0.0]
+    for _ in range(1, k):
+        c = xf[chosen]
+        d2 = np.maximum(
+            nrm[:, None] + (c * c).sum(axis=1)[None, :] - 2.0 * (xf @ c.T), 0.0
+        ).min(axis=1)
+        best = np.lexsort((ids, -d2))[0]
+        chosen.append(int(best))
+        dists.append(float(np.sqrt(d2[best])))
+    assert got["vec_id"].tolist() == chosen
+    assert got["rank"].tolist() == list(range(k))
+    assert np.allclose(got["dist"].to_numpy(), dists)
+    # coverage radius is weakly decreasing after the seed row
+    t = got["dist"].to_numpy()[1:]
+    assert (np.diff(t) <= 1e-12).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_coreset_fewer_distinct_points_than_k():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.cluster import kcenter_coreset
+
+    # 3 distinct locations, k=10: must stop at 3 rows, never emit dups
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]] * 4, dtype=np.float32)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(12), pa.int64()),
+                  "embedding": pa.array(list(pts), pa.list_(pa.float32()))})
+    ).repartition(3)
+    out = kcenter_coreset(ds, k=10)
+    assert len(out) == 3
+    assert len(set(out["vec_id"])) == 3

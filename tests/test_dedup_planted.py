@@ -415,3 +415,22 @@ class TestCorpusOverlapMinhash:
 
         out = corpus_overlap_minhash(self._ds([""]), self._ds(["some words here"]))
         assert out.iloc[0]["n_match"] == 0 and pd.isna(out.iloc[0]["jaccard_est"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_reweight_planted_cluster_sizes():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.dedup import dedup_reweight
+
+    docs = _planted_docs()  # docs 100+i near-copies of doc i for i in 0..9
+    out = dedup_reweight(rd.from_arrow(docs).repartition(3)).to_pandas()
+    w = dict(zip(out["doc_id"], out["weight"]))
+    # total mass is preserved exactly
+    assert sum(w.values()) == docs.num_rows
+    # each planted pair collapses to rep i (min id) with weight 2
+    for i in range(10):
+        assert w[i] == 2 and 100 + i not in w
+    # unrelated docs survive as their own singleton
+    for i in range(10, 30):
+        assert w[i] == 1
