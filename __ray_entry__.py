@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rebalance_sources"] = lambda sf: smp.rebalance_sources(
         _docs_cols(sf, ["doc_id", "source"])
     )
+    # temperature (alpha=0.5) mixture: sqrt-proportional source quotas on
+    # an integer micro-sqrt grid — no float accumulation anywhere
+    q["temperature_rebalance_docs"] = lambda sf: smp.temperature_rebalance(
+        _docs_cols(sf, ["doc_id", "source"]), budget=300
+    )
     # Efraimidis-Spirakis weighted reservoir: exact-k draw proportional to
     # document length, zero shuffle (map-side top-k + one k-sized merge)
     q["weighted_reservoir_docs"] = lambda sf: smp.weighted_reservoir_sample(
@@ -621,12 +626,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only) — oracled entries FIRST (rows+schema+hash), then the
     # rows-only ones, each of which also carries a strong local pin:
     # serial-oracle e2e for the kg_* family, numpy/brute-force/pandas
-    # equality for the rest — then the 9 queries new in the round-5
-    # continuation (6 oracled; corpus_overlap_minhash /
+    # equality for the rest — then the 10 queries new in the round-5
+    # continuation (7 oracled; corpus_overlap_minhash /
     # dedup_reweight_docs / kcenter_coreset rows-only with exactness
-    # pins) and 1 backfill re-check of the stalest previously-verified
-    # oracled query.
-    # After this round every one of the 178 queries has had >=1 driver row.
+    # pins).
+    # After this round every one of the 179 queries has had >=1 driver row.
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
@@ -647,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs", "ngram_containment_pairs",
         "weighted_reservoir_docs", "corpus_overlap_minhash",
         "dedup_reweight_docs", "kcenter_coreset",
+        "temperature_rebalance_docs",
         # -- never driver-checked, rows-only (21; bpe_encode and
         #    split_documents_dedup_safe new in r5)
         "bpe_encode", "split_documents_dedup_safe", "hll_distinct_users",
@@ -656,8 +661,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_section_context", "kg_manufacturers", "kg_comentions",
         "kg_triangles", "kg_kcore", "kg_pagerank", "kg_communities",
         "kg_bfs", "kg_mapping_nameblocked", "kg_delta_nodes",
-        # -- backfill: stalest previously-checked oracled query (1)
-        "bm25_scores",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -728,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
     sql["weighted_reservoir_docs"] = smp.weighted_reservoir_sample_sql(
         weight_col="n_chars", k=100
     )
+    sql["temperature_rebalance_docs"] = smp.temperature_rebalance_sql(budget=300)
     sql["pack_documents"] = ts.pack_documents_sql()
     sql["exact_dedup"] = dd.exact_dedup_sql()
     sql["ngram_jaccard_pairs"] = dd.ngram_jaccard_pairs_sql(threshold=0.3)

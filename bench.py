@@ -260,6 +260,17 @@ def run_once() -> dict:
         "supplier_jaccard": lambda: __import__(
             "entity_extractor_ray.pipelines.mining", fromlist=["supplier_jaccard"]
         ).supplier_jaccard(SF_DIR),
+        # round-5 continuation additions (both map-only; the broadcast
+        # index / per-batch top-k shapes should stay flat vs corpus size)
+        "fuzzy_decontaminate_docs": lambda: __import__(
+            "entity_extractor_ray.stages.decontam", fromlist=["fuzzy_decontaminate"]
+        ).fuzzy_decontaminate(_docs()),
+        "weighted_reservoir_docs": lambda: __import__(
+            "entity_extractor_ray.stages.samples", fromlist=["weighted_reservoir_sample"]
+        ).weighted_reservoir_sample(
+            _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]),
+            weight_col="n_chars", k=100,
+        ),
     }
     queries = {}
     for name, fn in query_fns.items():

@@ -1271,9 +1271,12 @@ def tfidf_cosine_pairs(docs_ds, threshold: float = 0.8, min_df: int = 2,
                 "tfidf_cosine_pairs: a weight exceeds 2^31; per-term products "
                 "would overflow int64 — use a coarser idf grid for this corpus"
             )
-        norm = df.groupby("doc_id", sort=False)["w"].transform(
-            lambda s: np.sum(s.to_numpy() ** 2)
-        ).to_numpy()
+        norm = (
+            df.assign(__w2=w * w)
+            .groupby("doc_id", sort=False)["__w2"]
+            .transform("sum")
+            .to_numpy()
+        )
         return pa.table(
             {
                 "term": pa.array(df["term"].to_numpy(), pa.string()),

@@ -483,3 +483,97 @@ def weighted_reservoir_sample_sql(weight_col: str, k: int,
            floor(es * 1000000) / 1000000 AS es_key
     FROM keyed ORDER BY es DESC, {key_col} LIMIT {k}
     """
+
+
+def temperature_rebalance(ds, budget: int, key_col: str = "doc_id",
+                          group_col: str = "source", n_buckets: int = 8):
+    """Temperature-based mixture resampling (the multilingual-training
+    alpha-sampling rule, p_s ~ n_s^alpha with alpha = 0.5): allocate a
+    global ``budget`` of documents across sources proportionally to
+    sqrt(source size) — upweighting tails relative to raw proportions
+    without flattening to uniform — then keep each source's quota docs by
+    the smallest (md5(key), key), the rebalance_sources draw.
+
+    Parity discipline: quotas are INTEGER arithmetic end-to-end —
+    r_s = floor(sqrt(n_s) * 1e6) (IEEE sqrt is correctly rounded, so both
+    engines agree bit-for-bit), R = sum r_s (exact BIGINT), quota_s =
+    (budget * r_s) // R — no float sum whose accumulation order could
+    differ between numpy and DuckDB. A source whose quota exceeds its
+    size just keeps everything (rn <= quota on both engines).
+
+    Scale shape: one dimension-sized count aggregate (map-side combined),
+    quotas close over the selection as a broadcast, then the bottom-quota
+    draw with a per-batch combiner — exchange volume O(quota x batches),
+    identical to rebalance_sources."""
+    import math
+
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    r_s = {s: math.floor(math.sqrt(n) * 1e6) for s, n in counts.items()}
+    total = sum(r_s.values())
+    quotas = (
+        {s: (budget * r) // total for s, r in r_s.items()} if total else {}
+    )
+
+    def local_bottomq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin(quotas)]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    group_col: pd.Series([], dtype=object),
+                    "__h": pd.Series([], dtype=object),
+                }
+            )
+        df = df.assign(__h=md5_hex_array(df[key_col].to_numpy()))
+        df = df.sort_values([group_col, "__h", key_col], kind="mergesort")
+        rank = df.groupby(group_col, sort=False).cumcount()
+        gate = df[group_col].map(quotas).to_numpy(np.int64)
+        return df.loc[rank.to_numpy() < gate, [key_col, group_col, "__h"]]
+
+    pre = ds.select_columns([key_col, group_col]).map_batches(
+        local_bottomq, batch_format="pandas"
+    )
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values([group_col, "__h", key_col], kind="mergesort")
+        rank = df.groupby(group_col, sort=False).cumcount()
+        gate = df[group_col].map(quotas).to_numpy(np.int64)
+        kept = df.loc[rank.to_numpy() < gate]
+        return pa.table(
+            {
+                key_col: pa.array(kept[key_col].to_numpy(), pa.int64()),
+                group_col: pa.array(kept[group_col], pa.string()),
+            }
+        )
+
+    return bucket_group_apply(pre, [group_col], bucket_fn, n_buckets=n_buckets)
+
+
+def temperature_rebalance_sql(budget: int, key_col: str = "doc_id",
+                              group_col: str = "source",
+                              table: str = "documents") -> str:
+    return f"""
+    WITH cnt AS (
+      SELECT {group_col}, CAST(count(*) AS BIGINT) AS n
+      FROM {table} GROUP BY {group_col}
+    ), r AS (
+      SELECT {group_col},
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS rs
+      FROM cnt
+    ), quota AS (
+      SELECT {group_col},
+             ({budget} * rs) // (SELECT sum(rs) FROM r) AS quota
+      FROM r
+    ), ranked AS (
+      SELECT d.{key_col}, d.{group_col},
+             row_number() OVER (PARTITION BY d.{group_col}
+               ORDER BY md5(CAST(d.{key_col} AS VARCHAR)), d.{key_col}) AS rn
+      FROM {table} d
+    )
+    SELECT rk.{key_col}, rk.{group_col}
+    FROM ranked rk JOIN quota q USING ({group_col})
+    WHERE rk.rn <= q.quota
+    """

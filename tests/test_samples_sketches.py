@@ -517,3 +517,43 @@ def test_weighted_reservoir_serial_equality_and_partition_invariance():
     w_pop = df.loc[df["n_chars"] > 0, "n_chars"].mean()
     w_sel = np.mean([w for _, w, _ in exp])
     assert w_sel > w_pop
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_temperature_rebalance_quota_math_and_tail_upweight():
+    import math
+
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.samples import temperature_rebalance
+
+    # head source 320 docs, mid 80, tail 20: alpha=0.5 quotas must follow
+    # sqrt proportions (integer micro-sqrt grid), not raw proportions
+    sizes = {"head": 320, "mid": 80, "tail": 20}
+    rows, i = [], 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    budget = 100
+    out = temperature_rebalance(
+        rd.from_pandas(df).repartition(4), budget=budget
+    ).to_pandas()
+    got = out.groupby("source").size().to_dict()
+
+    r = {s: math.floor(math.sqrt(n) * 1e6) for s, n in sizes.items()}
+    tot = sum(r.values())
+    exp = {s: (budget * v) // tot for s, v in r.items()}
+    assert got == exp
+    # sqrt flattening: tail share of the sample strictly exceeds its
+    # corpus share; head share shrinks
+    assert got["tail"] / budget > sizes["tail"] / 420
+    assert got["head"] / budget < sizes["head"] / 420
+    # quota > availability keeps everything, never invents rows
+    out2 = temperature_rebalance(
+        rd.from_pandas(df).repartition(4), budget=100000
+    ).to_pandas()
+    assert out2.groupby("source").size().to_dict() == {
+        s: min(sizes[s], (100000 * r[s]) // tot) for s in sizes
+    }
