@@ -483,6 +483,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_pagerank"] = _pagerank
 
+    # DeepWalk-style deterministic random-walk corpus over the KG edges —
+    # walk_len BSP rounds, one cur-node bucket exchange each; rows-only,
+    # pinned EXACTLY vs a serial simulator in tests/test_random_walks.py
+    def _random_walks(sf):
+        from entity_extractor_ray.stages.graph import random_walks
+
+        return random_walks(_kg(sf).edges, walks_per_node=2, walk_len=4)
+
+    q["kg_random_walks"] = _random_walks
+
     # community detection (deterministic synchronous label propagation,
     # min tiebreak) over the co-mention graph; rows-only — pinned against
     # a serial LPA reference in tests/test_label_propagation.py

@@ -1401,3 +1401,158 @@ def bfs_depths(edges_ds, seeds, max_depth: int = 4, n_buckets: int = 16,
         settled = settled.union(frontier).materialize()
 
     return settled
+
+
+def random_walks(edges_ds, walks_per_node: int = 2, walk_len: int = 4,
+                 seed: int = 17, n_buckets: int = 16,
+                 src_col: str = "src", dst_col: str = "dst"):
+    """Deterministic uniform random-walk corpus over a directed edge list —
+    the data-generation half of DeepWalk (Perozzi et al., KDD 2014) /
+    node2vec: ``walks_per_node`` walks of ``walk_len`` steps from every
+    node with out-edges, each step choosing uniformly among the node's
+    DISTINCT neighbors. No RNG state anywhere: step t of walk (start, rep)
+    picks neighbor index ``hash63(f"{seed}|{start}|{rep}|{t}") % degree``
+    over the SORTED neighbor array, so the corpus is identical across
+    re-runs, partitionings and engines — the md5 discipline of the
+    sampling family. Dead ends stop the walk early.
+
+    Scale shape: walk_len BSP rounds; each round is ONE cur-node-keyed
+    bucket exchange carrying the walk state (start, rep, cur — three
+    columns, node-dimension x walks_per_node rows) against the adjacency
+    (built once, reused every round on the same bucketing). Visits stream
+    out per round; nothing driver-side ever holds the walk corpus.
+    Returns (start, rep, step, node) — step 0 is the start node itself.
+
+    Rows-only (iterative, not SQL-expressible); pinned against a serial
+    simulator with the identical hash in tests/test_random_walks.py."""
+    import ray.data as rd
+
+    from .shuffle import bucket_group_apply
+    from .sketches import hash63
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column(src_col), pa.string()),
+                "dst": pc.cast(t.column(dst_col), pa.string()),
+            }
+        )
+
+    # distinct adjacency, tagged for the union exchange (kind 0)
+    adj = (
+        edges_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+                    "node": t.column("src"),
+                    "dst": t.column("dst"),
+                    "start": pa.array([""] * t.num_rows, pa.string()),
+                    "rep": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def starts_tbl(t: pa.Table) -> pa.Table:
+        # distinct srcs per batch; global dedup below via groupby
+        agg = t.select(["node"]).group_by("node").aggregate([])
+        return agg
+
+    start_nodes = (
+        adj.map_batches(starts_tbl, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(lambda t: t.select(["node"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def make_state(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_pylist()
+        n = len(nodes)
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(n * walks_per_node, np.int8)),
+                "node": pa.array(np.repeat(np.asarray(nodes, object),
+                                           walks_per_node), pa.string()),
+                "dst": pa.array([""] * (n * walks_per_node), pa.string()),
+                "start": pa.array(np.repeat(np.asarray(nodes, object),
+                                            walks_per_node), pa.string()),
+                "rep": pa.array(np.tile(np.arange(walks_per_node, dtype=np.int64), n)),
+            }
+        )
+
+    state = start_nodes.map_batches(make_state, batch_format="pyarrow").materialize()
+
+    def visits_of(state_ds, step: int):
+        def v(t: pa.Table, _s=step) -> pa.Table:
+            return pa.table(
+                {
+                    "start": t.column("start"),
+                    "rep": t.column("rep"),
+                    "step": pa.array(np.full(t.num_rows, _s, np.int64)),
+                    "node": t.column("node"),
+                }
+            )
+
+        return state_ds.map_batches(v, batch_format="pyarrow")
+
+    out = visits_of(state, 0)
+
+    for t_step in range(1, walk_len + 1):
+        def step_bucket(df: pd.DataFrame, bucket_id: int, _t=t_step) -> pa.Table:
+            empty = pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "node": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "start": pa.array([], pa.string()),
+                    "rep": pa.array([], pa.int64()),
+                }
+            )
+            a = df[df["kind"] == 0]
+            s = df[df["kind"] == 1]
+            if not len(s) or not len(a):
+                return empty
+            # per-src sorted neighbor arrays
+            nbrs = {
+                src: np.sort(g["dst"].to_numpy())
+                for src, g in a.groupby("node", sort=False)
+            }
+            outs = {"node": [], "start": [], "rep": []}
+            for cur, g in s.groupby("node", sort=False):
+                arr = nbrs.get(cur)
+                if arr is None:
+                    continue  # dead end: walk stops
+                starts = g["start"].to_numpy()
+                reps = g["rep"].to_numpy()
+                idx = (
+                    hash63([f"{seed}|{st}|{rp}|{_t}" for st, rp in zip(starts, reps)])
+                    % np.uint64(arr.size)
+                ).astype(np.int64)
+                outs["node"].extend(arr[idx])
+                outs["start"].extend(starts)
+                outs["rep"].extend(reps)
+            n = len(outs["node"])
+            return pa.table(
+                {
+                    "kind": pa.array(np.ones(n, np.int8)),
+                    "node": pa.array(outs["node"], pa.string()),
+                    "dst": pa.array([""] * n, pa.string()),
+                    "start": pa.array(outs["start"], pa.string()),
+                    "rep": pa.array(np.asarray(outs["rep"], np.int64)),
+                }
+            )
+
+        state = bucket_group_apply(
+            adj.union(state), ["node"], step_bucket, n_buckets
+        ).materialize()
+        if state.count() == 0:
+            break
+        out = out.union(visits_of(state, t_step))
+
+    return out
