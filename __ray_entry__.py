@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # snapshot diff (CDC): zero-payload decision shuffle over content
     # hashes; snapshot B derived deterministically from A by md5 prefix
     q["corpus_diff"] = lambda sf: prof.corpus_diff(_docs(sf))
+    # PSI drift audit between the table's even/odd halves (snapshot-pair
+    # stand-in): exact bin counts, one identical psi expression per bin
+    q["psi_nchars_drift"] = lambda sf: prof.psi_drift(
+        _docs_cols(sf, ["doc_id", "n_chars"])
+    )
 
     # hive-style partitioned layout: write docs as lang=*/ dirs (resumable
     # per-partition _SUCCESS), then a PATH-pruned read of one partition —
@@ -728,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         str_cols=["o_orderstatus", "o_orderpriority"],
     )
     sql["corpus_diff"] = prof.CORPUS_DIFF_SQL
+    sql["psi_nchars_drift"] = prof.psi_drift_sql()
     sql["partitioned_read_en"] = (
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
     )

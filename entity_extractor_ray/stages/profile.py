@@ -352,3 +352,107 @@ SELECT doc_id,
 FROM j
 WHERE ta IS NULL OR tb IS NULL OR ta <> tb
 """
+
+
+# ------------------------------------------------------- PSI drift audit
+
+
+def psi_drift(ds, value_col: str = "n_chars", key_col: str = "doc_id",
+              bin_width: int = 100, n_bins: int = 10):
+    """Population Stability Index between two halves of a table (side A =
+    even keys, side B = odd keys — the snapshot-pair stand-in): the
+    standard ML-ops drift audit for "has this feature's distribution
+    moved between corpus versions". Values bin into ``n_bins`` fixed
+    integer buckets (``min(value // bin_width, n_bins-1)``); per bin,
+    psi_term = (p - q) * ln(p / q) with p, q the bin's share of each
+    side. Bins empty on EITHER side are emitted with NULL psi_term (the
+    log is undefined; the standard epsilon fudge is a modeling choice
+    this engine refuses to bake in silently). Total PSI = sum of non-NULL
+    terms; the conventional read: <0.1 stable, >0.25 shifted.
+
+    Parity discipline: bin ids and counts are exact integers; p, q are
+    IEEE divisions of exact integers; psi_term is ONE identical double
+    expression floored to 6dp on both engines (token_pmi's ln-of-ratio
+    class). Scale shape: one map-side (bin, side) count partial per batch
+    -> one n_bins-sized aggregate; the finalizer sees 2*n_bins rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy()
+        k = t.column(key_col).to_numpy()
+        bins = np.minimum(v // bin_width, n_bins - 1).astype(np.int64)
+        side = (k % 2).astype(np.int64)
+        key = bins * 2 + side
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "bin_id": pa.array(uk // 2, pa.int64()),
+                "side": pa.array(uk % 2, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bin_id", "side"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        na = np.zeros(n_bins, np.int64)
+        nb = np.zeros(n_bins, np.int64)
+        for b, s, n in zip(df["bin_id"], df["side"], df["n"]):
+            (na if s == 0 else nb)[int(b)] = int(n)
+        ta, tb = na.sum(), nb.sum()
+        psi = np.full(n_bins, np.nan)
+        both = (na > 0) & (nb > 0)
+        if ta > 0 and tb > 0 and both.any():
+            p = na[both] / ta
+            q = nb[both] / tb
+            psi[both] = np.floor((p - q) * np.log(p / q) * 1e6) / 1e6
+        return pa.table(
+            {
+                "bin_id": pa.array(np.arange(n_bins, dtype=np.int64)),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "psi_term": pa.array(
+                    [None if np.isnan(x) else float(x) for x in psi],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    # 2*n_bins rows: one block, one finalizer batch
+    return sums.repartition(1).map_batches(
+        finalize, batch_size=None, batch_format="pandas"
+    )
+
+
+def psi_drift_sql(value_col: str = "n_chars", key_col: str = "doc_id",
+                  bin_width: int = 100, n_bins: int = 10,
+                  table: str = "documents") -> str:
+    return f"""
+    WITH binned AS (
+      SELECT least({value_col} // {bin_width}, {n_bins - 1}) AS bin_id,
+             {key_col} % 2 AS side
+      FROM {table}
+    ), c AS (
+      SELECT bin_id, side, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2
+    ), bins AS (
+      SELECT unnest(range({n_bins})) AS bin_id
+    ), wide AS (
+      SELECT b.bin_id,
+             COALESCE((SELECT n FROM c WHERE c.bin_id = b.bin_id AND side = 0), 0) AS n_a,
+             COALESCE((SELECT n FROM c WHERE c.bin_id = b.bin_id AND side = 1), 0) AS n_b
+      FROM bins b
+    ), tot AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM wide
+    )
+    SELECT bin_id, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             floor((n_a * 1.0 / ta - n_b * 1.0 / tb)
+                   * ln((n_a * 1.0 / ta) / (n_b * 1.0 / tb)) * 1000000) / 1000000
+           ELSE NULL END AS psi_term
+    FROM wide CROSS JOIN tot
+    """

@@ -557,3 +557,41 @@ def test_temperature_rebalance_quota_math_and_tail_upweight():
     assert out2.groupby("source").size().to_dict() == {
         s: min(sizes[s], (100000 * r[s]) // tot) for s in sizes
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_psi_drift_planted_shift_and_empty_bins():
+    import math
+
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.profile import psi_drift
+
+    # side A (even ids) concentrated in bin 0, side B (odd ids) in bin 5;
+    # bin 9 empty on side B only -> NULL psi_term there
+    rows = []
+    i = 0
+    for _ in range(40):
+        rows.append((2 * i, 50)); i += 1          # A -> bin 0
+    for _ in range(40):
+        rows.append((2 * i + 1, 550)); i += 1     # B -> bin 5
+    rows.append((2 * i, 50))                      # one more A in bin 0
+    rows.append((2 * i + 2, 2500))                # A-only in bin 9 (cap)
+    rows.append((2 * i + 5, 50))                  # one B in bin 0
+    df = pd.DataFrame(rows, columns=["doc_id", "n_chars"])
+    out = psi_drift(rd.from_pandas(df).repartition(3)).to_pandas()
+    out = out.set_index("bin_id")
+
+    ta = (df["doc_id"] % 2 == 0).sum()
+    tb = (df["doc_id"] % 2 == 1).sum()
+    # bin 0: both sides present -> exact serial psi term
+    p, q = 41 / ta, 1 / tb
+    exp = math.floor((p - q) * math.log(p / q) * 1e6) / 1e6
+    assert out.loc[0, "psi_term"] == exp
+    assert out.loc[0, "n_a"] == 41 and out.loc[0, "n_b"] == 1
+    # bin 5: B-only -> NULL; bin 9: A-only -> NULL; bin 3: empty-empty -> NULL
+    for b in (5, 9, 3):
+        assert pd.isna(out.loc[b, "psi_term"])
+    # a large shift reads as large total PSI over defined terms
+    total = out["psi_term"].dropna().sum()
+    assert total > 0.25
