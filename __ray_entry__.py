@@ -266,6 +266,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # distribution-preserving dedup: one representative per near-dup
     # cluster with weight = cluster size (rows-only; planted-size pins)
     q["dedup_reweight_docs"] = lambda sf: dd.dedup_reweight(_docs(sf))
+
+    # incremental dedup: pairs involving the "ingest batch" (doc_id%10==0)
+    # against the standing corpus — old-old buckets emit NOTHING
+    # (rows-only; pinned vs the full run restricted to new-touching pairs)
+    def _minhash_delta(sf):
+        import pyarrow.compute as _pc
+
+        docs = _docs(sf)
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        def _side(new: bool):
+            def f(t):
+                m = t.column("doc_id").to_numpy() % 10 == 0
+                return t.filter(_pa.array(m if new else ~m))
+            return f
+
+        old_ds = docs.map_batches(_side(False), batch_format="pyarrow")
+        new_ds = docs.map_batches(_side(True), batch_format="pyarrow")
+        return dd.minhash_dedup_delta(
+            dd.minhash_index_rows(old_ds), new_ds, docs, threshold=0.3
+        )
+
+    q["minhash_dedup_delta_docs"] = _minhash_delta
     # greedy k-center coreset (Gonzalez/Sener-Savarese): maximally-spread
     # k-subset of the embedding table (rows-only; serial-reference pin)
     q["kcenter_coreset"] = lambda sf: cls_.kcenter_coreset(_embs(sf), k=16)

@@ -1616,3 +1616,107 @@ def dedup_reweight(docs_ds, **kwargs):
         )
 
     return w.map_batches(fin, batch_format="pyarrow")
+
+
+# --------------------------------------------- incremental (delta) dedup
+
+
+def minhash_index_rows(docs_ds):
+    """docs -> the persistent LSH index rows (band_id, band_hash, doc_id):
+    write these once per corpus snapshot (e.g. ``write_partitioned_by`` on
+    band_id) and later feed them to minhash_dedup_delta so an ingest batch
+    never recomputes or re-pairs the existing corpus."""
+    return docs_ds.map_batches(_minhash_rows, batch_format="pandas")
+
+
+def minhash_dedup_delta(old_bands, new_docs_ds, union_docs_ds,
+                        threshold: float = JACCARD_THRESHOLD,
+                        n_buckets: int = 32):
+    """Incremental near-dup detection: verified Jaccard pairs INVOLVING the
+    new ingest batch — new-vs-old and new-vs-new — without ever pairing
+    the old corpus against itself. THE production dedup pattern at 100 TB:
+    a full re-dedup per snapshot re-emits O(sum C(bucket, 2)) candidate
+    work every time, while the delta pass only generates pairs where at
+    least one side is new, so steady-state ingest cost tracks the BATCH
+    size, not the corpus (old-old boilerplate buckets that dominate a
+    full run's candidate volume emit nothing here).
+
+    ``old_bands`` = the existing corpus's LSH index rows (minhash_index_rows
+    output, typically read back from parquet); ``union_docs_ds`` must cover
+    the text of every doc id that can appear in a pair (old + new) — the
+    exact verification joins it per side. Band rows for the new batch are
+    computed here (map-only). Same banding/threshold/cap semantics as
+    minhash_dedup; pinned in tests against the full run on the union
+    restricted to pairs touching new ids."""
+    from .shuffle import bucket_group_apply, compact_blocks
+
+    def tag(side: int):
+        def f(df: pd.DataFrame, _s=side) -> pd.DataFrame:
+            df = df.copy()
+            df["is_new"] = np.int8(_s)
+            return df
+        return f
+
+    new_bands = new_docs_ds.map_batches(_minhash_rows, batch_format="pandas") \
+                           .map_batches(tag(1), batch_format="pandas")
+    old_tagged = old_bands.map_batches(tag(0), batch_format="pandas")
+    bands = old_tagged.union(new_bands)
+
+    def pairs_bucket(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        a_parts: List[np.ndarray] = []
+        b_parts: List[np.ndarray] = []
+        n_truncated, n_dropped = 0, 0
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            gd = g.drop_duplicates("doc_id")
+            new_ids = np.unique(gd.loc[gd["is_new"] == 1, "doc_id"].to_numpy())
+            if new_ids.size == 0:
+                continue  # the old-old bucket: a full run's dominant cost, skipped
+            old_ids = np.unique(gd.loc[gd["is_new"] == 0, "doc_id"].to_numpy())
+            if old_ids.size > BUCKET_PAIR_CAP:
+                n_truncated += 1
+                n_dropped += int(old_ids.size - BUCKET_PAIR_CAP)
+                old_ids = _cap_ids_unbiased(old_ids, BUCKET_PAIR_CAP)
+            if new_ids.size > BUCKET_PAIR_CAP:
+                n_truncated += 1
+                n_dropped += int(new_ids.size - BUCKET_PAIR_CAP)
+                new_ids = _cap_ids_unbiased(new_ids, BUCKET_PAIR_CAP)
+            # new-new pairs
+            if new_ids.size > 1:
+                iu, ju = np.triu_indices(new_ids.size, k=1)
+                a_parts.append(new_ids[iu])
+                b_parts.append(new_ids[ju])
+            # new-old pairs (normalized id_a < id_b)
+            if old_ids.size:
+                gn = np.repeat(new_ids, old_ids.size)
+                go = np.tile(old_ids, new_ids.size)
+                a_parts.append(np.minimum(gn, go))
+                b_parts.append(np.maximum(gn, go))
+        if n_truncated:
+            logger.warning(
+                "minhash delta bucket %d: truncated %d oversized band groups "
+                "(cap=%d), dropped %d ids", bucket_id, n_truncated,
+                BUCKET_PAIR_CAP, n_dropped,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.zeros(0, np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.zeros(0, np.int64)
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    pairs = bucket_group_apply(bands, ["band_id", "band_hash"], pairs_bucket,
+                               n_buckets)
+
+    def distinct_pairs(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        d = df.drop_duplicates(["id_a", "id_b"])
+        return pa.table(
+            {
+                "id_a": pa.array(d["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(d["id_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cands = compact_blocks(
+        bucket_group_apply(pairs, ["id_a", "id_b"], distinct_pairs, n_buckets)
+    )
+    return verify_jaccard_pairs(cands, union_docs_ds, threshold=threshold,
+                                use_words=True)

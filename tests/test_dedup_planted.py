@@ -434,3 +434,71 @@ def test_dedup_reweight_planted_cluster_sizes():
     # unrelated docs survive as their own singleton
     for i in range(10, 30):
         assert w[i] == 1
+
+
+class TestMinhashDelta:
+    def test_delta_equals_full_run_restricted_to_new(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_ray.stages.dedup import (
+            minhash_candidate_pairs,
+            minhash_dedup_delta,
+            minhash_index_rows,
+            verify_jaccard_pairs,
+        )
+
+        docs = _planted_docs().to_pandas()
+        # old corpus = all docs except two planted near-copies; new batch =
+        # docs 105/106 (near-copies of 5/6) plus a fresh near-copy pair
+        new_ids = {105, 106, 200, 201}
+        base = docs[~docs["doc_id"].isin(new_ids)]
+        extra = pd.DataFrame(
+            {
+                "doc_id": [200, 201],
+                "text": ["brand new shared content words " * 8 + "alpha",
+                         "brand new shared content words " * 8 + "beta"],
+            }
+        )
+        old_df = base
+        new_df = pd.concat(
+            [docs[docs["doc_id"].isin({105, 106})], extra], ignore_index=True
+        )
+        union_df = pd.concat([old_df, new_df], ignore_index=True)
+
+        def _arrow(df):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                        "text": pa.array(df["text"].tolist(), pa.string()),
+                    }
+                )
+            )
+
+        old_ds = _arrow(old_df).repartition(3)
+        new_ds = _arrow(new_df).repartition(2)
+        union_ds = _arrow(union_df).repartition(3)
+
+        got = minhash_dedup_delta(
+            minhash_index_rows(old_ds), new_ds, union_ds, threshold=0.3,
+            n_buckets=4,
+        ).to_pandas()
+        got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+
+        # reference: FULL run on the union, restricted to pairs with a new side
+        full = verify_jaccard_pairs(
+            minhash_candidate_pairs(union_ds, n_buckets=4), union_ds,
+            threshold=0.3, use_words=True,
+        ).to_pandas()
+        exp = {
+            (int(a), int(b))
+            for a, b in zip(full["id_a"], full["id_b"])
+            if a in new_ids or b in new_ids
+        }
+        assert got_pairs == exp
+        # the planted expectations themselves: new-vs-old copies found,
+        # new-vs-new pair found, and NO old-old pair leaks into the delta
+        assert (5, 105) in got_pairs and (6, 106) in got_pairs
+        assert (200, 201) in got_pairs
+        assert not any(a not in new_ids and b not in new_ids
+                       for a, b in got_pairs)
