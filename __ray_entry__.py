@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # greedy k-center coreset (Gonzalez/Sener-Savarese): maximally-spread
     # k-subset of the embedding table (rows-only; serial-reference pin)
     q["kcenter_coreset"] = lambda sf: cls_.kcenter_coreset(_embs(sf), k=16)
+    # contrastive triplet mining: nearest same-label positive + hardest
+    # other-label negative per anchor (knn 6dp-rounded-cosine convention)
+    q["triplet_mining"] = lambda sf: sim.triplet_mining(_embs(sf), anchor_mod=50)
     # exact-substring dedup (Lee et al. 2021 shape): maximal duplicated
     # k-token-gram spans via two bounded shuffles; hash-green DuckDB oracle
     q["duplicate_ngram_spans"] = lambda sf: dd.duplicate_ngram_spans(_docs(sf))
@@ -781,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
     sql["duplicate_ngram_spans"] = dd.duplicate_ngram_spans_sql()
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
+    sql["triplet_mining"] = sim.triplet_mining_sql(anchor_mod=50)
     sql["knn_cosine_filtered"] = sim.knn_cosine_sql(
         query_ids=[0, 1, 2], k=10, filter_col="label", filter_values=[1, 3, 5]
     )

@@ -510,3 +510,125 @@ def knn_pq(embeddings_ds, query_ids: List[int], k: int = 10, m: int = 8,
             }
         )
     )
+
+
+def triplet_mining(embeddings_ds, anchor_mod: int = 50,
+                   label_col: str = "label"):
+    """Contrastive-training triplet mining: for every ANCHOR vector
+    (``vec_id % anchor_mod == 0``), the POSITIVE is its most-similar
+    same-label vector (excluding itself) and the HARD NEGATIVE its
+    most-similar other-label vector — the FaceNet/SimCLR-style hardest-
+    negative rule that makes triplet losses converge, expressed as one
+    corpus scan. Ranking follows the knn_cosine convention: cosine
+    ROUNDED to 6dp descending, then vec_id ascending, so the selection is
+    engine-independent. Anchors missing either side (no same-label or no
+    other-label vector exists) are dropped on both engines (oracle JOIN).
+
+    Scale shape: the anchor matrix is broadcast via ``ray.put``; each
+    batch computes one (n_anchors x batch) matmul and emits its local
+    best positive/negative PER ANCHOR (two rows max per anchor per
+    batch); the driver folds #batches x anchors candidate rows — no
+    all-pairs, no shuffle. Output: (anchor_id, pos_id, pos_cos, neg_id,
+    neg_cos)."""
+    import ray
+
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        return t.filter(pa.array(ids % anchor_mod == 0))
+
+    a_parts = embeddings_ds.map_batches(
+        anchor_rows, batch_format="pyarrow"
+    ).take_all()
+    if not a_parts:
+        return pd.DataFrame(
+            {
+                "anchor_id": pd.Series([], dtype=np.int64),
+                "pos_id": pd.Series([], dtype=np.int64),
+                "pos_cos": pd.Series([], dtype=np.float64),
+                "neg_id": pd.Series([], dtype=np.int64),
+                "neg_cos": pd.Series([], dtype=np.float64),
+            }
+        )
+    a_ids = np.asarray([r["vec_id"] for r in a_parts], dtype=np.int64)
+    a_labels = np.asarray([r[label_col] for r in a_parts])
+    a_mat = _normalize(
+        np.asarray([r["embedding"] for r in a_parts], dtype=np.float64)
+    )
+    ref = ray.put((a_ids, a_labels, a_mat))
+
+    def local_best(batch: pa.Table) -> pd.DataFrame:
+        aid, alab, amat = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        labels = batch.column(label_col).to_numpy()
+        sims = np.round(amat @ _normalize(mat).T, 6)  # (n_anchor, n_batch)
+        rows = {"anchor_id": [], "cand_id": [], "cos": [], "is_pos": []}
+        for qi in range(aid.size):
+            not_self = ids != aid[qi]
+            for is_pos, side in ((1, labels == alab[qi]),
+                                 (0, labels != alab[qi])):
+                m = side & not_self
+                if not m.any():
+                    continue
+                c = sims[qi][m]
+                cand = ids[m]
+                best = np.lexsort((cand, -c))[0]
+                rows["anchor_id"].append(int(aid[qi]))
+                rows["cand_id"].append(int(cand[best]))
+                rows["cos"].append(float(c[best]))
+                rows["is_pos"].append(int(is_pos))
+        return pd.DataFrame(
+            {
+                "anchor_id": pd.Series(rows["anchor_id"], dtype=np.int64),
+                "cand_id": pd.Series(rows["cand_id"], dtype=np.int64),
+                "cos": pd.Series(rows["cos"], dtype=np.float64),
+                "is_pos": pd.Series(rows["is_pos"], dtype=np.int64),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(local_best, batch_format="pyarrow").take_all()
+    best: dict = {}
+    for r in partials:
+        k = (r["anchor_id"], r["is_pos"])
+        cur = best.get(k)
+        cand = (-r["cos"], r["cand_id"])
+        if cur is None or cand < cur:
+            best[k] = cand
+    rows = []
+    for aidv in sorted({k[0] for k in best}):
+        p = best.get((aidv, 1))
+        n = best.get((aidv, 0))
+        if p is None or n is None:
+            continue  # oracle JOIN drops one-sided anchors too
+        rows.append((aidv, p[1], -p[0], n[1], -n[0]))
+    return pd.DataFrame(
+        rows, columns=["anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos"]
+    ).astype(
+        {
+            "anchor_id": "int64", "pos_id": "int64", "pos_cos": "float64",
+            "neg_id": "int64", "neg_cos": "float64",
+        }
+    )
+
+
+def triplet_mining_sql(anchor_mod: int = 50, label_col: str = "label") -> str:
+    def ranked(cmp: str, name: str) -> str:
+        return f"""
+      SELECT a.vec_id AS anchor_id, e.vec_id AS cand_id,
+             round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS c,
+             row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                 e.vec_id ASC) AS rn
+      FROM embeddings a JOIN embeddings e
+        ON e.vec_id != a.vec_id AND e.{label_col} {cmp} a.{label_col}
+      WHERE a.vec_id % {anchor_mod} = 0"""
+
+    return f"""
+    WITH pos AS ({ranked('=', 'pos')}), neg AS ({ranked('!=', 'neg')})
+    SELECT p.anchor_id, p.cand_id AS pos_id, p.c AS pos_cos,
+           n.cand_id AS neg_id, n.c AS neg_cos
+    FROM (SELECT * FROM pos WHERE rn = 1) p
+    JOIN (SELECT * FROM neg WHERE rn = 1) n USING (anchor_id)
+    """

@@ -88,3 +88,40 @@ def test_encode_once_serving_path_matches_inline():
     assert inline.to_dict("records") == served.to_dict("records")
     with pytest.raises(ValueError):
         knn_pq(ds, query_ids=[0], books=books)  # codes_ds missing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triplet_mining_planted_and_one_sided_drop():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.similarity import triplet_mining
+
+    # anchor 0 (label 1): vec 50 is the same-label near-copy (positive),
+    # vec 3 the closest other-label vector (hard negative). vec 100 is an
+    # anchor whose label is unique -> no positive -> dropped.
+    vecs = {
+        0:   ([1.0, 0.0, 0.0], 1),
+        50:  ([0.99, 0.14, 0.0], 1),     # pos for 0
+        2:   ([0.0, 1.0, 0.0], 1),       # same label, far
+        3:   ([0.95, 0.31, 0.0], 2),     # hard negative for 0
+        4:   ([0.0, 0.0, 1.0], 2),       # other label, far
+        100: ([0.5, 0.5, 0.5], 3),       # unique label -> one-sided anchor
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(
+                [v for v, _ in vecs.values()], pa.list_(pa.float32())
+            ),
+            "label": pa.array([l for _, l in vecs.values()], pa.int32()),
+        }
+    )
+    out = triplet_mining(rd.from_arrow(t).repartition(3), anchor_mod=50)
+    rows = {int(r.anchor_id): (int(r.pos_id), int(r.neg_id))
+            for r in out.itertuples()}
+    # anchors are 0, 50, 100; 100 has no positive -> dropped
+    assert set(rows) == {0, 50}
+    assert rows[0] == (50, 3)
+    assert rows[50] == (0, 3)
+    a0 = out[out["anchor_id"] == 0].iloc[0]
+    assert a0["pos_cos"] > a0["neg_cos"] > 0.9
