@@ -297,6 +297,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # contrastive triplet mining: nearest same-label positive + hardest
     # other-label negative per anchor (knn 6dp-rounded-cosine convention)
     q["triplet_mining"] = lambda sf: sim.triplet_mining(_embs(sf), anchor_mod=50)
+
+    # retrieve-then-rerank second stage: real cross-encoder behind the
+    # adapter gate, deterministic overlap stand-in (the oracle semantics)
+    # executing in this container
+    def _rerank(sf):
+        from entity_extractor_ray.stages.adapters import rerank_documents
+
+        return rerank_documents(_docs(sf), query="window merge join stream")
+
+    q["rerank_documents"] = _rerank
     # exact-substring dedup (Lee et al. 2021 shape): maximal duplicated
     # k-token-gram spans via two bounded shuffles; hash-green DuckDB oracle
     q["duplicate_ngram_spans"] = lambda sf: dd.duplicate_ngram_spans(_docs(sf))
@@ -785,6 +795,9 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
     sql["triplet_mining"] = sim.triplet_mining_sql(anchor_mod=50)
+    from entity_extractor_ray.stages.adapters import rerank_documents_sql
+
+    sql["rerank_documents"] = rerank_documents_sql(query="window merge join stream")
     sql["knn_cosine_filtered"] = sim.knn_cosine_sql(
         query_ids=[0, 1, 2], k=10, filter_col="label", filter_values=[1, 3, 5]
     )

@@ -318,3 +318,157 @@ def detect_mentions_with_model(turns_ds,
         concurrency=concurrency,
         num_gpus=num_gpus or None,
     )
+
+
+# ---------------------------------------------------- cross-encoder rerank
+
+
+def _load_cross_encoder(model_name: str):
+    try:
+        from sentence_transformers import CrossEncoder
+    except ImportError as e:  # pragma: no cover - package absent here
+        raise ImportError(
+            "CrossEncoderReranker needs the 'sentence-transformers' package "
+            "(pip install sentence-transformers); for a dependency-free "
+            "deterministic reranker use OverlapReranker"
+        ) from e
+    return CrossEncoder(model_name)
+
+
+class CrossEncoderReranker:
+    """Actor-pool reranking stage hosting a real cross-encoder: the model
+    loads ONCE per actor (``__init__``), ``__call__`` scores one batch of
+    (query, document) pairs — the retrieve-then-rerank second stage of a
+    RAG pipeline (reference analog: the retrieval J8 followed by the LLM
+    chain M4; the reranker is the standard precision stage between them).
+    Output: input columns plus ``rerank_score`` float64."""
+
+    def __init__(self, query: str, model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+                 model_factory: Optional[Callable] = None,
+                 text_col: str = "text"):
+        factory = model_factory or (lambda: _load_cross_encoder(model_name))
+        self.model = factory()
+        self.query = query
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = [(self.query, t or "") for t in batch[self.text_col]]
+        scores = np.asarray(self.model.predict(pairs), dtype=np.float64)
+        return batch.assign(rerank_score=scores)
+
+
+class OverlapReranker:
+    """Dependency-free deterministic stand-in with the same interface:
+    score = number of DISTINCT query tokens present in the document
+    ([a-z0-9]+ pretokenizer — the corpus-statistics tokenizer). Integer
+    arithmetic, so rerank_documents admits an exact DuckDB oracle."""
+
+    def __init__(self, query: str, text_col: str = "text"):
+        from .textstats import _VOCAB_RE
+
+        self._re = _VOCAB_RE
+        self.qtokens = frozenset(_VOCAB_RE.findall(query.lower()))
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scores = np.fromiter(
+            (
+                len(self.qtokens & set(self._re.findall((t or "").lower())))
+                for t in batch[self.text_col]
+            ),
+            dtype=np.float64,
+            count=len(batch),
+        )
+        return batch.assign(rerank_score=scores)
+
+
+def cross_encoder_available() -> bool:
+    try:
+        from sentence_transformers import CrossEncoder  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def rerank_documents(docs_ds, query: str, top_k: int = 20,
+                     reranker: str = "auto", text_col: str = "text",
+                     key_col: str = "doc_id", concurrency: int = 2):
+    """Retrieve-then-rerank second stage over a candidate set: score every
+    candidate against ``query`` with a warm per-actor model, keep the
+    global top_k by (score desc, key asc). ``reranker="cross_encoder"``
+    uses the real model (actor pool, one load per actor);
+    ``"overlap"`` the deterministic stand-in; ``"auto"`` picks the real
+    model when the package exists and logs the fallback otherwise.
+
+    Scale shape: scoring is map-only (candidates stream through the actor
+    pool); each batch keeps its local top_k, one k-sized single block
+    finishes — the weighted_reservoir combine discipline. Zero shuffle."""
+    import logging
+
+    logger = logging.getLogger("entity_extractor_ray.adapters")
+    use_real = reranker == "cross_encoder" or (
+        reranker == "auto" and cross_encoder_available()
+    )
+    if reranker == "auto" and not use_real:
+        logger.info(
+            "rerank_documents: sentence-transformers absent; using the "
+            "deterministic OverlapReranker stand-in"
+        )
+    if use_real:
+        scored = docs_ds.map_batches(
+            CrossEncoderReranker,
+            fn_constructor_kwargs={"query": query, "text_col": text_col},
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    else:
+        scored = docs_ds.map_batches(
+            OverlapReranker(query, text_col=text_col), batch_format="pandas"
+        )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["rerank_score"] > 0]
+        order = np.lexsort(
+            (df[key_col].to_numpy(), -df["rerank_score"].to_numpy())
+        )[:top_k]
+        return df.iloc[order][[key_col, "rerank_score"]]
+
+    local = scored.map_batches(local_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        order = np.lexsort(
+            (df[key_col].to_numpy(), -df["rerank_score"].to_numpy())
+        )[:top_k]
+        d = df.iloc[order]
+        return pa.table(
+            {
+                key_col: pa.array(d[key_col].to_numpy(), pa.int64()),
+                "rerank_score": pa.array(
+                    d["rerank_score"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+
+    return local.repartition(1).map_batches(
+        final_topk, batch_size=None, batch_format="pandas"
+    )
+
+
+def rerank_documents_sql(query: str, top_k: int = 20) -> str:
+    """Oracle for the OverlapReranker semantics (the path this container
+    executes): distinct-query-token overlap, (score desc, doc_id) top-k."""
+    import re as _re
+
+    toks = sorted(set(_re.findall(r"[a-z0-9]+", query.lower())))
+    arr = ", ".join(f"'{t}'" for t in toks)
+    return f"""
+    SELECT doc_id, rerank_score FROM (
+      SELECT doc_id,
+             CAST(len(list_intersect(
+                 list_distinct(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')),
+                 [{arr}])) AS DOUBLE) AS rerank_score
+      FROM documents
+    ) WHERE rerank_score > 0
+    ORDER BY rerank_score DESC, doc_id LIMIT {top_k}
+    """

@@ -326,3 +326,54 @@ def test_embed_documents_st_flag_and_fallback(ray_session, docs_table, caplog):
 
     with pytest.raises(ValueError, match="unknown embedder"):
         ck.embed_documents(rd.from_arrow(docs_table), embedder="nonsense")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rerank_documents_overlap_and_fake_cross_encoder():
+    import ray.data as rd
+
+    from entity_extractor_ray.stages.adapters import (
+        CrossEncoderReranker,
+        rerank_documents,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "window merge join stream all four",       # overlap 4
+                    "window merge only two here",              # overlap 2
+                    "window window window",                    # distinct: 1
+                    "nothing relevant at all",                 # 0 -> dropped
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    out = rerank_documents(ds, query="window merge join stream",
+                           reranker="overlap", top_k=3).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["rerank_score"].tolist() == [4.0, 2.0, 1.0]
+
+    # fake cross-encoder: one model LOAD per actor, scores = text length
+    class FakeModel:
+        loads = 0
+
+        def __init__(self):
+            FakeModel.loads += 1
+
+        def predict(self, pairs):
+            return [float(len(d)) for _, d in pairs]
+
+    scored = ds.map_batches(
+        CrossEncoderReranker,
+        fn_constructor_kwargs={
+            "query": "q", "model_factory": FakeModel,
+        },
+        batch_format="pandas",
+        concurrency=1,
+    ).to_pandas()
+    assert (scored["rerank_score"]
+            == scored["text"].str.len().astype(float)).all()
