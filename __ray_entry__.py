@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # distribution-preserving dedup: one representative per near-dup
     # cluster with weight = cluster size (rows-only; planted-size pins)
     q["dedup_reweight_docs"] = lambda sf: dd.dedup_reweight(_docs(sf))
+    # quality-aware near-dup removal: keep each MinHash cluster's quality
+    # argmax (not the min-id rep); rows-only (cluster ids are model
+    # output), serial-reference + planted-winner pins in tests/test_keep_best.py
+    q["dedup_keep_best_docs"] = lambda sf: dd.dedup_keep_best(_docs(sf))
 
     # incremental dedup: pairs involving the "ingest batch" (doc_id%10==0)
     # against the standing corpus — old-old buckets emit NOTHING
@@ -346,6 +350,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # scoring; rows-only (fitted codebooks are float models) — recall and
     # encode determinism pinned in tests/test_pq.py
     q["knn_cosine_pq"] = lambda sf: sim.knn_pq(_embs(sf), query_ids=[0, 1, 2], k=10)
+    # all-nodes kNN GRAPH (SemDeDup / NN-graph clustering building block):
+    # exact is map-only against the broadcast corpus under a 200k gate
+    # (oracled); the LSH variant is the 100TB path — rows-only, recall
+    # pinned vs exact in tests/test_knn_graph.py
+    q["knn_graph"] = lambda sf: sim.knn_graph(_embs(sf), k=5)
+    q["knn_graph_lsh"] = lambda sf: sim.knn_graph_lsh(_embs(sf), k=5)
+    # MMR diversified retrieval (Carbonell-Goldstein): greedy redundancy-
+    # penalized rerank of a knn_cosine pool; rows-only (iterative greedy),
+    # serial-reference + diversity-property pins in tests/test_knn_graph.py
+    q["mmr_diversify"] = lambda sf: sim.mmr_diversify(
+        _embs(sf), query_ids=[0, 1, 2], k=10, pool=50
+    )
 
     # --- chunking + embedding (reference M15/M16 as Ray stages)
     from entity_extractor_ray.stages import chunk as ck
@@ -687,6 +703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
+        # -- new in the final round-5 continuation: knn_graph oracled
+        #    (hash-checkable), the other three rows-only with serial-
+        #    reference pins (tests/test_knn_graph.py, test_keep_best.py)
+        "knn_graph", "knn_graph_lsh", "mmr_diversify", "dedup_keep_best_docs",
         # -- never driver-checked, oracled (15; the 8 after
         #    jsonl_documents_by_lang are new in round 5)
         "decontaminate_docs", "split_documents", "rebalance_sources",
@@ -794,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
     sql["duplicate_ngram_spans"] = dd.duplicate_ngram_spans_sql()
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
+    sql["knn_graph"] = sim.knn_graph_sql(k=5)
     sql["triplet_mining"] = sim.triplet_mining_sql(anchor_mod=50)
     from entity_extractor_ray.stages.adapters import rerank_documents_sql
 

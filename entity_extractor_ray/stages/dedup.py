@@ -1727,3 +1727,59 @@ def minhash_dedup_delta(old_bands, new_docs_ds, union_docs_ds,
     )
     return verify_jaccard_pairs(cands, union_docs_ds, threshold=threshold,
                                 use_words=True)
+
+
+def dedup_keep_best(docs_ds, threshold: float = JACCARD_THRESHOLD,
+                    n_buckets: int = 32, **kwargs):
+    """Quality-aware near-dup removal: keep the HIGHEST-QUALITY member of
+    every MinHash cluster instead of the arbitrary min-id representative —
+    what production corpus curation actually wants (when a press release
+    appears 40 times, keep the cleanest copy, not the first-crawled one).
+    Quality = textstats.quality_features' quality_score (length+stopword
+    heuristic, floor-truncated to 6dp); ties break to the LOWEST doc_id so
+    the selection is deterministic and engine-independent.
+
+    Shape: clusters from minhash_dedup (banded LSH, verified pairs, gated
+    clustering), quality from one map-only corpus pass; ONE bucket join on
+    doc_id lines the two up and ONE cluster_id-bucketed reduce picks each
+    cluster's argmax — per-bucket work is a single lexsort + first-
+    occurrence mask, no Python loop. Output: (cluster_id, keep_doc_id,
+    quality_score, n_members), one row per cluster. Rows-only as a query
+    (cluster ids are model output); pinned vs a serial pandas reference in
+    tests/test_keep_best.py."""
+    from .shuffle import bucket_group_apply_arrow, bucket_hash_join
+    from .textstats import quality_features
+
+    clusters = minhash_dedup(docs_ds, threshold=threshold,
+                             n_buckets=n_buckets, **kwargs)
+    quality = docs_ds.map_batches(
+        quality_features, batch_format="pandas",
+        fn_kwargs={}, zero_copy_batch=True,
+    ).select_columns(["doc_id", "quality_score"])
+    joined = bucket_hash_join(
+        clusters, quality, key="doc_id", n_buckets=n_buckets,
+        unique_right=True,
+    )
+
+    def best_per_cluster(t: pa.Table, bucket_id: int) -> pa.Table:
+        cl = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        q = t.column("quality_score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -q, cl))  # cluster asc, quality desc, id asc
+        cl, ids, q = cl[order], ids[order], q[order]
+        first = np.ones(len(cl), dtype=bool)
+        if len(cl) > 1:
+            first[1:] = cl[1:] != cl[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(first), len(cl)))
+        return pa.table(
+            {
+                "cluster_id": pa.array(cl[first], pa.int64()),
+                "keep_doc_id": pa.array(ids[first], pa.int64()),
+                "quality_score": pa.array(q[first], pa.float64()),
+                "n_members": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return bucket_group_apply_arrow(
+        joined, ["cluster_id"], best_per_cluster, n_buckets
+    )

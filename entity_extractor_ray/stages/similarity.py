@@ -632,3 +632,306 @@ def triplet_mining_sql(anchor_mod: int = 50, label_col: str = "label") -> str:
     FROM (SELECT * FROM pos WHERE rn = 1) p
     JOIN (SELECT * FROM neg WHERE rn = 1) n USING (anchor_id)
     """
+
+
+# ------------------------------------------------------- kNN graph (all nodes)
+
+KNN_GRAPH_MAX_ROWS = 200_000
+
+
+def knn_graph(embeddings_ds, k: int = 5,
+              max_exact_rows: int = KNN_GRAPH_MAX_ROWS,
+              allow_approx: bool = False):
+    """EXACT k-nearest-neighbour GRAPH: top-k cosine neighbours for EVERY
+    vector (not just a query list) — the building block of SemDeDup-style
+    semantic dedup, NN-descent/kNN-graph clustering and UMAP-class
+    manifold methods. Output: (src_id, nn_rank, dst_id, cos_sim).
+
+    Shape: the (id-sorted, normalized) corpus matrix is broadcast ONCE via
+    ``ray.put``; each batch computes one (n_batch x N) matmul and emits its
+    rows' FINAL top-k directly — map-only, zero shuffle, no driver merge
+    (every candidate is in the broadcast). That is O(N) driver state and
+    O(N^2) scoring, the declared verification-scale method: inputs larger
+    than ``max_exact_rows`` RAISE unless ``allow_approx=True`` routes them
+    to the banded-LSH variant (knn_graph_lsh) with a logged notice — an
+    operator named exact must not silently return approximate results
+    (same contract as embedding_cosine_pairs).
+
+    Ranking follows the knn_cosine convention: cosine ROUNDED to 6dp
+    descending, ties by ascending dst vec_id (the corpus columns are
+    pre-sorted by vec_id, so a STABLE argsort of -rounded realizes the
+    tie-break without a composite key)."""
+    import ray
+
+    n_rows = embeddings_ds.count()
+    if n_rows > max_exact_rows:
+        if not allow_approx:
+            raise ValueError(
+                f"knn_graph is EXACT (O(N^2) scoring, O(N) driver state) "
+                f"and gated at {max_exact_rows} rows; the input has "
+                f"{n_rows}. Pass allow_approx=True to fall back to "
+                f"knn_graph_lsh (approximate), or call it directly."
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "knn_graph: %d rows exceeds the exact-path gate (%d); routing "
+            "to banded hyperplane LSH (approximate).", n_rows, max_exact_rows,
+        )
+        return knn_graph_lsh(embeddings_ds, k=k)
+
+    parts = embeddings_ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    ).take_all()
+    all_ids = np.asarray([r["vec_id"] for r in parts], dtype=np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    all_mat = _normalize(
+        np.asarray([parts[i]["embedding"] for i in order], dtype=np.float64)
+    )
+    ref = ray.put((all_ids, all_mat))
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        c_ids, c_mat = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        sims = np.round(_normalize(mat) @ c_mat.T, 6)  # (n_batch, N)
+        # exclude self by id (not by position: the batch is a corpus slice)
+        sims[c_ids[None, :] == ids[:, None]] = -2.0
+        # columns are id-ascending, so a stable sort of -sims breaks rounded
+        # ties by ascending dst id
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        n = len(ids)
+        kk = top.shape[1]
+        rows = np.repeat(np.arange(n), kk)
+        flat = top.ravel()
+        keep = sims[rows, flat] > -2.0  # degenerate N<=1 guard
+        return pd.DataFrame(
+            {
+                "src_id": pd.Series(np.repeat(ids, kk)[keep], dtype=np.int64),
+                "nn_rank": pd.Series(
+                    np.tile(np.arange(1, kk + 1), n)[keep], dtype=np.int64
+                ),
+                "dst_id": pd.Series(c_ids[flat][keep], dtype=np.int64),
+                "cos_sim": pd.Series(sims[rows, flat][keep], dtype=np.float64),
+            }
+        )
+
+    return embeddings_ds.map_batches(local, batch_format="pyarrow")
+
+
+def knn_graph_sql(k: int = 5) -> str:
+    return f"""
+    SELECT src_id, nn_rank, dst_id, cos_sim FROM (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                 b.vec_id ASC) AS nn_rank
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+    ) WHERE nn_rank <= {k}
+    """
+
+
+def knn_graph_lsh(embeddings_ds, k: int = 5, n_bands: int = 24,
+                  bits_per_band: int = 6, seed: int = 11,
+                  bucket_cap: int = 2000, n_buckets: int = 32):
+    """APPROXIMATE kNN graph — the 100 TB-shaped variant. Multi-band
+    hyperplane LSH (same banding structure as dedup.embedding_lsh_pairs):
+    each vector gets ``n_bands`` sign-bit keys; within every (band, key)
+    bucket each member scores only its bucket peers and emits a LOCAL
+    top-k candidate list; one (src_id)-keyed reduce merges candidates
+    across bands (dedup dst, re-rank, cut to k). No N^2 term anywhere:
+    bucket population shrinks geometrically in bits_per_band, recall is
+    recovered across bands, oversized buckets truncate at ``bucket_cap``
+    via seeded-hash uniform sampling with a LOGGED drop count (the
+    comentions hot-key policy). Recall vs the exact graph is pinned in
+    tests/test_knn_graph.py. Output schema == knn_graph."""
+    import logging
+
+    import ray
+
+    from .shuffle import bucket_group_apply
+
+    logger = logging.getLogger(__name__)
+
+    import ray.data as rd
+
+    first = embeddings_ds.take(1)
+    if not first:
+        return rd.from_arrow(pa.table({
+            "src_id": pa.array([], pa.int64()),
+            "nn_rank": pa.array([], pa.int64()),
+            "dst_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }))
+    dim = len(first[0]["embedding"])
+    rng = np.random.RandomState(seed)
+    planes_ref = ray.put(rng.normal(size=(n_bands, bits_per_band, dim)))
+    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(list_column_to_matrix(batch.column("embedding")))
+        n = len(ids)
+        proj = np.einsum("nd,bkd->nbk", mat, pl) > 0
+        keys = (proj * weights[None, None, :]).sum(axis=2)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, n_bands),
+                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                "band_key": keys.astype(np.int64).ravel(),
+                "embedding": [mat[i] for i in range(n) for _ in range(n_bands)],
+            }
+        )
+
+    bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def bucket_local_topk(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        src_o, dst_o, sim_o = [], [], []
+        n_truncated = 0
+        for _, g in df.groupby(["band_id", "band_key"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(g) > bucket_cap:
+                n_truncated += len(g) - bucket_cap
+                keep = np.sort(
+                    np.argsort(
+                        (g["vec_id"].to_numpy().astype(np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)),
+                        kind="stable",
+                    )[:bucket_cap]
+                )
+                g = g.iloc[keep]
+            ids = g["vec_id"].to_numpy()
+            mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+            sims = np.round(mat @ mat.T, 6)  # rows pre-normalized in bucketize
+            np.fill_diagonal(sims, -2.0)
+            kk = min(k, len(ids) - 1)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(len(ids)), kk)
+            flat = top.ravel()
+            src_o.append(ids[rows])
+            dst_o.append(ids[flat])
+            sim_o.append(sims[rows, flat])
+        if n_truncated:
+            logger.warning(
+                "knn_graph_lsh bucket %d: %d vectors dropped by bucket_cap=%d",
+                bucket_id, n_truncated, bucket_cap,
+            )
+        if not src_o:
+            return pa.table({
+                "src_id": pa.array([], pa.int64()),
+                "dst_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "src_id": pa.array(np.concatenate(src_o), pa.int64()),
+            "dst_id": pa.array(np.concatenate(dst_o), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(sim_o), pa.float64()),
+        })
+
+    cands = bucket_group_apply(
+        bucketed, ["band_id", "band_key"], bucket_local_topk, n_buckets
+    )
+
+    def merge_per_src(t: pa.Table, bucket_id: int) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        sim = t.column("cos_sim").to_numpy(zero_copy_only=False)
+        # dedup (src, dst) hits repeated across bands, then per-src top-k:
+        # one lexsort (src asc, -sim desc, dst asc), first-occurrence mask,
+        # then a grouped rank cut — all vectorized
+        order = np.lexsort((dst, -sim, src))
+        src, dst, sim = src[order], dst[order], sim[order]
+        pair_new = np.ones(len(src), dtype=bool)
+        if len(src) > 1:
+            pair_new[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst, sim = src[pair_new], dst[pair_new], sim[pair_new]
+        grp_start = np.ones(len(src), dtype=bool)
+        if len(src) > 1:
+            grp_start[1:] = src[1:] != src[:-1]
+        idx = np.arange(len(src))
+        rank = idx - np.maximum.accumulate(np.where(grp_start, idx, 0)) + 1
+        keep = rank <= k
+        return pa.table({
+            "src_id": pa.array(src[keep], pa.int64()),
+            "nn_rank": pa.array(rank[keep], pa.int64()),
+            "dst_id": pa.array(dst[keep], pa.int64()),
+            "cos_sim": pa.array(sim[keep], pa.float64()),
+        })
+
+    from .shuffle import bucket_group_apply_arrow
+
+    return bucket_group_apply_arrow(cands, ["src_id"], merge_per_src, n_buckets)
+
+
+# ------------------------------------------------- MMR diversified retrieval
+
+
+def mmr_diversify(embeddings_ds, query_ids: List[int], k: int = 10,
+                  pool: int = 50, lam: float = 0.7):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    retrieval: greedily pick k results from a pool of ``pool`` cosine
+    candidates, each pick maximizing
+        lam * sim(query, d)  -  (1 - lam) * max_{s in picked} sim(d, s)
+    — the standard redundancy-penalized reranking RAG stacks run after
+    dense retrieval. First pick is the plain top-1.
+
+    Shape: the candidate pool comes from knn_cosine (distributed corpus
+    scan, local top-pool per batch + driver heap merge); the greedy loop
+    itself is DRIVER-SIDE on the pool x pool similarity matrix — pool and
+    k are interface-sized (<=100s), never corpus-sized, so this is
+    dimension-table work by construction. All similarities ROUNDED to 6dp
+    before comparison, ties by ascending vec_id (engine-independent).
+    Output: (query_id, mmr_rank, vec_id, mmr_score)."""
+    cand = knn_cosine(embeddings_ds, query_ids=query_ids, k=pool)
+    need = sorted(set(cand["vec_id"]).union(query_ids))
+    rows = _fetch_rows_by_ids(embeddings_ds, need)
+    vecs = {
+        r["vec_id"]: v
+        for r, v in zip(
+            rows,
+            _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64)),
+        )
+    }
+    out = {"query_id": [], "mmr_rank": [], "vec_id": [], "mmr_score": []}
+    for qid in sorted(set(query_ids)):
+        sub = cand[cand["query_id"] == qid]
+        if sub.empty:
+            continue
+        ids = sub["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        qsim = np.round(sub["cos_sim"].to_numpy(dtype=np.float64)[order], 6)
+        mat = np.stack([vecs[i] for i in ids])
+        cross = np.round(mat @ mat.T, 6)  # (pool, pool)
+        picked: list = []
+        avail = np.ones(len(ids), dtype=bool)
+        max_to_picked = np.full(len(ids), -np.inf)
+        for rank in range(1, min(k, len(ids)) + 1):
+            penalty = np.where(
+                np.isfinite(max_to_picked), max_to_picked, 0.0
+            ) if picked else np.zeros(len(ids))
+            score = np.round(lam * qsim - (1.0 - lam) * penalty, 6)
+            score[~avail] = -np.inf
+            # argmax with ties by ascending vec_id: ids are sorted ascending,
+            # np.argmax returns the first (lowest-id) maximal entry
+            j = int(np.argmax(score))
+            picked.append(j)
+            avail[j] = False
+            max_to_picked = np.maximum(max_to_picked, cross[:, j])
+            out["query_id"].append(int(qid))
+            out["mmr_rank"].append(rank)
+            out["vec_id"].append(int(ids[j]))
+            out["mmr_score"].append(float(score[j]))
+    return pd.DataFrame(out).astype(
+        {
+            "query_id": "int64", "mmr_rank": "int64",
+            "vec_id": "int64", "mmr_score": "float64",
+        }
+    )
