@@ -699,17 +699,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # continuation (7 oracled; corpus_overlap_minhash /
     # dedup_reweight_docs / kcenter_coreset rows-only with exactness
     # pins).
-    # After this round every query of the pre-continuation surface has had
-    # >=1 driver row; of the 188 now registered, only the three rows-only
-    # operators added in the FINAL continuation (knn_graph_lsh /
-    # mmr_diversify / dedup_keep_best_docs, placed after the window so the
-    # never-checked kg_* four keep their last-round slots) end the project
-    # with local pins only (tests/test_knn_graph.py, test_keep_best.py).
+    # After this round every query of the pre-final-continuation surface
+    # has had >=1 driver row. The operators added in the FINAL continuation
+    # sit AFTER the 50-slot window by choice, so the never-checked kg_*
+    # family keeps its last-round slots: the oracled ones (knn_graph, q2,
+    # q12) are DuckDB-hash-verified on EVERY suite run by
+    # test_queries_oracle (the same rows+schema+hash contract the driver
+    # applies), and the rows-only three (knn_graph_lsh / mmr_diversify /
+    # dedup_keep_best_docs) carry serial-reference + recall/property pins
+    # (tests/test_knn_graph.py, test_keep_best.py).
     # COVERAGE.md is the persistent per-query ledger (ADVICE r4: record
     # which queries have ever been externally checked).
     _LEAD = [
-        # -- new in the final round-5 continuation, oracled (hash-checkable)
-        "knn_graph",
         # -- never driver-checked, oracled (15; the 8 after
         #    jsonl_documents_by_lang are new in round 5)
         "decontaminate_docs", "split_documents", "rebalance_sources",
@@ -737,9 +738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_section_context", "kg_manufacturers", "kg_comentions",
         "kg_triangles", "kg_kcore", "kg_pagerank", "kg_communities",
         "kg_bfs", "kg_mapping_nameblocked", "kg_delta_nodes",
-        # -- new in the final continuation, rows-only, outside the 50-query
-        #    window by choice (see note above)
-        "knn_graph_lsh", "mmr_diversify", "dedup_keep_best_docs",
+        # -- new in the final continuation, outside the 50-query window by
+        #    choice (see note above)
+        "knn_graph", "knn_graph_lsh", "mmr_diversify", "dedup_keep_best_docs",
     ]
     ordered = {k: q[k] for k in _LEAD if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

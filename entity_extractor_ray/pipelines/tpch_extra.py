@@ -846,9 +846,326 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ Q2 shape
+
+def q2_min_cost_supplier(sf_dir: str, market_region: str = "EUROPE",
+                         part_type: str = "PROMO", size_lo: int = 10,
+                         size_hi: int = 30, top_n: int = 100):
+    """TPC-H Q2 shape — minimum-cost supplier per part, restricted to one
+    market region, ranked by supplier account balance. The schema has no
+    partsupp table, so the part-supplier cost relation is lineitem's
+    (l_partkey, l_suppkey, l_extendedprice) — the same stand-in
+    cheapest_supplier_per_part uses — and the correlated MIN(ps_supplycost)
+    subquery becomes a grouped argmin whose candidate set is pre-filtered
+    to region suppliers, exactly as Q2's subquery correlates on region.
+
+    Plan: region/nation collapse to a driver LUT; the region's suppliers
+    and the size/type-filtered parts are dimension-sized lookup_join sides
+    (broadcast now, Bloom-pruned bucket past the gate), so lineitem — the
+    only fact — is scanned once with 3 columns, pruned map-side by both
+    semis, then reduced by a per-batch local argmin (one candidate row per
+    (part, batch) reaches the exchange) and ONE part-keyed bucket reduce.
+    Winners re-attach supplier/part attributes dimension-side; the final
+    ORDER BY ... LIMIT sorts only the part-cardinality winner table.
+    Prices and balances ride as integer cents; ties break (cost, suppkey)
+    inside the argmin and (acctbal DESC, n_name, s_name, p_partkey) in the
+    output — both written identically in the oracle."""
+    import pandas as pd
+    import ray
+
+    from ..stages.shuffle import bucket_group_apply, lookup_join
+
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    region_keys = {
+        r["r_regionkey"]
+        for r in _read(sf_dir, "region").take_all()
+        if r["r_name"] == market_region
+    }
+    nation_name = {k: n for k, (n, rk) in nat.items() if rk in region_keys}
+    lut_ref = ray.put(nation_name)
+
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys = pa.array(sorted(lut), pa.int64())
+        t = t.filter(
+            pc.is_in(pc.cast(t.column("s_nationkey"), pa.int64()), value_set=keys)
+        )
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "s_name": t.column("s_name"),
+                "n_name": pa.array([lut[int(k)] for k in nk], pa.string()),
+                "bal": _cents(t.column("s_acctbal")),
+            }
+        )
+
+    supp_r = supp.map_batches(s_prep, batch_format="pyarrow")
+
+    parts = _rpc(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pc.field("p_type") == part_type)
+        & (pc.field("p_size") >= size_lo) & (pc.field("p_size") < size_hi),
+    )
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("p_type"), part_type),
+            pc.and_(
+                pc.greater_equal(t.column("p_size"), size_lo),
+                pc.less(t.column("p_size"), size_hi),
+            ),
+        )
+        return t.filter(keep).select(["p_partkey", "p_brand"])
+
+    parts_f = parts.map_batches(p_prep, batch_format="pyarrow")
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    # semi to region suppliers (keys only — no payload crosses the fact scan)
+    items_s = lookup_join(
+        items,
+        supp_r.map_batches(lambda t: t.select(["s_suppkey"]),
+                           batch_format="pyarrow"),
+        key="l_suppkey", right_key="s_suppkey", unique_right=True,
+    )
+    items_sp = lookup_join(
+        items_s,
+        parts_f.map_batches(lambda t: t.select(["p_partkey"]),
+                            batch_format="pyarrow"),
+        key="l_partkey", right_key="p_partkey", unique_right=True,
+    )
+
+    def local_argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            c=np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        )
+        df = df.sort_values(["l_partkey", "c", "l_suppkey"], kind="mergesort")
+        return df.groupby("l_partkey", sort=False).head(1)[
+            ["l_partkey", "l_suppkey", "c"]
+        ]
+
+    pre = items_sp.map_batches(local_argmin, batch_format="pandas")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        df = df.sort_values(["l_partkey", "c", "l_suppkey"], kind="mergesort")
+        top = df.groupby("l_partkey", sort=False).head(1)
+        return pa.table(
+            {
+                "l_partkey": pa.array(top["l_partkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(top["l_suppkey"].to_numpy(), pa.int64()),
+                "c": pa.array(top["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    winners = bucket_group_apply(pre, ["l_partkey"], bucket_fn, n_buckets=8)
+    # winner table is part-cardinality: attach dimension attributes back
+    winners = lookup_join(
+        winners, supp_r, key="l_suppkey", right_key="s_suppkey",
+        unique_right=True,
+    )
+    winners = lookup_join(
+        winners, parts_f, key="l_partkey", right_key="p_partkey",
+        unique_right=True,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_acctbal": pc.divide(pc.cast(t.column("bal"), pa.float64()),
+                                       100.0),
+                "s_name": t.column("s_name"),
+                "n_name": t.column("n_name"),
+                "p_partkey": t.column("l_partkey"),
+                "p_brand": t.column("p_brand"),
+                "min_price": pc.divide(pc.cast(t.column("c"), pa.float64()),
+                                       100.0),
+                "bal": t.column("bal"),
+            }
+        )
+
+    top = (
+        winners.map_batches(finalize, batch_format="pyarrow")
+        .sort(["bal", "n_name", "s_name", "p_partkey"],
+              descending=[True, False, False, False])
+        .limit(top_n)
+    )
+    return top.map_batches(
+        lambda t: t.select(
+            ["s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+             "min_price"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q2_MIN_COST_SUPPLIER_SQL = """
+WITH rs AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name,
+         CAST(round(s.s_acctbal*100) AS BIGINT) AS bal
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+), fp AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = 'PROMO' AND p_size >= 10 AND p_size < 30
+), best AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(l.l_extendedprice*100) AS BIGINT) AS c,
+         row_number() OVER (
+             PARTITION BY l.l_partkey
+             ORDER BY CAST(round(l.l_extendedprice*100) AS BIGINT),
+                      l.l_suppkey) AS rn
+  FROM lineitem l
+  JOIN rs ON rs.s_suppkey = l.l_suppkey
+  JOIN fp ON fp.p_partkey = l.l_partkey
+)
+SELECT rs.bal / 100.0 AS s_acctbal, rs.s_name, rs.n_name,
+       b.l_partkey AS p_partkey, fp.p_brand, b.c / 100.0 AS min_price
+FROM best b
+JOIN rs ON rs.s_suppkey = b.l_suppkey
+JOIN fp ON fp.p_partkey = b.l_partkey
+WHERE b.rn = 1
+ORDER BY rs.bal DESC, rs.n_name, rs.s_name, b.l_partkey
+LIMIT 100
+"""
+
+
+# ----------------------------------------------------------------- Q12 shape
+
+def q12_line_priority(sf_dir: str):
+    """TPC-H Q12 shape — per shipping class, how many late lines belonged
+    to high- vs low-priority orders in one year. The schema has no
+    l_shipmode/l_commitdate/l_receiptdate: l_linestatus stands in as the
+    shipping class and lateness is the correlated ``l_shipdate >
+    o_orderdate`` (the same adaptation q4 states) — the point of the Q12
+    shape, a correlated join predicate feeding a two-way conditional
+    census, survives intact.
+
+    Plan: the ship-date year prunes lineitem in the scan (3 columns);
+    orders (3 columns, date-pruned to < the window's end since a late line
+    needs o_orderdate < l_shipdate) attaches via lookup_join; the
+    correlated predicate and the priority split are one vectorized
+    map-side pass emitting int partials, and the final groupby touches a
+    2-row domain."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import lookup_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    items = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi),
+        )
+        return t.filter(keep)
+
+    orders = _rpc(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < hi,
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), hi))
+        high = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "is_high": pc.cast(high, pa.int64()),
+            }
+        )
+
+    joined = lookup_join(
+        items.map_batches(l_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        key="l_orderkey", right_key="o_orderkey", unique_right=True,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), t.column("o_orderdate")))
+        hi_c = t.column("is_high")
+        lo_c = pc.subtract(pa.scalar(1, pa.int64()), hi_c)
+        pairs = pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high": hi_c,
+                "low": lo_c,
+            }
+        )
+        agg = pa.TableGroupBy(pairs, "l_linestatus").aggregate(
+            [("high", "sum"), ("low", "sum")]
+        )
+        return rename_agg(
+            agg,
+            {"l_linestatus": "l_linestatus", "high_sum": "high",
+             "low_sum": "low"},
+        )
+
+    counts = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high", alias_name="high_line_count"),
+            Sum("low", alias_name="low_line_count"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high_line_count": pc.cast(t.column("high_line_count"),
+                                           pa.int64()),
+                "low_line_count": pc.cast(t.column("low_line_count"),
+                                          pa.int64()),
+            }
+        )
+
+    return counts.map_batches(finalize, batch_format="pyarrow").sort(
+        "l_linestatus"
+    )
+
+
+Q12_LINE_PRIORITY_SQL = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l.l_shipdate >  o.o_orderdate
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def tpch_extra_queries():
     return {
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
+        "q12_line_priority": q12_line_priority,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_parts": q11_important_parts,
@@ -861,7 +1178,9 @@ def tpch_extra_queries():
 
 def tpch_extra_oracle_sql():
     return {
+        "q2_min_cost_supplier": Q2_MIN_COST_SUPPLIER_SQL,
         "q4_order_priority": Q4_ORDER_PRIORITY_SQL,
+        "q12_line_priority": Q12_LINE_PRIORITY_SQL,
         "q8_market_share": Q8_MARKET_SHARE_SQL,
         "q9_product_profit": Q9_PRODUCT_PROFIT_SQL,
         "q11_important_parts": Q11_IMPORTANT_PARTS_SQL,
