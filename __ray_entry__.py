@@ -210,6 +210,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["temperature_rebalance_docs"] = lambda sf: smp.temperature_rebalance(
         _docs_cols(sf, ["doc_id", "source"]), budget=300
     )
+    # epoch-weighted upsampling WITH replacement (integer 4096ths epochs,
+    # md5-draw fractional copies) — the up-weighting half of a mixture
+    # recipe; pure map-side, zero shuffle
+    q["upsample_sources"] = lambda sf: smp.upsample_sources(
+        _docs_cols(sf, ["doc_id", "source"])
+    )
     # Efraimidis-Spirakis weighted reservoir: exact-k draw proportional to
     # document length, zero shuffle (map-side top-k + one k-sized merge)
     q["weighted_reservoir_docs"] = lambda sf: smp.weighted_reservoir_sample(
@@ -361,6 +367,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # serial-reference + diversity-property pins in tests/test_knn_graph.py
     q["mmr_diversify"] = lambda sf: sim.mmr_diversify(
         _embs(sf), query_ids=[0, 1, 2], k=10, pool=50
+    )
+    # embedding-space eval/train decontamination: nearest TRAIN neighbor
+    # per EVAL vector (id-mod membership so it is fully oracled) — the
+    # semantic complement of the n-gram decontam scans
+    q["embedding_decontaminate"] = lambda sf: sim.embedding_decontaminate(
+        _embs(sf), eval_mod=20, threshold=0.35
     )
 
     # --- chunking + embedding (reference M15/M16 as Ray stages)
@@ -822,6 +834,10 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_cosine_pairs"] = dd.embedding_cosine_pairs_sql(threshold=0.35)
     sql["knn_cosine"] = sim.knn_cosine_sql(query_ids=[0, 1, 2], k=10)
     sql["knn_graph"] = sim.knn_graph_sql(k=5)
+    sql["embedding_decontaminate"] = sim.embedding_decontaminate_sql(
+        eval_mod=20, threshold=0.35
+    )
+    sql["upsample_sources"] = smp.upsample_sources_sql()
     sql["triplet_mining"] = sim.triplet_mining_sql(anchor_mod=50)
     from entity_extractor_ray.stages.adapters import rerank_documents_sql
 

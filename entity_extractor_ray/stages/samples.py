@@ -577,3 +577,94 @@ def temperature_rebalance_sql(budget: int, key_col: str = "doc_id",
     FROM ranked rk JOIN quota q USING ({group_col})
     WHERE rk.rn <= q.quota
     """
+
+
+# ------------------------------------------------------------- epoch upsample
+
+# Default epoch multiplicities in 4096ths: src0 sees 2.5 epochs, src1 1.5,
+# src2 exactly 1, src3 0.5 (an under-one weight downsamples — the same
+# operator covers both directions of a mixture adjustment).
+UPSAMPLE_W4096 = {"src0": 10240, "src1": 6144, "src2": 4096, "src3": 2048}
+
+
+def upsample_sources(ds, weights: dict | None = None, key_col: str = "doc_id",
+                     group_col: str = "source"):
+    """Epoch-weighted mixture resampling WITH REPLACEMENT — the up-weighting
+    half of a training-data recipe (LLaMA/Pile style "source X is seen 2.5
+    epochs"): each document from source s appears floor(e_s) times plus one
+    extra copy for a deterministic fraction frac(e_s) of its docs.
+    ``weights`` maps source -> epochs in integer 4096ths (10240 = 2.5
+    epochs), so the boundary is exact on both engines:
+
+        copies = w // 4096 + (1 if md5(str(key))[:3] < hex3(w % 4096))
+
+    — the 3-hex-digit prefix is a uniform draw on [0, 4096) and the
+    comparison is plain string order, the assign_splits/bernoulli idiom.
+    Sources without a weight are dropped; e_s < 1 downsamples (floor = 0,
+    only the fractional draw keeps a copy).
+
+    Shape: pure map-side — one vectorized multiplicity computation and one
+    np.repeat per batch, ZERO shuffle, output streamed (never a driver
+    list); at 100 TB this is the cheapest possible mixing pass. Output:
+    (key, group, copy_idx) with copy_idx in [0, copies) so repeated rows
+    are distinguishable and the result is a well-defined multiset."""
+    w = dict(UPSAMPLE_W4096 if weights is None else weights)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin(w)]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    group_col: pd.Series([], dtype=object),
+                    "copy_idx": pd.Series([], dtype=np.int64),
+                }
+            )
+        w4096 = df[group_col].map(w).to_numpy(np.int64)
+        whole = w4096 // 4096
+        frac = w4096 % 4096
+        h3 = np.array(
+            [h[:3] for h in md5_hex_array(df[key_col].to_numpy())], dtype=object
+        )
+        thr = np.array([format(int(f), "03x") for f in frac], dtype=object)
+        m = whole + (h3 < thr).astype(np.int64)
+        keep = m > 0
+        ids = df[key_col].to_numpy()[keep]
+        srcs = df[group_col].to_numpy()[keep]
+        mm = m[keep]
+        total = int(mm.sum())
+        rep_ids = np.repeat(ids, mm)
+        rep_src = np.repeat(srcs, mm)
+        starts = np.cumsum(mm) - mm
+        copy_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, mm)
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(rep_ids, dtype=np.int64),
+                group_col: pd.Series(rep_src, dtype=object),
+                "copy_idx": pd.Series(copy_idx, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+def upsample_sources_sql(weights: dict | None = None, key_col: str = "doc_id",
+                         group_col: str = "source",
+                         table: str = "documents") -> str:
+    w = dict(UPSAMPLE_W4096 if weights is None else weights)
+    vals = ", ".join(f"('{s}', {v})" for s, v in sorted(w.items()))
+    return f"""
+    WITH w AS (
+      SELECT * FROM (VALUES {vals}) AS t({group_col}, w4096)
+    ), base AS (
+      SELECT d.{key_col}, d.{group_col},
+             (w.w4096 // 4096)
+             + CASE WHEN substr(md5(CAST(d.{key_col} AS VARCHAR)), 1, 3)
+                         < printf('%03x', w.w4096 % 4096)
+                    THEN 1 ELSE 0 END AS m
+      FROM {table} d JOIN w USING ({group_col})
+    )
+    SELECT {key_col}, {group_col},
+           CAST(unnest(generate_series(0, m - 1)) AS BIGINT) AS copy_idx
+    FROM base WHERE m > 0
+    """

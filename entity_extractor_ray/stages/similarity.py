@@ -935,3 +935,141 @@ def mmr_diversify(embeddings_ds, query_ids: List[int], k: int = 10,
             "vec_id": "int64", "mmr_score": "float64",
         }
     )
+
+
+# --------------------------------------------------- embedding decontamination
+
+DECONTAM_MAX_EVAL_ROWS = 200_000
+
+
+def embedding_decontaminate(embeddings_ds, eval_mod: int = 20,
+                            threshold: float = 0.35,
+                            max_eval_rows: int = DECONTAM_MAX_EVAL_ROWS):
+    """Embedding-space eval/train decontamination — the semantic complement
+    of the n-gram scans (decontam.py): for every EVAL vector, its single
+    nearest TRAIN vector by cosine and a contamination flag (cos >=
+    threshold). Catches paraphrased leakage that token overlap misses.
+    Membership is deterministic from the id (vec_id % eval_mod == 0 is
+    eval) so the query is fully SQL-oracle-able; a production call passes
+    a real eval table the same way knn_cosine passes query_ids.
+
+    Shape: the EVAL side is interface-sized by construction (an eval set,
+    not a corpus) — gated at ``max_eval_rows`` with a loud raise, the
+    knn_graph contract — and broadcast ONCE via ray.put; the TRAIN corpus
+    streams through one map-only scan emitting each batch's LOCAL best
+    train candidate per eval vector (one matmul + one argmax per batch,
+    n_eval rows out per batch), and ONE eval-keyed reduce keeps the
+    global max — no all-pairs, no corpus shuffle. Ranking: cosine ROUNDED
+    to 6dp descending, ties by ascending train vec_id (stable argsort
+    over id-sorted columns). Output: (eval_vec_id, train_vec_id, cos_sim,
+    contaminated)."""
+    import ray
+
+    from .shuffle import bucket_group_apply_arrow
+
+    mod_ = int(eval_mod)
+
+    def eval_only(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % mod_ == 0))
+
+    ev = embeddings_ds.map_batches(eval_only, batch_format="pyarrow")
+    n_eval = ev.count()
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"embedding_decontaminate broadcasts the eval side; "
+            f"{n_eval} eval rows exceed the {max_eval_rows} gate. Shrink "
+            f"the eval set or raise max_eval_rows explicitly."
+        )
+    rows = ev.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    ).take_all()
+    if not rows:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "eval_vec_id": pa.array([], pa.int64()),
+            "train_vec_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+            "contaminated": pa.array([], pa.bool_()),
+        }))
+    e_ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(e_ids, kind="stable")
+    e_ids = e_ids[order]
+    e_mat = _normalize(
+        np.asarray([rows[i]["embedding"] for i in order], dtype=np.float64)
+    )
+    ref = ray.put((e_ids, e_mat))
+    mod = int(eval_mod)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        eids, emat = ray.get(ref)
+        ids, mat = _to_matrix(batch)
+        train = ids % mod != 0
+        ids, mat = ids[train], mat[train]
+        if not len(ids):
+            return pa.table({
+                "eval_vec_id": pa.array([], pa.int64()),
+                "train_vec_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            })
+        # sort the batch's train columns by id so the stable argmax below
+        # breaks rounded ties by ascending train vec_id
+        o = np.argsort(ids, kind="stable")
+        ids, mat = ids[o], _normalize(mat[o])
+        sims = np.round(emat @ mat.T, 6)  # (n_eval, n_batch_train)
+        best = np.argmax(sims, axis=1)  # first (lowest-id) maximal entry
+        rng = np.arange(len(eids))
+        return pa.table({
+            "eval_vec_id": pa.array(eids, pa.int64()),
+            "train_vec_id": pa.array(ids[best], pa.int64()),
+            "cos_sim": pa.array(sims[rng, best], pa.float64()),
+        })
+
+    cands = embeddings_ds.map_batches(local_best, batch_format="pyarrow")
+
+    thr = round(float(threshold), 6)
+
+    def merge_best(t: pa.Table, bucket_id: int) -> pa.Table:
+        ev_c = t.column("eval_vec_id").to_numpy(zero_copy_only=False)
+        tr = t.column("train_vec_id").to_numpy(zero_copy_only=False)
+        sim = t.column("cos_sim").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((tr, -sim, ev_c))
+        ev_c, tr, sim = ev_c[order2], tr[order2], sim[order2]
+        first = np.ones(len(ev_c), dtype=bool)
+        if len(ev_c) > 1:
+            first[1:] = ev_c[1:] != ev_c[:-1]
+        return pa.table({
+            "eval_vec_id": pa.array(ev_c[first], pa.int64()),
+            "train_vec_id": pa.array(tr[first], pa.int64()),
+            "cos_sim": pa.array(sim[first], pa.float64()),
+            "contaminated": pa.array(sim[first] >= thr, pa.bool_()),
+        })
+
+    return bucket_group_apply_arrow(cands, ["eval_vec_id"], merge_best, 8)
+
+
+def embedding_decontaminate_sql(eval_mod: int = 20,
+                                threshold: float = 0.35) -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {eval_mod} = 0
+    ), t AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {eval_mod} != 0
+    ), pairs AS (
+      SELECT e.vec_id AS eval_vec_id, t.vec_id AS train_vec_id,
+             round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(t.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(t.embedding AS DOUBLE[])), 6) DESC,
+                 t.vec_id ASC) AS rn
+      FROM e JOIN t ON true
+    )
+    SELECT eval_vec_id, train_vec_id, cos_sim,
+           (cos_sim >= {round(float(threshold), 6)}) AS contaminated
+    FROM pairs WHERE rn = 1
+    """
