@@ -271,6 +271,19 @@ def run_once() -> dict:
             _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]),
             weight_col="n_chars", k=100,
         ),
+        # final-continuation additions: the all-nodes kNN graph (broadcast
+        # matmul, map-only under the gate), embedding decontamination
+        # (broadcast eval side + one keyed reduce), and the zero-shuffle
+        # epoch upsampler
+        "knn_graph": lambda: sim.knn_graph(_embs(), k=5),
+        "embedding_decontaminate": lambda: sim.embedding_decontaminate(
+            _embs(), eval_mod=20, threshold=0.35
+        ),
+        "upsample_sources": lambda: __import__(
+            "entity_extractor_ray.stages.samples", fromlist=["upsample_sources"]
+        ).upsample_sources(
+            _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+        ),
     }
     queries = {}
     for name, fn in query_fns.items():
