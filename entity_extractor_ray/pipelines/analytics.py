@@ -1737,6 +1737,78 @@ FROM du GROUP BY day
 """
 
 
+# -------------------------------------------------------- cohort retention
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix — the product-analytics triangle: users
+    bucketed by FIRST-active day (their cohort), and for each (cohort_day,
+    day_offset) the count of cohort members active that many days later.
+    Offset 0 rows give each cohort's size; n_users is non-increasing in
+    offset only in aggregate folklore, not per row — the exact matrix is
+    what both engines compute.
+
+    Shape (the daily-actives discipline): the map side collapses each
+    batch to distinct (day, user) pairs before any exchange; ONE
+    user-keyed bucket shuffle co-locates each user's full day set, so the
+    per-user min (the cohort) and the exact cross-batch distinct happen
+    together and the bucket emits (cohort_day, day_offset) PARTIAL counts
+    — exchange rows are user-days, never events — and a tiny final
+    groupby over the matrix cells (days x days upper bound) sums them."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import bucket_group_apply
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        tt = pa.table({"day": day, "user_id": t.column("user_id")})
+        return tt.group_by(["day", "user_id"]).aggregate([])
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
+        du = df.drop_duplicates(["user_id", "day"])
+        cohort = du.groupby("user_id", sort=False)["day"].transform("min")
+        off = (du["day"] - cohort).dt.days.to_numpy().astype(np.int64)
+        cells = (
+            pd.DataFrame({"cohort_day": cohort.to_numpy(), "day_offset": off})
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(cells["cohort_day"], pa.timestamp("us")),
+                "day_offset": pa.array(
+                    cells["day_offset"].to_numpy(), pa.int64()
+                ),
+                "n_users": pa.array(
+                    cells["n_users"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = bucket_group_apply(pre, ["user_id"], bucket_fn, n_buckets=16)
+    return partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM du GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, du.day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM du JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------- cumulative user base
 
 def events_cumulative_users(sf_dir: str):
@@ -2464,6 +2536,7 @@ def analytics_queries():
         "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
         "events_daily_actives": events_daily_actives,
         "events_cumulative_users": events_cumulative_users,
+        "events_cohort_retention": events_cohort_retention,
         "nation_revenue_share": nation_revenue_share,
         "explode_words": explode_words,
         "q7_nation_volume": q7_nation_volume,
@@ -2498,6 +2571,7 @@ def analytics_oracle_sql():
         "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
         "events_daily_actives": EVENTS_DAILY_ACTIVES_SQL,
         "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
+        "events_cohort_retention": EVENTS_COHORT_RETENTION_SQL,
         "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
         "explode_words": EXPLODE_WORDS_SQL,
         "q7_nation_volume": Q7_NATION_VOLUME_SQL,
