@@ -943,16 +943,27 @@ def q2_min_cost_supplier(sf_dir: str, market_region: str = "EUROPE",
         key="l_partkey", right_key="p_partkey", unique_right=True,
     )
 
-    def local_argmin(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            c=np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    def to_cents(t: pa.Table) -> pa.Table:
+        # cents via the ONE engine-wide _cents (file-header rule): an
+        # inline np.round copy here could silently drift from the oracle
+        # on a future rounding-mode fix
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "c": _cents(t.column("l_extendedprice")),
+            }
         )
+
+    def local_argmin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["l_partkey", "c", "l_suppkey"], kind="mergesort")
         return df.groupby("l_partkey", sort=False).head(1)[
             ["l_partkey", "l_suppkey", "c"]
         ]
 
-    pre = items_sp.map_batches(local_argmin, batch_format="pandas")
+    pre = items_sp.map_batches(to_cents, batch_format="pyarrow").map_batches(
+        local_argmin, batch_format="pandas"
+    )
 
     def bucket_fn(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         df = df.sort_values(["l_partkey", "c", "l_suppkey"], kind="mergesort")

@@ -1087,6 +1087,65 @@ def lsh_plan(threshold: float, target_recall: float = 0.95,
     return max(1, min(bands, 32)), bits
 
 
+def make_hyperplane_bucketizer(planes_ref, n_bands: int, weights,
+                               normalize: bool = False):
+    """Shared band-key machinery for the hyperplane-LSH family
+    (embedding_lsh_pairs here, knn_graph_lsh in similarity.py): explode
+    each vector into ``n_bands`` (band_id, band_key, embedding) rows,
+    keys from the sign pattern of random-plane projections. ``normalize``
+    pre-normalizes rows for consumers that dot raw matrices in-bucket —
+    sign(proj) is scale-invariant, so the keys are identical either way.
+    ONE implementation so a banding-policy fix cannot silently miss a
+    copy (review finding)."""
+
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        import ray
+
+        pl = ray.get(planes_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mat = _list_matrix(batch.column("embedding"))
+        if normalize:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+        n = len(ids)
+        # (n, n_bands, bits) sign bits -> (n, n_bands) int keys
+        proj = np.einsum("nd,bkd->nbk", mat, pl) > 0
+        keys = (proj * np.asarray(weights)[None, None, :]).sum(axis=2)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, n_bands),
+                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                "band_key": keys.astype(np.int64).ravel(),
+                "embedding": [mat[i] for i in range(n) for _ in range(n_bands)],
+            }
+        )
+
+    return bucketize
+
+
+def cap_bucket_members(g: pd.DataFrame, bucket_cap: int):
+    """Shared hot-bucket policy (the comentions rule): dedup vec_ids, sort
+    ascending, and truncate buckets wider than ``bucket_cap`` by
+    seeded-hash UNIFORM sampling; returns (kept, n_dropped) so the caller
+    can LOG the drop."""
+    g = g.drop_duplicates("vec_id").sort_values("vec_id")
+    dropped = 0
+    if len(g) > bucket_cap:
+        dropped = len(g) - bucket_cap
+        keep = np.sort(
+            np.argsort(
+                (g["vec_id"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)),
+                kind="stable",
+            )[:bucket_cap]
+        )
+        g = g.iloc[keep]
+    return g, dropped
+
+
 def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
                         concurrency: int = None, n_bands: int = None,
                         bits_per_band: int = None,
@@ -1121,24 +1180,10 @@ def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
     planes_ref = ray.put(planes)
     weights = 1 << np.arange(bits_per_band, dtype=np.int64)
 
-    def bucketize(batch: pa.Table) -> pd.DataFrame:
-        pl = ray.get(planes_ref)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _list_matrix(batch.column("embedding"))
-        n = len(ids)
-        # (n, n_bands, bits) sign bits -> (n, n_bands) int keys
-        proj = np.einsum("nd,bkd->nbk", mat, pl) > 0
-        keys = (proj * weights[None, None, :]).sum(axis=2)
-        return pd.DataFrame(
-            {
-                "vec_id": np.repeat(ids, n_bands),
-                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n),
-                "band_key": keys.astype(np.int64).ravel(),
-                "embedding": [mat[i] for i in range(n) for _ in range(n_bands)],
-            }
-        )
-
-    bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+    bucketed = embeddings_ds.map_batches(
+        make_hyperplane_bucketizer(planes_ref, n_bands, weights),
+        batch_format="pyarrow",
+    )
 
     def band_bucket_pairs(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         a_out: List[int] = []
@@ -1148,17 +1193,8 @@ def embedding_lsh_pairs(embeddings_ds, threshold: float = 0.9, seed: int = 11,
         for _, g in df.groupby(["band_id", "band_key"], sort=False):
             if len(g) < 2:
                 continue
-            g = g.drop_duplicates("vec_id").sort_values("vec_id")
-            if len(g) > bucket_cap:
-                n_truncated += len(g) - bucket_cap
-                keep = np.sort(
-                    np.argsort(
-                        (g["vec_id"].to_numpy().astype(np.uint64)
-                         * np.uint64(0x9E3779B97F4A7C15)),
-                        kind="stable",
-                    )[:bucket_cap]
-                )
-                g = g.iloc[keep]
+            g, dropped = cap_bucket_members(g, bucket_cap)
+            n_truncated += dropped
             ids = g["vec_id"].to_numpy()
             mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -62,6 +62,27 @@ def _fetch_rows_by_ids(embeddings_ds, wanted: List[int]):
     return embeddings_ds.map_batches(pick, batch_format="pyarrow").take_all()
 
 
+def _collect_matrix(ds):
+    """Driver-side (ids, matrix) collection WITHOUT boxing: stream Arrow
+    batches and reshape each embedding column via its values buffer
+    (list_column_to_matrix) — take_all() + a per-row list comprehension
+    would materialize n*d boxed Python floats on the driver, the exact
+    anti-pattern that helper exists to avoid. Gate row counts BEFORE
+    calling this."""
+    ids_parts, mat_parts = [], []
+    proj = ds.map_batches(
+        lambda b: b.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    for t in proj.iter_batches(batch_format="pyarrow", batch_size=8192):
+        i, m = _to_matrix(t)
+        if len(i):
+            ids_parts.append(np.asarray(i, dtype=np.int64))
+            mat_parts.append(m)
+    if not ids_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0))
+    return np.concatenate(ids_parts), np.vstack(mat_parts)
+
+
 def knn_cosine(embeddings_ds, query_ids: List[int], k: int = 10,
                filter_col: str = None, filter_values: List = None):
     """Exact top-k by cosine for each query id, excluding self.
@@ -680,15 +701,10 @@ def knn_graph(embeddings_ds, k: int = 5,
         )
         return knn_graph_lsh(embeddings_ds, k=k)
 
-    parts = embeddings_ds.map_batches(
-        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
-    ).take_all()
-    all_ids = np.asarray([r["vec_id"] for r in parts], dtype=np.int64)
+    all_ids, all_mat = _collect_matrix(embeddings_ds)
     order = np.argsort(all_ids, kind="stable")
     all_ids = all_ids[order]
-    all_mat = _normalize(
-        np.asarray([parts[i]["embedding"] for i in order], dtype=np.float64)
-    )
+    all_mat = _normalize(all_mat[order])
     ref = ray.put((all_ids, all_mat))
 
     def local(batch: pa.Table) -> pd.DataFrame:
@@ -772,23 +788,15 @@ def knn_graph_lsh(embeddings_ds, k: int = 5, n_bands: int = 24,
     planes_ref = ray.put(rng.normal(size=(n_bands, bits_per_band, dim)))
     weights = 1 << np.arange(bits_per_band, dtype=np.int64)
 
-    def bucketize(batch: pa.Table) -> pd.DataFrame:
-        pl = ray.get(planes_ref)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _normalize(list_column_to_matrix(batch.column("embedding")))
-        n = len(ids)
-        proj = np.einsum("nd,bkd->nbk", mat, pl) > 0
-        keys = (proj * weights[None, None, :]).sum(axis=2)
-        return pd.DataFrame(
-            {
-                "vec_id": np.repeat(ids, n_bands),
-                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n),
-                "band_key": keys.astype(np.int64).ravel(),
-                "embedding": [mat[i] for i in range(n) for _ in range(n_bands)],
-            }
-        )
+    from .dedup import cap_bucket_members, make_hyperplane_bucketizer
 
-    bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+    # normalize=True: bucket_local_topk dots the carried rows raw (the
+    # band keys are scale-invariant either way)
+    bucketed = embeddings_ds.map_batches(
+        make_hyperplane_bucketizer(planes_ref, n_bands, weights,
+                                   normalize=True),
+        batch_format="pyarrow",
+    )
 
     def bucket_local_topk(df: pd.DataFrame, bucket_id: int) -> pa.Table:
         src_o, dst_o, sim_o = [], [], []
@@ -796,17 +804,8 @@ def knn_graph_lsh(embeddings_ds, k: int = 5, n_bands: int = 24,
         for _, g in df.groupby(["band_id", "band_key"], sort=False):
             if len(g) < 2:
                 continue
-            g = g.drop_duplicates("vec_id").sort_values("vec_id")
-            if len(g) > bucket_cap:
-                n_truncated += len(g) - bucket_cap
-                keep = np.sort(
-                    np.argsort(
-                        (g["vec_id"].to_numpy().astype(np.uint64)
-                         * np.uint64(0x9E3779B97F4A7C15)),
-                        kind="stable",
-                    )[:bucket_cap]
-                )
-                g = g.iloc[keep]
+            g, dropped = cap_bucket_members(g, bucket_cap)
+            n_truncated += dropped
             ids = g["vec_id"].to_numpy()
             mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
             sims = np.round(mat @ mat.T, 6)  # rows pre-normalized in bucketize
@@ -843,15 +842,21 @@ def knn_graph_lsh(embeddings_ds, k: int = 5, n_bands: int = 24,
         src = t.column("src_id").to_numpy(zero_copy_only=False)
         dst = t.column("dst_id").to_numpy(zero_copy_only=False)
         sim = t.column("cos_sim").to_numpy(zero_copy_only=False)
-        # dedup (src, dst) hits repeated across bands, then per-src top-k:
-        # one lexsort (src asc, -sim desc, dst asc), first-occurrence mask,
-        # then a grouped rank cut — all vectorized
-        order = np.lexsort((dst, -sim, src))
+        # dedup (src, dst) hits repeated across bands KEYED, keeping the
+        # max sim: the same pair's cosine comes from different matmuls per
+        # band, so a value within float error of a 0.5e-6 boundary can
+        # round to two different 6dp sims — an adjacency-only dedup after
+        # a (src, -sim, dst) sort would let both survive. Sort by the
+        # PAIR first, best sim first within it, mask first occurrences,
+        # then re-rank per src.
+        order = np.lexsort((-sim, dst, src))
         src, dst, sim = src[order], dst[order], sim[order]
         pair_new = np.ones(len(src), dtype=bool)
         if len(src) > 1:
             pair_new[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
         src, dst, sim = src[pair_new], dst[pair_new], sim[pair_new]
+        order = np.lexsort((dst, -sim, src))
+        src, dst, sim = src[order], dst[order], sim[order]
         grp_start = np.ones(len(src), dtype=bool)
         if len(src) > 1:
             grp_start[1:] = src[1:] != src[:-1]
@@ -912,11 +917,12 @@ def mmr_diversify(embeddings_ds, query_ids: List[int], k: int = 10,
         cross = np.round(mat @ mat.T, 6)  # (pool, pool)
         picked: list = []
         avail = np.ones(len(ids), dtype=bool)
+        # -inf so the first np.maximum replaces it with cross[:, j] exactly
+        # (cosines can be negative; a zero floor would clamp them). penalty
+        # only reads it once picked is non-empty, i.e. once it is finite.
         max_to_picked = np.full(len(ids), -np.inf)
         for rank in range(1, min(k, len(ids)) + 1):
-            penalty = np.where(
-                np.isfinite(max_to_picked), max_to_picked, 0.0
-            ) if picked else np.zeros(len(ids))
+            penalty = max_to_picked if picked else np.zeros(len(ids))
             score = np.round(lam * qsim - (1.0 - lam) * penalty, 6)
             score[~avail] = -np.inf
             # argmax with ties by ascending vec_id: ids are sorted ascending,
@@ -981,10 +987,8 @@ def embedding_decontaminate(embeddings_ds, eval_mod: int = 20,
             f"{n_eval} eval rows exceed the {max_eval_rows} gate. Shrink "
             f"the eval set or raise max_eval_rows explicitly."
         )
-    rows = ev.map_batches(
-        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
-    ).take_all()
-    if not rows:
+    e_ids, e_mat = _collect_matrix(ev)
+    if not len(e_ids):
         import ray.data as rd
 
         return rd.from_arrow(pa.table({
@@ -993,12 +997,9 @@ def embedding_decontaminate(embeddings_ds, eval_mod: int = 20,
             "cos_sim": pa.array([], pa.float64()),
             "contaminated": pa.array([], pa.bool_()),
         }))
-    e_ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     order = np.argsort(e_ids, kind="stable")
     e_ids = e_ids[order]
-    e_mat = _normalize(
-        np.asarray([rows[i]["embedding"] for i in order], dtype=np.float64)
-    )
+    e_mat = _normalize(e_mat[order])
     ref = ray.put((e_ids, e_mat))
     mod = int(eval_mod)
 

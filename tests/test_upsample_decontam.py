@@ -90,6 +90,10 @@ def _emb_ds(n=120, d=16, seed=3, planted=()):
     mat = rng.randn(n, d)
     for eid in planted:
         mat[eid] = mat[eid + 1] + rng.randn(d) * 1e-3
+    # truncate to float32 BEFORE returning the reference matrix: the
+    # dataset stores float32, so the serial reference must score the same
+    # truncated vectors the engine reads (the _planted_ds convention)
+    mat = mat.astype(np.float32)
     t = pa.table(
         {
             "vec_id": pa.array(list(range(n)), pa.int64()),
