@@ -306,3 +306,58 @@ def test_sorted_neighborhood_halo_boundaries(tmp_path):
     pd.testing.assert_frame_equal(got8, want, check_dtype=False)
     got512 = run(block=512)
     pd.testing.assert_frame_equal(got512, got8, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortRetention:
+    """Planted pin for events_cohort_retention beyond its every-suite-run
+    DuckDB oracle: a hand-computed matrix plus the cohort-size identity."""
+
+    def _write(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        # u1 first day 1 (active d1, d3), u2 first day 1 (d1 only),
+        # u3 first day 2 (d2, d3); two events same user+day collapse
+        rows = [
+            (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 11:00:00", 1),
+            (3, "2024-01-03 09:00:00", 1),
+            (4, "2024-01-01 12:00:00", 2),
+            (5, "2024-01-02 08:00:00", 3), (6, "2024-01-02 20:00:00", 3),
+            (7, "2024-01-03 07:00:00", 3),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(r[1].replace(" ", "T"), "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_hand_computed_matrix(self, tmp_path):
+        from entity_extractor_ray.pipelines.analytics import (
+            events_cohort_retention,
+        )
+
+        sf = self._write(tmp_path)
+        df = events_cohort_retention(sf).to_pandas()
+        got = {
+            (str(r.cohort_day)[:10], int(r.day_offset)): int(r.n_users)
+            for r in df.itertuples()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,  # u1, u2
+            ("2024-01-01", 2): 1,  # u1 back on d3
+            ("2024-01-02", 0): 1,  # u3
+            ("2024-01-02", 1): 1,  # u3 on d3
+        }
+        # offset-0 rows partition the user base: their sum is the number
+        # of distinct users
+        assert df[df["day_offset"] == 0]["n_users"].sum() == 3
